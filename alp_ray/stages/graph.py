@@ -1,0 +1,229 @@
+"""Edge-table operators as pure Ray Data transforms (the shuffle path).
+
+≙ reference BLAS2 scatter kernel (vxm_inner_kernel_scatter,
+reference/blas2.hpp:284) with the SPA replaced by: in-batch combine
+(pyarrow group_by per block — the "combiner") followed by a single
+``groupby(dst)`` shuffle aggregate. Graph build utilities mirror
+``buildMatrixUnique``'s no-duplicate contract (base/io.hpp:1336;
+descriptors::no_duplicates) and the degree precompute that the reference
+does with pattern-semiring mxv (simple_pagerank.hpp:210-222,
+pregel.hpp:380-416).
+
+Everything here streams: no stage materializes the full dataset; the only
+wide steps are groupby aggregates keyed on vertex ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from alp_ray.functions.semiring import Semiring
+
+_AGG = {"sum": Sum, "min": Min, "max": Max}
+
+
+def dedup_edges(
+    edges: "ray.data.Dataset", cols: tuple[str, str] = ("src", "dst")
+) -> "ray.data.Dataset":
+    """Distinct (src, dst) — ≙ buildMatrixUnique's no-duplicates ingestion
+    contract. Combiner: per-block distinct before the shuffle."""
+    src, dst = cols
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([src, dst]).group_by([src, dst]).aggregate([])
+
+    return (
+        edges.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby([src, dst])
+        .aggregate(Count(alias_name="cnt"))
+        .drop_columns(["cnt"])
+    )
+
+
+def symmetrize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Undirected view: union with swapped endpoints, self-loops dropped,
+    deduped (needed by CC — pregel_connected_components.hpp expects a
+    symmetric graph)."""
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch.column("dst"), "dst": batch.column("src")}
+        )
+
+    fwd = edges.select_columns(["src", "dst"])
+    rev = fwd.map_batches(swap, batch_format="pyarrow")
+    both = fwd.union(rev).filter(
+        expr="src != dst"
+    )
+    return dedup_edges(both)
+
+
+def canonicalize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Upper-triangle view (src < dst), self-loops dropped, deduped —
+    the A of tr(A·A∘A)/6 triangle counting."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"))
+        d = np.asarray(batch.column("dst"))
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"src": lo, "dst": hi})
+
+    return dedup_edges(edges.map_batches(canon, batch_format="pyarrow"))
+
+
+def degrees(
+    edges: "ray.data.Dataset", key: str = "src", name: str = "degree"
+) -> "ray.data.Dataset":
+    """Out-/in-degree table — ≙ pattern-semiring mxv row-sum
+    (simple_pagerank.hpp:210-222). Pre-aggregates per block."""
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(key).aggregate([(key, "count")])
+        return t.rename_columns([key, "c"])
+
+    return (
+        edges.map_batches(block_counts, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("c", alias_name=name))
+    )
+
+
+class _ScatterStage:
+    """Per-batch spmv scatter: gather x at src, multiply, pre-combine per
+    dst within the block (the combiner that keeps the shuffle small)."""
+
+    def __init__(
+        self,
+        x_ref,
+        semiring: Semiring,
+        transpose: bool,
+        weight_col: str | None,
+    ) -> None:
+        # x is broadcast once via ray.put and read zero-copy per actor —
+        # NOT re-shipped per batch.
+        self.xv, self.xi = ray.get(x_ref) if not isinstance(x_ref, tuple) else x_ref
+        self.sr = semiring
+        self.src_col = "dst" if transpose else "src"
+        self.dst_col = "src" if transpose else "dst"
+        self.weight_col = weight_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column(self.src_col))
+        dst = np.asarray(batch.column(self.dst_col))
+        w = (
+            np.asarray(batch.column(self.weight_col), dtype=np.float64)
+            if self.weight_col and self.weight_col in batch.column_names
+            else np.ones(len(src))
+        )
+        # Gather x[src] via binary search on the sorted broadcast vector;
+        # rows whose src has no entry (sparse x) contribute nothing.
+        pos = np.searchsorted(self.xi, src)
+        pos_c = np.clip(pos, 0, self.xi.size - 1)
+        hit = (self.xi.size > 0) & (self.xi[pos_c] == src)
+        if not hit.all():
+            src, dst, w, pos_c = src[hit], dst[hit], w[hit], pos_c[hit]
+        contrib = self.sr.mul(self.xv[pos_c], w)
+        # In-batch combine per dst (sort + segment reduce).
+        order = np.argsort(dst, kind="stable")
+        dst, contrib = dst[order], contrib[order]
+        if dst.size:
+            starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+            u = dst[starts]
+            vals = self.sr.add.segment_reduce(contrib, starts)
+        else:
+            u, vals = dst, contrib
+        return pa.table({"vertex": u, "val": vals})
+
+
+def spmv(
+    edges: "ray.data.Dataset",
+    x: "ray.data.Dataset | tuple[np.ndarray, np.ndarray]",
+    semiring: Semiring,
+    transpose: bool = False,
+    weight_col: str | None = "weight",
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """y = A^T·x (or A·x with transpose=True… matching vxm/mxv duality —
+    ``transpose`` swaps which endpoint is "input", ≙
+    descriptors::transpose_matrix).
+
+    x: a vertex-state Dataset ``(vertex, val)`` or a pre-sorted
+    ``(values, ids)`` ndarray pair. The vector is broadcast (``ray.put``
+    once), each edge block scatters and pre-combines, and one
+    ``groupby(vertex)`` shuffle applies the add monoid — the scalable
+    re-expression of reference/blas2.hpp's scatter kernel.
+    """
+    if isinstance(x, tuple):
+        xv, xi = x
+    else:
+        tbl = _collect_vertex_table(x, value_col)
+        xi = np.asarray(tbl.column("vertex"), dtype=np.int64)
+        xv = np.asarray(tbl.column(value_col), dtype=np.float64)
+    order = np.argsort(xi)
+    xref = ray.put((xv[order], xi[order]))
+
+    agg_cls = _AGG[semiring.add.arrow_agg]
+    out = (
+        edges.map_batches(
+            _ScatterStage,
+            fn_constructor_args=(xref, semiring, transpose, weight_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("vertex")
+        .aggregate(agg_cls("val", alias_name=value_col))
+    )
+    return out
+
+
+def _collect_vertex_table(
+    x: "ray.data.Dataset", value_col: str
+) -> pa.Table:
+    # Vertex-state tables are O(n) and only broadcast when small enough;
+    # callers at cluster scale use the GraphShard engine instead.
+    dfs = x.to_pandas()
+    return pa.table(
+        {
+            "vertex": np.asarray(dfs["vertex"], dtype=np.int64),
+            value_col: np.asarray(dfs[value_col], dtype=np.float64),
+        }
+    )
+
+
+def fold(
+    x: "ray.data.Dataset", monoid_agg: str = "sum", value_col: str = "val"
+):
+    """Scalar ← vector reduce — ≙ grb::foldl to scalar + allreduce."""
+    if monoid_agg == "sum":
+        return x.sum(value_col)
+    if monoid_agg == "min":
+        return x.min(value_col)
+    if monoid_agg == "max":
+        return x.max(value_col)
+    raise ValueError(monoid_agg)
+
+
+def ewise_union(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    monoid_agg: str = "sum",
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Monoid eWiseApply / eWiseAdd (union semantics: missing side ← identity)
+    — ≙ base/blas1.hpp:1912 eWiseAdd. Implemented shuffle-style: union +
+    groupby-aggregate (no join needed for commutative monoids)."""
+    u = x.select_columns(["vertex", value_col]).union(
+        y.select_columns(["vertex", value_col])
+    )
+    agg_cls = _AGG[monoid_agg]
+    return u.groupby("vertex").aggregate(
+        agg_cls(value_col, alias_name=value_col)
+    )

@@ -1,0 +1,478 @@
+"""GraphShard actor engine — the performance path for iterative algorithms.
+
+≙ the reference's execution model: the matrix is ingested ONCE into
+compressed storage (CRS+CCS, reference/matrix.hpp:912-930) and every
+primitive then runs over the resident structure; vectors are process-local
+slices and only small messages/collectives cross process boundaries
+(BSP1D distribution, bsp1d/distribution.hpp:42-96 — except we replace its
+"allgather the whole input vector" (noted there to not scale) with a
+partitioned sparse exchange).
+
+Design
+------
+- Vertices are dense ids ``0..n-1``; vertex ``v`` lives on shard ``v % P``
+  at local index ``v // P`` (modulo partitioning — no boundary table, and
+  consecutive ids scatter across shards which de-skews id-correlated load).
+- Shard ``p`` holds the CSC-like compressed block of all edges with
+  ``src % P == p``, lexsorted by ``(dst % P, dst)`` so (a) contributions to
+  each destination shard are a contiguous slice and (b) per-destination
+  combine is a vectorized ``ufunc.reduceat`` over precomputed segment
+  starts — the SPA of reference/coordinates.hpp re-expressed as sort-based
+  segment reduction.
+- Vertex state (pr, labels, degrees, masks) lives ON the shards in a
+  ``dict[str, np.ndarray]`` and never moves; a superstep is:
+
+    1. ``scatter`` on every shard: a user ``pre_fn`` derives the message
+       vector x from local state (≙ eWiseLambda, base/blas1.hpp:3746), the
+       semiring's mul produces per-edge contributions gathered at
+       ``x[src_local]``, the add monoid segment-reduces per destination,
+       and the shard returns P sparse partials ``(dst_local_ids, vals)`` —
+       one per destination shard — via ``num_returns=P(+1)`` so partials
+       flow shard→shard through the object store without driver copies
+       (+1: a small dict of scalar partials from pre_fn, e.g. PageRank's
+       dangling mass — ≙ masked foldl + allreduce,
+       simple_pagerank.hpp:312-314, collectives.hpp:121).
+    2. ``gather`` on every shard: merge the P incoming partials (concat +
+       lexsort + reduceat), materialize the dense local y (identity-filled),
+       and run a user ``post_fn(state, y, scalars)`` that updates state and
+       returns scalar partials (residuals, change counts) — reduced
+       driver-side (≙ collectives allreduce).
+
+At cluster scale the same layout holds: P = #workers × cores, shards are
+placed by Ray, and the only per-iteration traffic is the P×P sparse partial
+exchange (bounded by nnz, not n²) plus O(P) scalars to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ray import cloudpickle as pickle
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from alp_ray.functions.semiring import SEMIRINGS, Monoid, Semiring
+
+
+def _part_of(v: np.ndarray, P: int) -> np.ndarray:
+    return v % P
+
+
+def _local_of(v: np.ndarray, P: int) -> np.ndarray:
+    return v // P
+
+
+def local_size(n: int, P: int, p: int) -> int:
+    """Number of vertices on shard p: |{v < n : v % P == p}|."""
+    return (n - p + P - 1) // P if p < n else 0
+
+
+def _merge_sparse(
+    partials: list[tuple[np.ndarray, np.ndarray]], monoid: Monoid
+) -> tuple[np.ndarray, np.ndarray]:
+    """Combine per-shard sparse partials (ids already reduced within each)."""
+    parts = [p for p in partials if p is not None and len(p[0])]
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0)
+    ids = np.concatenate([p[0] for p in parts])
+    vals = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids, vals = ids[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    return ids[starts], monoid.segment_reduce(vals, starts)
+
+
+@ray.remote
+class GraphShard:
+    """One partition of the graph + its vertex-state slice."""
+
+    def __init__(
+        self,
+        part: int,
+        P: int,
+        n: int,
+        edges: tuple[np.ndarray, np.ndarray, np.ndarray | None] | None = None,
+        parquet_path: str | None = None,
+    ) -> None:
+        self.part = part
+        self.P = P
+        self.n = n
+        self.n_local = local_size(n, P, part)
+        self.state: dict[str, np.ndarray] = {}
+        if parquet_path is not None:
+            import pyarrow.dataset as pads
+
+            # PARALLEL IOMode (iomode.hpp): each shard ingests exactly its
+            # hive partition of the once-written partitioned edge store.
+            dset = pads.dataset(parquet_path, partitioning="hive")
+            t = dset.to_table(filter=pads.field("part") == part)
+            src = t.column("src").to_numpy().astype(np.int64)
+            dst = t.column("dst").to_numpy().astype(np.int64)
+            w = (
+                t.column("weight").to_numpy().astype(np.float64)
+                if "weight" in t.column_names
+                else None
+            )
+        else:
+            src, dst, w = edges
+        self._build(src, dst, w)
+
+    def _build(
+        self, src: np.ndarray, dst: np.ndarray, w: np.ndarray | None
+    ) -> None:
+        P = self.P
+        assert src.size == 0 or np.all(src % P == self.part)
+        dst_part = _part_of(dst, P)
+        order = np.lexsort((dst, dst_part))
+        src, dst, dst_part = src[order], dst[order], dst_part[order]
+        self.src_local = _local_of(src, P)
+        self.w = w[order].astype(np.float64) if w is not None else None
+        self.m_local = int(src.size)
+        # Per-unique-dst segments (contiguous after the lexsort).
+        if dst.size:
+            seg_starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+            self.seg_starts = seg_starts
+            self.out_dst_local = _local_of(dst[seg_starts], P)
+            seg_parts = dst_part[seg_starts]
+            # Slice of unique-dst indices belonging to each dest shard.
+            self.qbounds = np.searchsorted(seg_parts, np.arange(P + 1))
+        else:
+            self.seg_starts = np.empty(0, np.int64)
+            self.out_dst_local = np.empty(0, np.int64)
+            self.qbounds = np.zeros(P + 1, np.int64)
+        self.dst = dst
+
+    # ---- state management (≙ grb::set / buildVector, base/io.hpp) ----
+    def set_state(self, name: str, value: Any) -> int:
+        if np.isscalar(value):
+            self.state[name] = np.full(self.n_local, value, dtype=np.float64)
+        else:
+            arr = np.asarray(value)
+            assert arr.shape[0] == self.n_local
+            self.state[name] = arr.copy()
+        return self.n_local
+
+    def set_state_use_index(self, name: str) -> None:
+        """≙ set<descriptors::use_index> (descriptors.hpp:167): value ← id."""
+        self.state[name] = np.arange(
+            self.part, self.n, self.P, dtype=np.float64
+        )
+
+    def get_state(self, name: str) -> np.ndarray:
+        return self.state[name]
+
+    def vertex_ids(self) -> np.ndarray:
+        return np.arange(self.part, self.n, self.P, dtype=np.int64)
+
+    def compute_out_degrees(self, name: str = "outdeg") -> None:
+        """Shard-local out-degrees (edges are partitioned by src, so this
+        needs no communication) — ≙ the pattern-semiring row-sum vxm
+        (simple_pagerank.hpp:210-222) but free under our partitioning."""
+        self.state[name] = np.bincount(
+            self.src_local, minlength=self.n_local
+        ).astype(np.float64)
+
+    def map_local(self, fn_bytes: bytes, scalars: dict | None = None) -> Any:
+        """≙ eWiseLambda over local slices; fn(state, ctx) -> scalar partials."""
+        fn = pickle.loads(fn_bytes)
+        return fn(self.state, self._ctx(scalars))
+
+    def _ctx(self, scalars: dict | None = None) -> dict:
+        return {
+            "part": self.part,
+            "P": self.P,
+            "n": self.n,
+            "n_local": self.n_local,
+            "m_local": self.m_local,
+            "scalars": scalars or {},
+        }
+
+    # ---- superstep phase 1 (≙ vxm_generic, reference/blas2.hpp:870) ----
+    def scatter(
+        self,
+        pre_fn_bytes: bytes,
+        semiring_name: str,
+        scalars: dict | None = None,
+    ):
+        """Returns P sparse partials + 1 scalar dict (num_returns=P+1)."""
+        sr = SEMIRINGS[semiring_name]
+        pre = pickle.loads(pre_fn_bytes)
+        out = pre(self.state, self._ctx(scalars))
+        if isinstance(out, tuple) and len(out) == 3:
+            x, active, pre_scalars = out
+        elif isinstance(out, tuple):
+            x, active = out
+            pre_scalars = {}
+        else:
+            x, active, pre_scalars = out, None, {}
+        w = self.w if self.w is not None else None
+        results: list[tuple[np.ndarray, np.ndarray] | None] = []
+        if active is None:
+            # Dense frontier: precomputed segments, pure reduceat.
+            contrib = sr.mul(
+                x[self.src_local],
+                w if w is not None else np.ones(self.m_local),
+            )
+            if self.m_local:
+                seg_vals = sr.add.segment_reduce(contrib, self.seg_starts)
+            else:
+                seg_vals = np.empty(0)
+            for q in range(self.P):
+                lo, hi = self.qbounds[q], self.qbounds[q + 1]
+                if hi > lo:
+                    results.append(
+                        (self.out_dst_local[lo:hi], seg_vals[lo:hi])
+                    )
+                else:
+                    results.append(None)
+        else:
+            # Sparse frontier (≙ active-set sparsification,
+            # pregel.hpp:826-837): mask edges by active source, re-segment.
+            mask = active[self.src_local]
+            dst = self.dst[mask]
+            xs = x[self.src_local[mask]]
+            ws = w[mask] if w is not None else np.ones(xs.size)
+            contrib = sr.mul(xs, ws)
+            # Group by (dest shard, dst) so per-shard slices are contiguous
+            # AND u_part below is sorted for searchsorted.
+            order = np.lexsort((dst, _part_of(dst, self.P)))
+            dst, contrib = dst[order], contrib[order]
+            if dst.size:
+                starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+                u_dst = dst[starts]
+                vals = sr.add.segment_reduce(contrib, starts)
+                u_part = _part_of(u_dst, self.P)
+                qb = np.searchsorted(u_part, np.arange(self.P + 1))
+                for q in range(self.P):
+                    lo, hi = qb[q], qb[q + 1]
+                    if hi > lo:
+                        results.append(
+                            (_local_of(u_dst[lo:hi], self.P), vals[lo:hi])
+                        )
+                    else:
+                        results.append(None)
+            else:
+                results = [None] * self.P
+        return (*results, pre_scalars)
+
+    # ---- superstep phase 2 (combine + update; ≙ fold/eWise + allreduce) ----
+    def gather(
+        self,
+        semiring_name: str,
+        post_fn_bytes: bytes,
+        scalars: dict | None,
+        *partials,
+    ) -> dict:
+        sr = SEMIRINGS[semiring_name]
+        ids, vals = _merge_sparse(list(partials), sr.add)
+        post = pickle.loads(post_fn_bytes)
+        y = np.full(self.n_local, sr.add.identity, dtype=np.float64)
+        if ids.size:
+            y[ids] = vals
+        out = post(self.state, y, self._ctx(scalars))
+        return out or {}
+
+
+class GraphEngine:
+    """Driver-side handle over P GraphShard actors.
+
+    Build once (≙ buildMatrixUnique + Launcher, §3.1), then run up to 1000
+    supersteps without touching the edge data again.
+    """
+
+    def __init__(self, shards: list, P: int, n: int, m: int):
+        self.shards = shards
+        self.P = P
+        self.n = n
+        self.m = m
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_arrays(
+        cls,
+        src: np.ndarray,
+        dst: np.ndarray,
+        w: np.ndarray | None = None,
+        n: int | None = None,
+        P: int = 8,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Small/driver-side build: partition by src % P and ship slices."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if n is None:
+            n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+        P = max(1, min(P, n))
+        parts = src % P
+        order = np.argsort(parts, kind="stable")
+        src, dst = src[order], dst[order]
+        w = np.asarray(w, dtype=np.float64)[order] if w is not None else None
+        bounds = np.searchsorted(parts[order], np.arange(P + 1))
+        shards = []
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            edges = (
+                src[lo:hi],
+                dst[lo:hi],
+                w[lo:hi] if w is not None else None,
+            )
+            shards.append(
+                GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                    p, P, n, edges=edges
+                )
+            )
+        return cls(shards, P, n, int(src.size))
+
+    @classmethod
+    def from_partitioned_parquet(
+        cls, path: str, n: int, m: int, P: int,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Scale build: shards ingest their own hive partition in parallel
+        (written once via ``write_partitioned_edges``). On a real cluster
+        pass num_cpus_per_shard=1 and P = total cores so shards spread and
+        reserve their core; tests use 0 to avoid deadlocking a tiny
+        local session when two engines briefly coexist."""
+        shards = [
+            GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                p, P, n, parquet_path=path
+            )
+            for p in range(P)
+        ]
+        return cls(shards, P, n, m)
+
+    # -- state -------------------------------------------------------------
+    def set_state(self, name: str, value) -> None:
+        ray.get([s.set_state.remote(name, value) for s in self.shards])
+
+    def set_state_use_index(self, name: str) -> None:
+        ray.get([s.set_state_use_index.remote(name) for s in self.shards])
+
+    def compute_out_degrees(self, name: str = "outdeg") -> None:
+        ray.get([s.compute_out_degrees.remote(name) for s in self.shards])
+
+    def set_state_by_vertex(self, name: str, values: np.ndarray) -> None:
+        """values: dense array of length n, driver-side (small graphs)."""
+        refs = []
+        for p, s in enumerate(self.shards):
+            refs.append(s.set_state.remote(name, values[p :: self.P]))
+        ray.get(refs)
+
+    def get_state_by_vertex(self, name: str) -> np.ndarray:
+        """Collect a state vector to the driver (small results only —
+        ≙ PinnedVector escape hatch, base/pinnedvector.hpp)."""
+        slices = ray.get([s.get_state.remote(name) for s in self.shards])
+        out = np.empty(self.n, dtype=slices[0].dtype if self.n else np.float64)
+        for p, sl in enumerate(slices):
+            out[p :: self.P] = sl
+        return out
+
+    def state_dataset(self, names: list[str]) -> "ray.data.Dataset":
+        """Vertex state as a Dataset (vertex + one column per name) without
+        a driver copy: one block per shard."""
+        import ray.data
+
+        def shard_table(s, names=tuple(names)):
+            ids = ray.get(s.vertex_ids.remote())
+            cols = {"vertex": ids}
+            for nm in names:
+                cols[nm] = ray.get(s.get_state.remote(nm))
+            return pa.table(cols)
+
+        tables = [shard_table(s) for s in self.shards]
+        return ray.data.from_arrow(tables)
+
+    def map_local(self, fn: Callable, scalars: dict | None = None) -> list:
+        fb = pickle.dumps(fn)
+        return ray.get(
+            [s.map_local.remote(fb, scalars) for s in self.shards]
+        )
+
+    # -- the superstep -----------------------------------------------------
+    def superstep(
+        self,
+        pre_fn: Callable,
+        semiring: Semiring | str,
+        post_fn: Callable,
+        scalars: dict | None = None,
+        scalar_reduce: Callable | None = None,
+        post_scalars_fn: Callable[[dict], dict] | None = None,
+    ) -> dict:
+        """One BSP superstep over all shards.
+
+        pre_fn(state, ctx) -> x | (x, active) | (x, active, scalar_partials)
+        post_fn(state, y_dense_local, ctx) -> scalar_partials
+        post_scalars_fn: driver hook mapping reduced pre-scalars → extra
+          scalars visible to post_fn via ctx["scalars"] (e.g. PageRank's
+          dangling-mass offset, simple_pagerank.hpp:351).
+        scalar_reduce(key, list) -> reduced value (default: sum).
+        """
+        sr_name = semiring if isinstance(semiring, str) else semiring.name
+        pre_b = pickle.dumps(pre_fn)
+        post_b = pickle.dumps(post_fn)
+        P = self.P
+        # Phase 1: scatter on all shards; partials stay in the object store.
+        partial_refs: list[list] = []
+        scalar_refs = []
+        for s in self.shards:
+            refs = s.scatter.options(num_returns=P + 1).remote(
+                pre_b, sr_name, scalars
+            )
+            partial_refs.append(refs[:P])
+            scalar_refs.append(refs[P])
+        pre_scalars = self._reduce_scalars(
+            ray.get(scalar_refs), scalar_reduce
+        )
+        merged = dict(scalars or {})
+        merged.update(pre_scalars)
+        if post_scalars_fn is not None:
+            merged.update(post_scalars_fn(merged))
+        # Phase 2: gather on all shards (shard q receives column q).
+        out_refs = []
+        for q, s in enumerate(self.shards):
+            col = [partial_refs[p][q] for p in range(P)]
+            out_refs.append(
+                s.gather.remote(sr_name, post_b, merged, *col)
+            )
+        post_scalars = self._reduce_scalars(ray.get(out_refs), scalar_reduce)
+        merged.update(post_scalars)
+        return merged
+
+    @staticmethod
+    def _reduce_scalars(
+        dicts: list[dict], scalar_reduce: Callable | None
+    ) -> dict:
+        out: dict = {}
+        for key in {k for d in dicts if d for k in d}:
+            vals = [d[key] for d in dicts if d and key in d]
+            if scalar_reduce is not None:
+                out[key] = scalar_reduce(key, vals)
+            else:
+                out[key] = float(np.sum(vals))
+        return out
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def write_partitioned_edges(
+    edges_ds: "ray.data.Dataset", P: int, path: str
+) -> None:
+    """Write the edge Dataset as hive-partitioned parquet on ``part =
+    src % P`` — the once-per-graph shuffle that pins partitioning for all
+    subsequent supersteps (SURVEY §7 "iterating without re-shuffling")."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = pa.array(
+            np.asarray(batch.column("src")) % P, type=pa.int64()
+        )
+        return batch.append_column("part", part)
+
+    edges_ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["part"]
+    )

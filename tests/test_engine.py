@@ -1,0 +1,148 @@
+"""GraphShard engine: spmv supersteps vs dense NumPy, all semirings."""
+
+import numpy as np
+import pytest
+
+import ray
+
+from alp_ray.state.engine import GraphEngine, write_partitioned_edges
+
+
+def _random_graph(n=60, m=300, seed=7, weighted=True):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    w = rng.rand(m) + 0.1 if weighted else None
+    return src, dst, w
+
+
+def _dense(src, dst, w, n):
+    A = np.zeros((n, n))
+    np.add.at(A, (src, dst), np.ones(len(src)) if w is None else w)
+    return A
+
+
+def _run_spmv(engine, x, semiring):
+    engine.set_state_by_vertex("x", x)
+
+    def pre(state, ctx):
+        return state["x"]
+
+    def post(state, y, ctx):
+        state["y"] = y
+        return {}
+
+    engine.superstep(pre, semiring, post)
+    return engine.get_state_by_vertex("y")
+
+
+@pytest.fixture(scope="module")
+def graph():
+    n = 60
+    src, dst, w = _random_graph(n=n)
+    # Dedup (src,dst) pairs — engine contract mirrors buildMatrixUnique.
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst, w = src[idx], dst[idx], w[idx]
+    engine = GraphEngine.from_arrays(src, dst, w, n=n, P=4)
+    yield engine, src, dst, w, n
+    engine.shutdown()
+
+
+def test_spmv_plus_times(graph):
+    engine, src, dst, w, n = graph
+    rng = np.random.RandomState(1)
+    x = rng.rand(n)
+    y = _run_spmv(engine, x, "plus_times")
+    np.testing.assert_allclose(y, _dense(src, dst, w, n).T @ x, rtol=1e-12)
+
+
+def test_spmv_plus_first_pattern(graph):
+    engine, src, dst, w, n = graph
+    x = np.arange(n, dtype=float)
+    y = _run_spmv(engine, x, "plus_first")
+    A = (_dense(src, dst, w, n) > 0).astype(float)
+    np.testing.assert_allclose(y, A.T @ x, rtol=1e-12)
+
+
+def test_spmv_min_plus(graph):
+    engine, src, dst, w, n = graph
+    rng = np.random.RandomState(2)
+    x = rng.rand(n) * 10
+    y = _run_spmv(engine, x, "min_plus")
+    A = _dense(src, dst, w, n)
+    expect = np.full(n, np.inf)
+    for s, d, wt in zip(src, dst, w):
+        expect[d] = min(expect[d], x[s] + wt)
+    np.testing.assert_allclose(y, expect)
+
+
+def test_spmv_max_first(graph):
+    engine, src, dst, w, n = graph
+    rng = np.random.RandomState(3)
+    x = rng.rand(n)
+    y = _run_spmv(engine, x, "max_first")
+    expect = np.full(n, -np.inf)
+    for s, d in zip(src, dst):
+        expect[d] = max(expect[d], x[s])
+    np.testing.assert_allclose(y, expect)
+
+
+def test_sparse_frontier_matches_dense(graph):
+    engine, src, dst, w, n = graph
+    rng = np.random.RandomState(4)
+    x = rng.rand(n)
+    active = rng.rand(n) < 0.3
+    engine.set_state_by_vertex("x", x)
+    engine.set_state_by_vertex("act", active.astype(float))
+
+    def pre(state, ctx):
+        return state["x"], state["act"] > 0.5
+
+    def post(state, y, ctx):
+        state["y"] = y
+        return {}
+
+    engine.superstep(pre, "plus_times", post)
+    y = engine.get_state_by_vertex("y")
+    expect = np.zeros(n)
+    for s, d, wt in zip(src, dst, w):
+        if active[s]:
+            expect[d] += x[s] * wt
+    np.testing.assert_allclose(y, expect, rtol=1e-12)
+
+
+def test_out_degrees_and_use_index(graph):
+    engine, src, dst, w, n = graph
+    engine.compute_out_degrees("outdeg")
+    outdeg = engine.get_state_by_vertex("outdeg")
+    expect = np.bincount(src, minlength=n).astype(float)
+    np.testing.assert_array_equal(outdeg, expect)
+    engine.set_state_use_index("vid")
+    np.testing.assert_array_equal(
+        engine.get_state_by_vertex("vid"), np.arange(n, dtype=float)
+    )
+
+
+def test_partitioned_parquet_build(tmp_path):
+    import ray.data
+
+    n = 40
+    src, dst, w = _random_graph(n=n, m=150, seed=11)
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst, w = src[idx], dst[idx], w[idx]
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {"src": src, "dst": dst, "weight": w}
+        )
+    )
+    P = 4
+    path = str(tmp_path / "edges")
+    write_partitioned_edges(ds, P, path)
+    engine = GraphEngine.from_partitioned_parquet(path, n=n, m=len(src), P=P)
+    rng = np.random.RandomState(5)
+    x = rng.rand(n)
+    y = _run_spmv(engine, x, "plus_times")
+    np.testing.assert_allclose(y, _dense(src, dst, w, n).T @ x, rtol=1e-12)
+    engine.shutdown()

@@ -1,0 +1,64 @@
+"""PageRank conformance: the reference's own 10-vertex golden + oracle."""
+
+import numpy as np
+import pytest
+
+from alp_ray.pipelines.pagerank import pagerank
+from alp_ray.state.engine import GraphEngine
+
+from . import oracle
+
+# FIXTURES.md F2 ≙ /root/reference/tests/smoke/hook/small_simple_pagerank.cpp
+# :24-36 (ring i→(i+1)%10 plus chord 7→9); printed golden at
+# tests/smoke/smoketests.sh:154.
+RING_SRC = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 7], dtype=np.int64)
+RING_DST = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 9], dtype=np.int64)
+GOLDEN = np.array(
+    [0.106896, 0.105862, 0.104983, 0.104235, 0.1036,
+     0.10306, 0.102601, 0.102211, 0.0584396, 0.108113]
+)
+
+
+def test_ten_vertex_golden():
+    engine = GraphEngine.from_arrays(RING_SRC, RING_DST, n=10, P=3)
+    res = pagerank(engine, alpha=0.85, conv=1e-7, max_iters=1000)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    assert res.converged
+    # Reference prints 6 significant digits.
+    np.testing.assert_allclose(pr, GOLDEN, rtol=5e-6)
+
+
+def test_random_graph_vs_oracle_with_dangling():
+    rng = np.random.RandomState(42)
+    n, m = 200, 900
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # Force dangling vertices: strip all out-edges of ids 190..199.
+    keep = src < 190
+    src, dst = src[keep], dst[keep]
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst = src[idx], dst[idx]
+
+    engine = GraphEngine.from_arrays(src, dst, n=n, P=4)
+    res = pagerank(engine, conv=1e-10)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    expect = oracle.pagerank(src, dst, n, conv=1e-10)
+    assert res.converged
+    np.testing.assert_allclose(pr, expect, atol=1e-6)
+    # Reference verification tolerances (output_verification.hpp:93-99).
+    assert np.linalg.norm(pr - expect) <= 1e-5 * np.linalg.norm(expect)
+    assert np.abs(pr - expect).max() <= 1e-6 * np.abs(expect).max() + 1e-12
+    np.testing.assert_allclose(pr.sum(), 1.0, atol=1e-9)
+
+
+def test_pagerank_throughput_accounting():
+    engine = GraphEngine.from_arrays(RING_SRC, RING_DST, n=10, P=2)
+    res = pagerank(engine)
+    engine.shutdown()
+    assert res.traversed_edges == res.m * res.iterations
+    assert res.edges_per_sec > 0
