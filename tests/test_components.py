@@ -1,0 +1,140 @@
+"""CC + label-prop + triangles goldens (FIXTURES.md F3/F4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from alp_ray.pipelines.components import connected_components
+from alp_ray.pipelines.labelprop import label_propagation
+from alp_ray.pipelines.triangles import triangle_count
+from alp_ray.state.engine import GraphEngine
+
+from . import oracle
+
+
+def _sym(src, dst):
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    key = s * 100000 + d
+    _, idx = np.unique(key, return_index=True)
+    return s[idx], d[idx]
+
+
+def test_cc_cliques_path_isolated():
+    # K4 (0-3) ∪ K3 (4-6) ∪ isolated (7) ∪ P5 (8-12): 4 components.
+    edges = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            edges.append((i, j))
+    for i in range(4, 7):
+        for j in range(i + 1, 7):
+            edges.append((i, j))
+    for i in range(8, 12):
+        edges.append((i, i + 1))
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    s, d = _sym(src, dst)
+    n = 13
+    engine = GraphEngine.from_arrays(s, d, n=n, P=3)
+    connected_components(engine)
+    labels = engine.get_state_by_vertex("label").astype(np.int64)
+    engine.shutdown()
+    expect = oracle.connected_components_maxlabel(s, d, n)
+    np.testing.assert_array_equal(labels, expect)
+    assert len(set(labels.tolist())) == 4
+    assert labels[7] == 7  # isolated keeps own id
+
+
+def test_cc_random_vs_oracle():
+    rng = np.random.RandomState(3)
+    n, m = 300, 500
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    s, d = _sym(src[keep], dst[keep])
+    engine = GraphEngine.from_arrays(s, d, n=n, P=4)
+    connected_components(engine)
+    labels = engine.get_state_by_vertex("label").astype(np.int64)
+    engine.shutdown()
+    np.testing.assert_array_equal(
+        labels, oracle.connected_components_maxlabel(s, d, n)
+    )
+
+
+def _tri_ds(src, dst):
+    return ray.data.from_arrow(
+        pa.table({"src": np.asarray(src, np.int64),
+                  "dst": np.asarray(dst, np.int64)})
+    )
+
+
+def test_triangles_known_graphs():
+    # K4: 4 triangles.
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert triangle_count(_tri_ds([e[0] for e in k4], [e[1] for e in k4])) == 4
+    # C6 ring: 0 triangles.
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    assert triangle_count(_tri_ds([e[0] for e in c6], [e[1] for e in c6])) == 0
+    # K5: 10 triangles.
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert (
+        triangle_count(_tri_ds([e[0] for e in k5], [e[1] for e in k5])) == 10
+    )
+
+
+def test_triangles_random_vs_oracle():
+    rng = np.random.RandomState(9)
+    n = 64
+    mask = rng.rand(n, n) < 0.2
+    src, dst = np.nonzero(np.triu(mask, 1))
+    got = triangle_count(_tri_ds(src, dst))
+    want = oracle.triangle_count(src, dst, n)
+    assert got == want
+    assert want > 0
+
+
+def test_labelprop_two_clusters():
+    # Two dumbbell clusters bridged weakly; seeds 0 (label 0), 5 (label 1).
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    w = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.1]
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    n = 6
+    seed_mask = np.zeros(n, bool)
+    seed_mask[[0, 5]] = True
+    seed_labels = np.zeros(n)
+    seed_labels[5] = 1.0
+
+    engine = GraphEngine.from_arrays(s, d, ww, n=n, P=2)
+    res = label_propagation(engine, seed_labels, seed_mask)
+    f = engine.get_state_by_vertex("f")
+    engine.shutdown()
+    expect = oracle.label_prop(s, d, ww, n, seed_labels, seed_mask)
+    assert res.converged
+    np.testing.assert_array_equal(f, expect)
+
+
+def test_labelprop_random_vs_oracle():
+    rng = np.random.RandomState(17)
+    n = 40
+    mask = np.triu(rng.rand(n, n) < 0.15, 1)
+    src, dst = np.nonzero(mask)
+    w = rng.rand(src.size) + 0.5
+    s = np.concatenate([src, dst]).astype(np.int64)
+    d = np.concatenate([dst, src]).astype(np.int64)
+    ww = np.concatenate([w, w])
+    seed_mask = np.zeros(n, bool)
+    seed_mask[:4] = True
+    seed_labels = np.array([0.0, 1.0, 1.0, 0.0] + [0.0] * (n - 4))
+
+    engine = GraphEngine.from_arrays(s, d, ww, n=n, P=3)
+    label_propagation(engine, seed_labels, seed_mask)
+    f = engine.get_state_by_vertex("f")
+    engine.shutdown()
+    expect = oracle.label_prop(s, d, ww, n, seed_labels, seed_mask)
+    np.testing.assert_array_equal(f, expect)
