@@ -1,0 +1,111 @@
+"""ALP/Pregel vertex-centric layer over the GraphShard engine.
+
+≙ include/graphblas/interfaces/pregel.hpp (960 LoC): user supplies a
+vertex ``program`` plus a combiner monoid; the runtime loop (:650,
+execute :761-907) per round (a) runs the program over active vertices via
+eWiseLambda, (b) terminates when all active vertices voted halt (masked
+and-monoid foldl :812-814), (c) sparsifies the active set (:826-837),
+(d) exchanges messages with ``vxm<structural>`` under the ring
+(combiner-op, left_assign_if) (:714-721, :882-884).
+
+Here: ``program`` is a vectorized NumPy callable over the local state
+batch; the message exchange is the engine superstep under the
+(combiner, *_first) pattern semiring — exactly how the reference lowers
+it. Vertex degrees are precomputed at construction (pregel.hpp:380-416).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+from alp_ray.state.engine import GraphEngine
+
+# Combiner monoid name → pattern semiring used for the exchange.
+_RING = {"max": "max_first", "min": "min_first", "plus": "plus_first"}
+_IDENTITY = {"max": -np.inf, "min": np.inf, "plus": 0.0}
+
+
+@dataclass
+class PregelResult:
+    rounds: int
+    converged: bool  # all vertices halted
+
+
+def pregel(
+    engine: GraphEngine,
+    program: Callable,
+    combiner: str = "plus",
+    init: dict[str, float | np.ndarray] | None = None,
+    init_use_index: tuple[str, ...] = (),
+    max_rounds: int = 1000,
+    out_message_state: str = "__out_msg",
+) -> PregelResult:
+    """Run ``program(state, msgs, ctx) -> (out_msgs, active, halted)``.
+
+    - ``state``: dict of local per-vertex arrays (mutate in place);
+    - ``msgs``: combined incoming messages (dense local array, combiner
+      identity where no message arrived — test with np.isfinite etc.);
+    - ``ctx``: part/P/n/n_local/round;
+    - return ``out_msgs`` (array — messages broadcast along out-edges, ≙
+      Pregel send-to-all-neighbours), ``active`` (bool mask of vertices
+      that message this round), ``halted`` count is derived from active.
+
+    Round 0 delivers the combiner identity as incoming message to every
+    vertex (matches reference: first superstep sees no messages).
+    """
+    ring = _RING[combiner]
+    ident = _IDENTITY[combiner]
+
+    for name, value in (init or {}).items():
+        if isinstance(value, np.ndarray):
+            engine.set_state_by_vertex(name, value)
+        else:
+            engine.set_state(name, value)
+    for name in init_use_index:
+        engine.set_state_use_index(name)
+    engine.compute_out_degrees("__outdeg")
+    engine.set_state("__active", 1.0)
+    engine.set_state(out_message_state, 0.0)
+    engine.set_state("__first", 1.0)
+
+    def pre(state, ctx, program=program, ident=ident):
+        rnd = int(ctx["scalars"]["round"])
+        if rnd == 0:
+            msgs = np.full(state["__active"].shape, ident)
+        else:
+            msgs = state["__in_msg"]
+        pctx = dict(ctx)
+        pctx["round"] = rnd
+        out_msgs, active, _ = _run_program(program, state, msgs, pctx)
+        state[out_message_state] = out_msgs
+        state["__active"] = active.astype(np.float64)
+        return (
+            out_msgs,
+            active,
+            {"n_active": float(active.sum())},
+        )
+
+    def post(state, y, ctx):
+        state["__in_msg"] = y
+        return {}
+
+    rounds = 0
+    converged = False
+    for rnd in range(max_rounds):
+        scalars = engine.superstep(
+            pre, ring, post, scalars={"round": rnd}
+        )
+        rounds = rnd + 1
+        if scalars["n_active"] == 0:
+            converged = True
+            break
+    return PregelResult(rounds=rounds, converged=converged)
+
+
+def _run_program(program, state, msgs, pctx):
+    out = program(state, msgs, pctx)
+    out_msgs, active = out[0], np.asarray(out[1], dtype=bool)
+    return out_msgs, active, None
