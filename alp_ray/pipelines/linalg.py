@@ -1,0 +1,230 @@
+"""Numeric-algebra algorithms from the reference's shipped set.
+
+- ``conjugate_gradient`` ≙ algorithms/conjugate_gradient.hpp:159 — CG on a
+  symmetric positive-definite weighted graph/matrix held in the shard
+  engine; per iteration one spmv superstep + local axpy/dot partials
+  (the dots are shard-local folds reduced driver-side ≙ allreduce).
+- ``kmeans`` ≙ algorithms/kmeans.hpp (k-means++ init :60, Lloyd :224 with
+  argmin monoid) — over an embedding Dataset: assignment is a broadcast
+  argmin map_batches; the update is a groupby-mean (pre-aggregated per
+  block: sum+count combiner).
+- ``sparse_nn_inference`` ≙ algorithms/sparse_nn_single_inference.hpp:52
+  (GraphChallenge): per layer vxm + bias fold + ReLU ± threshold.
+- ``cosine_similarity`` ≙ algorithms/cosine_similarity.hpp:116.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from alp_ray.functions.semiring import PLUS_TIMES
+from alp_ray.stages.graph import spmv
+from alp_ray.state.engine import GraphEngine
+
+
+# ------------------------------------------------------------------- CG --
+
+
+def conjugate_gradient(
+    engine: GraphEngine,
+    b: np.ndarray,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+) -> tuple[np.ndarray, int, float]:
+    """Solve A x = b (A = the engine's weighted adjacency, must be SPD).
+    Returns (x, iterations, final_residual_norm)."""
+    engine.set_state_by_vertex("b", b.astype(np.float64))
+    engine.set_state("x", 0.0)
+
+    # r = b - A·0 = b ; p = r
+    def init_fn(state, ctx):
+        state["r"] = state["b"].copy()
+        state["p"] = state["r"].copy()
+        return {"rr": float(state["r"] @ state["r"])}
+
+    rr = sum(d["rr"] for d in engine.map_local(init_fn))
+
+    def pre(state, ctx):
+        return state["p"]
+
+    def post(state, y, ctx):
+        state["Ap"] = y
+        return {"pAp": float(state["p"] @ y)}
+
+    it = 0
+    while it < max_iters and np.sqrt(rr) > tol:
+        scalars = engine.superstep(pre, "plus_times", post)
+        pAp = scalars["pAp"]
+        alpha = rr / pAp
+
+        def axpy(state, ctx, alpha=alpha):
+            state["x"] = state["x"] + alpha * state["p"]
+            state["r"] = state["r"] - alpha * state["Ap"]
+            return {"rr_new": float(state["r"] @ state["r"])}
+
+        rr_new = sum(d["rr_new"] for d in engine.map_local(axpy))
+        beta = rr_new / rr
+
+        def update_p(state, ctx, beta=beta):
+            state["p"] = state["r"] + beta * state["p"]
+            return {}
+
+        engine.map_local(update_p)
+        rr = rr_new
+        it += 1
+    return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
+
+
+# --------------------------------------------------------------- kmeans --
+
+
+def kmeans(
+    emb: "ray.data.Dataset",
+    k: int = 8,
+    max_iters: int = 20,
+    seed: int = 42,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Lloyd iterations over the Dataset; k-means++ init on a sample.
+    Returns (centroids, assignment Dataset (id, cluster, dist))."""
+    sample = emb.limit(sample_size).to_pandas()
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ (kmeans.hpp:60 kpp_initialisation).
+    C = [X[rng.randint(X.shape[0])]]
+    for _ in range(1, min(k, X.shape[0])):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        probs = d2 / max(d2.sum(), 1e-300)
+        C.append(X[rng.choice(X.shape[0], p=probs)])
+    C = np.array(C)
+
+    for _ in range(max_iters):
+        cref = ray.put(C)
+
+        def partial_means(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            V = np.array(batch.column(vec_col).to_pylist(), np.float64)
+            d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            # Combiner: per-block sum+count per cluster.
+            ks, sums, counts = [], [], []
+            for c in np.unique(a):
+                ks.append(int(c))
+                sums.append(V[a == c].sum(0).tolist())
+                counts.append(int((a == c).sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(ks, pa.int64()),
+                    "vsum": pa.array(sums, pa.list_(pa.float64(), V.shape[1])),
+                    "cnt": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = emb.map_batches(
+            partial_means, batch_format="pyarrow"
+        ).to_pandas()
+        newC = C.copy()
+        for c in range(C.shape[0]):
+            rows = parts[parts["cluster"] == c]
+            if len(rows):
+                s = np.sum(np.array(rows["vsum"].tolist()), axis=0)
+                n = rows["cnt"].sum()
+                newC[c] = s / n
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        V = np.array(batch.column(vec_col).to_pylist(), np.float64)
+        d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist": pa.array(np.sqrt(d[np.arange(a.size), a])),
+            }
+        )
+
+    return C, emb.map_batches(assign, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- sparse NN --
+
+
+def sparse_nn_inference(
+    layers: list["ray.data.Dataset"],
+    biases: list[float],
+    x0: tuple[np.ndarray, np.ndarray],
+    threshold: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GraphChallenge sparse-DNN forward pass: per layer
+    y = relu(W_l^T x + bias_l), optionally clipped at ``threshold``
+    (sparse_nn_single_inference.hpp:52+ — vxm, bias fold, ReLU monoid,
+    min-threshold). Layers are edge Datasets (src=in, dst=out, weight).
+    x0 = (values, ids) sparse input; returns sparse (values, ids)."""
+    xv, xi = x0
+    for W, bias in zip(layers, biases):
+        y = spmv(W, (xv, xi), PLUS_TIMES, weight_col="weight")
+        df = y.to_pandas()
+        ids = df["vertex"].to_numpy(np.int64)
+        vals = df["val"].to_numpy(np.float64) + bias
+        vals = np.maximum(vals, 0.0)  # ReLU (relu op, ops.hpp:514)
+        if threshold is not None:
+            vals = np.minimum(vals, threshold)
+        keep = vals > 0
+        order = np.argsort(ids[keep])
+        xi = ids[keep][order]
+        xv = vals[keep][order]
+    return xv, xi
+
+
+# ---------------------------------------------------- cosine similarity --
+
+
+def cosine_similarity_vectors(
+    x: "ray.data.Dataset", y: "ray.data.Dataset", value_col: str = "val"
+) -> float:
+    """cos(x,y) = ⟨x,y⟩ / (‖x‖‖y‖) over two vertex-state Datasets
+    (inner-join on vertex; absent entries are 0)."""
+    a = x.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "xv"]
+    )
+    bds = y.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "yv"]
+    )
+    joined = a.join(bds, join_type="inner", num_partitions=8, on=("vertex",))
+
+    def parts(batch: pa.Table) -> pa.Table:
+        xv = np.asarray(batch.column("xv"), np.float64)
+        yv = np.asarray(batch.column("yv"), np.float64)
+        return pa.table(
+            {"dot": [float((xv * yv).sum())]}
+        )
+
+    dot = joined.map_batches(parts, batch_format="pyarrow").sum("dot") or 0.0
+
+    def ss(ds, col):
+        def f(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(col), np.float64)
+            return pa.table({"ss": [float((v * v).sum())]})
+
+        return ds.map_batches(f, batch_format="pyarrow").sum("ss") or 0.0
+
+    nx = np.sqrt(ss(x, value_col))
+    ny = np.sqrt(ss(bds, "yv"))
+    if nx == 0 or ny == 0:
+        return 0.0
+    return float(dot / (nx * ny))

@@ -1,0 +1,268 @@
+"""Training-data pipeline operators: text, dedup, ANN, windows, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from alp_ray.pipelines.ann import build_ivf, cosine_topk, ivf_topk, norm2
+from alp_ray.pipelines.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from alp_ray.stages.multimodal import (
+    AudioFeatureStage,
+    DecodeImageStage,
+    FrameSampleStage,
+    synth_media,
+)
+from alp_ray.stages.text import (
+    FingerprintStage,
+    LangIdStage,
+    QualityScoreStage,
+    TokenCountStage,
+)
+from alp_ray.stages.window import sessionize, tumbling_window
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts(docs):
+    out = docs.map_batches(
+        TokenCountStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+    assert (out["n_subwords"] >= out["n_tokens"]).all()
+
+
+def test_quality_scores(docs):
+    out = docs.map_batches(
+        QualityScoreStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert ((out["q_score"] >= 0) & (out["q_score"] <= 1)).all()
+    assert (out["q_n_chars"] == out["text"].str.len()).all()
+
+
+def test_langid_deterministic(docs):
+    out1 = docs.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    assert set(out1["lang_pred"]) <= {"en", "de", "fr", "es", "und"}
+    english = "the cat sat on the mat and the dog ran to the house"
+    t = pa.table({"doc_id": [0], "text": [english]})
+    got = LangIdStage()(t)
+    assert got.column("lang_pred")[0].as_py() == "en"
+
+
+def test_fingerprint_whitespace_invariant():
+    t = pa.table(
+        {"doc_id": [0, 1], "text": ["hello  world", "hello world"]}
+    )
+    out = FingerprintStage()(t)
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1]
+
+
+def _docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about graph engines and rays",
+        "numerical linear algebra over semirings is surprisingly fun",
+    ]
+    texts = []
+    for i in range(20):
+        texts.append(base[i % 3] + f" filler {i} " + "pad " * (i % 5))
+    # Plant exact dup of doc 0 and a near-dup (one word changed).
+    texts.append(texts[0])
+    texts.append(texts[0].replace("quick", "swift"))
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(len(texts), dtype=np.int64),
+             "text": texts}
+        )
+    )
+
+
+def test_exact_dedup():
+    ds = _docs_with_dups()
+    kept = exact_dedup(ds).to_pandas()
+    # 21 distinct texts (one exact dup planted).
+    assert len(kept) == 21
+    assert 0 in set(kept["keep_id"])  # min id survives
+    assert 20 not in set(kept["keep_id"])  # the dup lost to id 0
+
+
+def test_minhash_lsh_finds_planted_pair():
+    ds = _docs_with_dups()
+    pairs = minhash_lsh_pairs(ds, num_perm=64, bands=16).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 20) in found  # exact dup must collide
+    hi = pairs[(pairs.id_a == 0) & (pairs.id_b == 20)]
+    assert (hi["est_jaccard"] >= 0.99).all()
+    near = pairs[(pairs.id_a == 0) & (pairs.id_b == 21)]
+    assert len(near) == 1 and near["est_jaccard"].iloc[0] > 0.5
+
+
+def test_ngram_jaccard_exact_values():
+    ds = _docs_with_dups()
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 20)]
+    assert len(exact) == 1
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_near_dups():
+    ds = _docs_with_dups()
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 20) in found
+    ham0 = pairs[(pairs.id_a == 0) & (pairs.id_b == 20)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_embedding_cosine_pairs(emb):
+    # Plant an exact duplicate vector.
+    df = emb.to_pandas().head(50)
+    dup = df.iloc[[0]].copy()
+    dup["vec_id"] = 9999
+    import pandas as pd
+
+    ds = ray.data.from_pandas(pd.concat([df, dup], ignore_index=True))
+    pairs = embedding_cosine_pairs(ds, threshold=0.999).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (df["vec_id"].iloc[0], 9999) in found
+
+
+def test_cosine_topk_exact(emb):
+    df = emb.to_pandas()
+    V = np.array(df["embedding"].tolist(), dtype=np.float64)
+    q = V[0]
+    got = cosine_topk(emb, q, k=5).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ (q / np.linalg.norm(q))
+    want_ids = df["vec_id"].to_numpy()[np.argsort(-sims)[:5]]
+    assert set(got["vec_id"]) == set(want_ids)
+    assert got["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ivf_topk_recall(emb):
+    C, bucketed = build_ivf(emb, n_centroids=8)
+    bucketed = bucketed.materialize()
+    df = emb.to_pandas()
+    V = np.array(df["embedding"].tolist(), dtype=np.float64)
+    q = V[3]
+    exact = set(cosine_topk(emb, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        ivf_topk(bucketed, C, q, k=10, nprobe=4).to_pandas()["vec_id"]
+    )
+    # ≥60% recall at nprobe=4/8 on tiny data.
+    assert len(exact & approx) >= 6
+
+
+def test_norm2(emb):
+    df = emb.to_pandas()
+    V = np.array(df["embedding"].tolist(), dtype=np.float64)
+    assert norm2(emb) == pytest.approx(np.linalg.norm(V), rel=1e-9)
+
+
+def test_tumbling_window():
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    out = tumbling_window(ev, width_s=3600).to_pandas()
+    df = ev.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    want = (
+        df.groupby(["window_start", "event_type"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+    )
+    got = out.sort_values(["window_start", "event_type"]).reset_index(
+        drop=True
+    )
+    want = want.sort_values(["window_start", "event_type"]).reset_index(
+        drop=True
+    )
+    assert (got["n_events"].to_numpy() == want["count"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["sum_value"].to_numpy(), want["sum"].to_numpy()
+    )
+
+
+def test_sessionize():
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    out = sessionize(ev, gap_s=1800).to_pandas()
+    df = ev.to_pandas().sort_values(["user_id", "ts"])
+    # Oracle for one user.
+    uid = df["user_id"].iloc[0]
+    sub = df[df.user_id == uid]
+    gaps = sub["ts"].diff().dt.total_seconds() > 1800
+    n_sessions = int(gaps.sum()) + 1
+    got = out[out.user_id == uid]
+    assert len(got) == n_sessions
+    assert got["n_events"].sum() == len(sub)
+
+
+def test_multimodal_stubs():
+    media = ray.data.from_arrow(synth_media(48))
+    imgs = media.filter(expr="kind == 'image'")
+    decoded = imgs.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=8,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert (decoded["pixels"].str.len() == 32 * 32 * 3).all()
+    # Deterministic: same payload → same pixels.
+    d2 = imgs.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=8,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    m1 = dict(zip(decoded["media_id"], decoded["pixels"]))
+    m2 = dict(zip(d2["media_id"], d2["pixels"]))
+    k = next(iter(m1))
+    assert list(m1[k]) == list(m2[k])
+
+    audio = media.filter(expr="kind == 'audio'")
+    feats = audio.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=8,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert (feats["frame_energy"].str.len() == 16).all()
+
+    video = media.filter(expr="kind == 'video'")
+    frames = video.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=4,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert (frames["frame_index"] % 8 == 0).all()
+
+
+def test_multimodal_real_codec_raises():
+    stage = DecodeImageStage(fake=False)
+    t = synth_media(2)
+    with pytest.raises(NotImplementedError):
+        stage(t)
