@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship corpus→import-graph→PageRank pipeline;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB twin for every SQL-expressible one. Ray is initialised by the
+caller — nothing here calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name/type parity: every Ray result casts its columns to the exact
+names/types the SQL twin produces; float aggregates are rounded to 6
+decimals on BOTH sides so order-of-reduction ulps cannot break the
+value-hash compare.
 """
 
 from __future__ import annotations
@@ -18,27 +17,669 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# Shared derivation constants (SQL twins below must match
+# alp_ray/sources/tables.py::derived_edges).
+MOD_DENSE = 601     # dense graph for spmv/triangles/khop
+MOD_SPARSE = 1501   # sparse graph (l_linenumber = 1) for CC
+
+_E_DENSE = (
+    "SELECT DISTINCT l_orderkey % {m} AS src, "
+    "(l_partkey * 7 + l_suppkey) % {m} AS dst "
+    "FROM lineitem WHERE l_orderkey % {m} != (l_partkey * 7 + l_suppkey) % {m}"
+).format(m=MOD_DENSE)
+
+_E_SPARSE = (
+    "SELECT DISTINCT l_orderkey % {m} AS src, "
+    "(l_partkey * 7 + l_suppkey) % {m} AS dst "
+    "FROM lineitem WHERE l_linenumber = 1 "
+    "AND l_orderkey % {m} != (l_partkey * 7 + l_suppkey) % {m}"
+).format(m=MOD_SPARSE)
+
+_E_WEIGHTED = (
+    "SELECT src, dst, CAST((src + dst) % 10 + 1 AS DOUBLE) AS weight "
+    f"FROM ({_E_DENSE})"
+)
+
+
+def _cast(ds, types: dict[str, pa.DataType], round6: tuple[str, ...] = ()):
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in types:
+            col = batch.column(name)
+            if name in round6:
+                col = pa.array(
+                    np.round(np.asarray(col, dtype=np.float64), 6)
+                )
+            cols[name] = col.cast(types[name]) if hasattr(col, "cast") else col
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _dense_edges(sf_dir: str, weighted: bool = False):
+    from alp_ray.sources.tables import derived_edges
+
+    return derived_edges(sf_dir, mod=MOD_DENSE, weighted=weighted)
+
+
+def _x_of_src() -> str:
+    return "(src % 7) + 1"
+
+
+# --------------------------------------------------------------- queries --
+
+
+def _q_edges(sf_dir: str):
+    return _cast(
+        _dense_edges(sf_dir), {"src": pa.int64(), "dst": pa.int64()}
+    )
+
+
+def _q_out_degrees(sf_dir: str):
+    from alp_ray.stages.graph import degrees
+
+    d = degrees(_dense_edges(sf_dir), key="src", name="degree")
+    d = d.rename_columns(["vertex", "degree"])
+    return _cast(d, {"vertex": pa.int64(), "degree": pa.int64()})
+
+
+def _q_in_degrees(sf_dir: str):
+    from alp_ray.stages.graph import degrees
+
+    d = degrees(_dense_edges(sf_dir), key="dst", name="degree")
+    d = d.rename_columns(["vertex", "degree"])
+    return _cast(d, {"vertex": pa.int64(), "degree": pa.int64()})
+
+
+def _x_tuple(edges) -> tuple[np.ndarray, np.ndarray]:
+    # x over the full vertex universe 0..MOD-1: x[v] = v % 7 + 1.
+    ids = np.arange(MOD_DENSE, dtype=np.int64)
+    return ((ids % 7) + 1).astype(np.float64), ids
+
+
+def _q_spmv_plus_times(sf_dir: str):
+    from alp_ray.functions.semiring import PLUS_FIRST
+    from alp_ray.stages.graph import spmv
+
+    edges = _dense_edges(sf_dir)
+    y = spmv(edges, _x_tuple(edges), PLUS_FIRST, weight_col=None)
+    return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
+
+
+def _q_spmv_transpose(sf_dir: str):
+    from alp_ray.functions.semiring import PLUS_FIRST
+    from alp_ray.stages.graph import spmv
+
+    edges = _dense_edges(sf_dir)
+    y = spmv(
+        edges, _x_tuple(edges), PLUS_FIRST, transpose=True, weight_col=None
+    )
+    return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
+
+
+def _q_spmv_min_plus(sf_dir: str):
+    from alp_ray.functions.semiring import MIN_PLUS
+    from alp_ray.stages.graph import spmv
+
+    edges = _dense_edges(sf_dir, weighted=True)
+    y = spmv(edges, _x_tuple(edges), MIN_PLUS, weight_col="weight")
+    return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
+
+
+def _q_ewise_add_degrees(sf_dir: str):
+    from alp_ray.stages.graph import degrees, ewise_union
+
+    e = _dense_edges(sf_dir)
+    out_d = degrees(e, key="src", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    in_d = degrees(e, key="dst", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    z = ewise_union(out_d, in_d, monoid_agg="sum")
+    return _cast(z, {"vertex": pa.int64(), "val": pa.int64()})
+
+
+def _q_triangles(sf_dir: str):
+    from alp_ray.pipelines.triangles import triangle_count
+
+    n = triangle_count(_dense_edges(sf_dir))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _q_components(sf_dir: str):
+    from alp_ray.pipelines.components import connected_components
+    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
+    src, dst, _ = edges_to_arrays(edges)
+    engine = GraphEngine.from_arrays(src, dst, n=MOD_SPARSE, P=4)
+    connected_components(engine)
+    labels = engine.get_state_by_vertex("label").astype(np.int64)
+    engine.shutdown()
+    present = np.zeros(MOD_SPARSE, bool)
+    present[src] = True
+    present[dst] = True
+    ids = np.flatnonzero(present)
+    return pa.table(
+        {
+            "vertex": pa.array(ids.astype(np.int64)),
+            "label": pa.array(labels[ids]),
+        }
+    )
+
+
+def _q_khop2(sf_dir: str):
+    from alp_ray.pipelines.traversal import khop
+    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
+    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
+    mask, _ = khop(engine, source=0, k=2)
+    engine.shutdown()
+    return pa.table(
+        {"vertex": pa.array(np.flatnonzero(mask).astype(np.int64))}
+    )
+
+
+def _q_sssp4(sf_dir: str):
+    from alp_ray.pipelines.traversal import sssp
+    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    src, dst, w = edges_to_arrays(
+        _dense_edges(sf_dir, weighted=True), weighted=True
+    )
+    engine = GraphEngine.from_arrays(src, dst, w, n=MOD_DENSE, P=4)
+    dist = sssp(engine, source=0, max_iters=4)
+    engine.shutdown()
+    finite = np.isfinite(dist)
+    ids = np.flatnonzero(finite)
+    return pa.table(
+        {
+            "vertex": pa.array(ids.astype(np.int64)),
+            "dist": pa.array(np.round(dist[ids], 6)),
+        }
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    from alp_ray.pipelines.pagerank import pagerank
+    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
+    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
+    pagerank(engine, conv=1e-6)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "pr": pa.array(pr),
+        }
+    )
+
+
+def _q_kcore(sf_dir: str):
+    from alp_ray.pipelines.traversal import kcore_decomposition
+    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
+    src, dst, _ = edges_to_arrays(edges)
+    engine = GraphEngine.from_arrays(src, dst, n=MOD_SPARSE, P=4)
+    core = kcore_decomposition(engine)
+    engine.shutdown()
+    present = np.zeros(MOD_SPARSE, bool)
+    present[src] = True
+    ids = np.flatnonzero(present)
+    return pa.table(
+        {"vertex": pa.array(ids.astype(np.int64)),
+         "core": pa.array(core[ids])}
+    )
+
+
+def _q_corpus_extract(sf_dir: str):
+    from alp_ray.pipelines.code_graph import corpus_to_edges
+    from alp_ray.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
+    return corpus_to_edges(corpus).select_columns(
+        ["repo", "src_path", "dst_path"]
+    )
+
+
+def _q_corpus_pagerank(sf_dir: str):
+    from alp_ray.pipelines.code_graph import corpus_pagerank
+    from alp_ray.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
+    table, _ = corpus_pagerank(corpus, P=4)
+    return table
+
+
+def _q_corpus_components(sf_dir: str):
+    from alp_ray.pipelines.code_graph import corpus_components
+    from alp_ray.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
+    return corpus_components(corpus, P=4)
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _cast(
+        exact_dedup(docs), {"h": pa.string(), "keep_id": pa.int64()}
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import TokenCountStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = docs.map_batches(
+        TokenCountStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "n_tokens", "n_subwords"])
+    return _cast(
+        out,
+        {"doc_id": pa.int64(), "n_tokens": pa.int64(),
+         "n_subwords": pa.int64()},
+    )
+
+
+def _q_doc_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_words": pc.count_substring_regex(
+                    text, "[A-Za-z]+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def _q_window_hourly(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    width_us = 3600 * 1_000_000
+
+    def key(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()))
+        w = (ts // width_us) * width_us
+        return pa.table(
+            {
+                "window_start_us": pa.array(w),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ev.map_batches(key, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+        )
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": batch.column("window_start_us")
+                .cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        np.asarray(
+                            batch.column("sum_value"), dtype=np.float64
+                        ),
+                        6,
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.window import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_s=1800).select_columns(
+        ["user_id", "session_id", "n_events"]
+    )
+    return _cast(
+        out,
+        {"user_id": pa.int64(), "session_id": pa.int64(),
+         "n_events": pa.int64()},
+    )
+
+
+def _q_ann_top10(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.ann import cosine_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+    t = cosine_topk(emb, np.asarray(q, dtype=np.float64), k=10)
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "cosine": pa.array(
+                np.round(np.asarray(t.column("cosine")), 6)
+            ),
+        }
+    )
+
+
+def _q_norm2(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.ann import norm2
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return pa.table(
+        {"norm2": pa.array([round(norm2(emb), 6)], pa.float64())}
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import simhash_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import embedding_cosine_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_cosine_pairs(emb, threshold=0.95).to_pandas()
+    if df.empty:  # keep a stable schema even when no near-dups exist
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import LangIdStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import FingerprintStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_kmeans(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.linalg import kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, assign = kmeans(emb, k=8, max_iters=10)
+    return assign.select_columns(["vec_id", "cluster"])
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import QualityScoreStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        QualityScoreStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "q_score", "q_n_chars"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from alp_ray.pipelines.code_graph import flagship
+
+    return flagship(sf_scale=0.001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Graph build + BLAS-level primitives (SURVEY §2.3-2.6)
+        "edges_distinct": _q_edges,
+        "out_degrees": _q_out_degrees,
+        "in_degrees": _q_in_degrees,
+        "spmv_plus_times": _q_spmv_plus_times,
+        "spmv_transpose": _q_spmv_transpose,
+        "spmv_min_plus": _q_spmv_min_plus,
+        "ewise_add_degrees": _q_ewise_add_degrees,
+        # Algorithms (SURVEY §2.7)
+        "triangle_count": _q_triangles,
+        "connected_components": _q_components,
+        "khop2": _q_khop2,
+        "sssp_hops4": _q_sssp4,
+        "pagerank": _q_pagerank,
+        "kcore": _q_kcore,
+        # North-star corpus pipeline
+        "corpus_extract": _q_corpus_extract,
+        "corpus_pagerank": _q_corpus_pagerank,
+        "corpus_components": _q_corpus_components,
+        # Training-data pipeline operators
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "doc_stats": _q_doc_stats,
+        "quality_scores": _q_quality,
+        "langid": _q_langid,
+        "fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_top10": _q_ann_top10,
+        "norm2_embeddings": _q_norm2,
+        "kmeans_assign": _q_kmeans,
+        "window_hourly": _q_window_hourly,
+        "sessions": _q_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    x = _x_of_src()
+    return {
+        "edges_distinct": f"SELECT src, dst FROM ({_E_DENSE})",
+        "out_degrees": (
+            f"SELECT src AS vertex, COUNT(*) AS degree FROM ({_E_DENSE}) "
+            "GROUP BY src"
+        ),
+        "in_degrees": (
+            f"SELECT dst AS vertex, COUNT(*) AS degree FROM ({_E_DENSE}) "
+            "GROUP BY dst"
+        ),
+        "spmv_plus_times": (
+            f"SELECT dst AS vertex, CAST(SUM({x}) AS DOUBLE) AS val "
+            f"FROM ({_E_DENSE}) GROUP BY dst"
+        ),
+        "spmv_transpose": (
+            "SELECT src AS vertex, CAST(SUM((dst % 7) + 1) AS DOUBLE) AS val "
+            f"FROM ({_E_DENSE}) GROUP BY src"
+        ),
+        "spmv_min_plus": (
+            f"SELECT dst AS vertex, CAST(MIN({x} + weight) AS DOUBLE) AS val "
+            f"FROM ({_E_WEIGHTED}) GROUP BY dst"
+        ),
+        "ewise_add_degrees": (
+            "SELECT vertex, CAST(SUM(c) AS BIGINT) AS val FROM ("
+            f"  SELECT src AS vertex, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY src"
+            "  UNION ALL "
+            f"  SELECT dst AS vertex, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY dst"
+            ") GROUP BY vertex"
+        ),
+        "triangle_count": (
+            "WITH ec AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+            f"FROM ({_E_DENSE}) GROUP BY 1, 2) "
+            "SELECT COUNT(*) AS n_triangles FROM ec e1 "
+            "JOIN ec e2 ON e2.a = e1.b "
+            "JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "connected_components": (
+            "WITH es AS ("
+            f"  SELECT src, dst FROM ({_E_SPARSE}) "
+            f"  UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+            "), verts AS (SELECT DISTINCT src AS v FROM es), "
+            "reach AS ("
+            "  WITH RECURSIVE r(v, u) AS ("
+            "    SELECT v, v FROM verts "
+            "    UNION "
+            "    SELECT r.v, es.dst FROM r JOIN es ON es.src = r.u"
+            "  ) SELECT * FROM r"
+            ") "
+            "SELECT v AS vertex, CAST(MAX(u) AS BIGINT) AS label "
+            "FROM reach GROUP BY v"
+        ),
+        "khop2": (
+            f"WITH e AS ({_E_DENSE}) "
+            "SELECT DISTINCT vertex FROM ("
+            "  SELECT 0 AS vertex "
+            "  UNION ALL SELECT dst FROM e WHERE src = 0 "
+            "  UNION ALL SELECT e2.dst FROM e e1 "
+            "    JOIN e e2 ON e2.src = e1.dst WHERE e1.src = 0"
+            ")"
+        ),
+        "sssp_hops4": (
+            f"WITH e AS ({_E_WEIGHTED}), "
+            "b0 AS (SELECT 0 AS v, CAST(0 AS DOUBLE) AS d), "
+            "b1 AS (SELECT v, MIN(d) AS d FROM ("
+            "  SELECT * FROM b0 UNION ALL "
+            "  SELECT e.dst, b0.d + e.weight FROM b0 JOIN e ON e.src = b0.v"
+            ") GROUP BY v), "
+            "b2 AS (SELECT v, MIN(d) AS d FROM ("
+            "  SELECT * FROM b1 UNION ALL "
+            "  SELECT e.dst, b1.d + e.weight FROM b1 JOIN e ON e.src = b1.v"
+            ") GROUP BY v), "
+            "b3 AS (SELECT v, MIN(d) AS d FROM ("
+            "  SELECT * FROM b2 UNION ALL "
+            "  SELECT e.dst, b2.d + e.weight FROM b2 JOIN e ON e.src = b2.v"
+            ") GROUP BY v), "
+            "b4 AS (SELECT v, MIN(d) AS d FROM ("
+            "  SELECT * FROM b3 UNION ALL "
+            "  SELECT e.dst, b3.d + e.weight FROM b3 JOIN e ON e.src = b3.v"
+            ") GROUP BY v) "
+            "SELECT v AS vertex, ROUND(d, 6) AS dist FROM b4"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords "
+            "FROM documents"
+        ),
+        "doc_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) "
+            "AS n_words FROM documents"
+        ),
+        "window_hourly": (
+            "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) "
+            "AS window_start_us, event_type, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessions": (
+            "WITH gaps AS ("
+            "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts) > INTERVAL 1800 SECOND "
+            "    THEN 1 ELSE 0 END AS new_session "
+            "  FROM events"
+            "), tagged AS ("
+            "  SELECT user_id, ts, SUM(new_session) OVER "
+            "    (PARTITION BY user_id ORDER BY ts "
+            "     ROWS UNBOUNDED PRECEDING) AS session_id "
+            "  FROM gaps"
+            ") "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "ann_top10": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+            "(SELECT qv FROM q)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) "
+            "DESC, vec_id LIMIT 10"
+        ),
+        "norm2_embeddings": (
+            "SELECT ROUND(SQRT(SUM(v * v)), 6) AS norm2 FROM ("
+            "  SELECT UNNEST(embedding) AS v FROM embeddings)"
+        ),
+    }

@@ -1,0 +1,136 @@
+"""The north-star pipeline: code corpus → import-edge graph → analytics.
+
+End-to-end: ``(repo,path,commit,lang,content)`` parquet/Dataset →
+per-language import extraction (map_batches actor pool) → stable hash
+vertex ids → dedup (buildMatrixUnique contract) → dense-id remap →
+GraphShard engine → {PageRank, CC, label-prop, triangles} → vertex
+results joined back to (repo, path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from alp_ray.pipelines.components import connected_components
+from alp_ray.pipelines.pagerank import PageRankResult, pagerank
+from alp_ray.sources.corpus import synth_corpus
+from alp_ray.stages.extract import ImportExtractor, add_vertex_ids, _stable_id
+from alp_ray.stages.graph import dedup_edges, symmetrize
+from alp_ray.state.engine import GraphEngine
+
+
+def corpus_to_edges(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    """corpus → distinct (repo, src_path, dst_path, src, dst) edge table."""
+    extracted = corpus.map_batches(
+        ImportExtractor, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    with_ids = extracted.map_batches(add_vertex_ids, batch_format="pyarrow")
+    # Dedup on (src, dst) while keeping the name columns: group on the
+    # full key (names are functions of the hash ids, so this is the same
+    # distinct set — buildMatrixUnique's no-duplicates contract).
+    from ray.data.aggregate import Count
+
+    return (
+        with_ids.groupby(["repo", "src_path", "dst_path", "src", "dst"])
+        .aggregate(Count(alias_name="cnt"))
+        .drop_columns(["cnt"])
+    )
+
+
+def densify(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash ids → dense 0..n-1 (driver-side; the engine-internal remap).
+    Returns (src_dense, dst_dense, id_of_dense)."""
+    uniq = np.unique(np.concatenate([src, dst]))
+    return (
+        np.searchsorted(uniq, src),
+        np.searchsorted(uniq, dst),
+        uniq,
+    )
+
+
+def build_engine_from_corpus(
+    corpus: "ray.data.Dataset",
+    P: int = 8,
+    symmetric: bool = False,
+    num_cpus_per_shard: float = 0,
+) -> tuple[GraphEngine, np.ndarray]:
+    """Returns (engine over dense ids, dense→hash id map)."""
+    edges = corpus_to_edges(corpus).select_columns(["src", "dst"])
+    if symmetric:
+        edges = symmetrize(edges)
+    df = edges.to_pandas()
+    s, d, ids = densify(
+        df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+    )
+    engine = GraphEngine.from_arrays(
+        s, d, n=len(ids), P=P, num_cpus_per_shard=num_cpus_per_shard
+    )
+    return engine, ids
+
+
+def corpus_pagerank(
+    corpus: "ray.data.Dataset",
+    alpha: float = 0.85,
+    conv: float = 1e-6,
+    P: int = 8,
+) -> tuple[pa.Table, PageRankResult]:
+    """PageRank over the import graph; returns (vertex_hash_id, pr) table
+    + run stats. Note: per the BASELINE metric, conv defaults to 1e-6."""
+    engine, ids = build_engine_from_corpus(corpus, P=P)
+    res = pagerank(engine, alpha=alpha, conv=conv)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    return pa.table({"vertex": ids, "pr": pr}), res
+
+
+def corpus_components(
+    corpus: "ray.data.Dataset", P: int = 8
+) -> pa.Table:
+    engine, ids = build_engine_from_corpus(corpus, P=P, symmetric=True)
+    connected_components(engine)
+    labels = engine.get_state_by_vertex("label").astype(np.int64)
+    engine.shutdown()
+    # Dense label → stable hash id of the component representative.
+    return pa.table(
+        {"vertex": ids, "component": ids[labels]}
+    )
+
+
+def flagship(sf_scale: float = 0.001) -> "ray.data.Dataset":
+    """The ``entry()`` pipeline: synthesize a corpus sized off the sf
+    (deterministic), verify the sha256 invariant en route, extract the
+    import graph, PageRank it, and return (repo, path, pr) ranked."""
+    n_repos = max(2, int(20 * (sf_scale / 0.001)))
+    corpus = synth_corpus(n_repos=n_repos, files_per_repo=60, seed=42)
+    pr_table, _ = corpus_pagerank(corpus, P=4)
+    # Join ranks back to (repo, path) via the stable hash id.
+    pr_map = dict(
+        zip(
+            pr_table.column("vertex").to_pylist(),
+            pr_table.column("pr").to_pylist(),
+        )
+    )
+    pr_ref = ray.put(pr_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(pr_ref)
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        prs = [
+            m.get(_stable_id(r, p), 0.0) for r, p in zip(repos, paths)
+        ]
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "pr": pa.array(prs, pa.float64()),
+            }
+        )
+
+    return corpus.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,101 @@
+"""Replicates the driver's correctness gate locally at sf0.001:
+run every queries() entry, run its oracle_sql() twin in DuckDB over the
+same parquet, compare row count + column names + order-insensitive
+values. This is the same compare the driver performs at sf0.01."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.fixture(scope="module")
+def con():
+    return _duck()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, con):
+    q = entrymod.queries()[name]
+    got = _normalize(_to_df(q(SF)))
+    want = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(got[c].dtype, np.floating):
+            np.testing.assert_allclose(
+                a.astype(float), b.astype(float), atol=2e-6,
+                err_msg=f"{name}.{c}",
+            )
+        else:
+            assert (a == b).all(), f"{name}.{c} mismatch"
+
+
+def test_rows_only_queries_run():
+    """Non-SQL-expressible queries must still run and return rows
+    with a stable schema."""
+    qs = entrymod.queries()
+    for name in sorted(set(qs) - set(ORACLED)):
+        df = _to_df(qs[name](SF))
+        assert df is not None and len(df.columns) > 0, name
+        assert len(df) >= 0
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert {"repo", "path", "pr"} <= set(df.columns)
+    # Utility files (high in-degree) should outrank leaf files.
+    top = df.sort_values("pr", ascending=False).head(10)
+    assert (top["pr"] > df["pr"].median()).all()
