@@ -267,13 +267,44 @@ class GraphShard:
         *partials,
     ) -> dict:
         sr = SEMIRINGS[semiring_name]
-        ids, vals = _merge_sparse(list(partials), sr.add)
         post = pickle.loads(post_fn_bytes)
         y = np.full(self.n_local, sr.add.identity, dtype=np.float64)
-        if ids.size:
-            y[ids] = vals
+        # Each partial has unique, per-shard-reduced ids → dense accumulate
+        # is a plain gather/ufunc/scatter per partial, O(total nnz), no sort
+        # (the SPA merge, vectorized).
+        for p in partials:
+            if p is None or len(p[0]) == 0:
+                continue
+            ids, vals = p
+            y[ids] = sr.add.ufunc(y[ids], vals)
         out = post(self.state, y, self._ctx(scalars))
         return out or {}
+
+    def scatter_fused(
+        self,
+        pre_fn_bytes: bytes,
+        semiring_name: str,
+        scalars: dict | None = None,
+    ) -> tuple:
+        """Bundled variant of ``scatter``: returns (partial_bundle,
+        scalar_dict) as TWO objects (call with num_returns=2). The bundle
+        holds all P partials in one object — P objects/superstep instead
+        of P², and gather readers map the plasma buffers zero-copy. On a
+        multi-node cluster prefer the ``split`` exchange so only column q
+        ships to shard q."""
+        out = self.scatter(pre_fn_bytes, semiring_name, scalars)
+        return list(out[: self.P]), out[self.P]
+
+    def gather_fused(
+        self,
+        semiring_name: str,
+        post_fn_bytes: bytes,
+        scalars: dict | None,
+        q: int,
+        *bundles,
+    ) -> dict:
+        col = [b[q] for b in bundles]
+        return self.gather(semiring_name, post_fn_bytes, scalars, *col)
 
 
 class GraphEngine:
@@ -283,11 +314,19 @@ class GraphEngine:
     supersteps without touching the edge data again.
     """
 
-    def __init__(self, shards: list, P: int, n: int, m: int):
+    def __init__(
+        self, shards: list, P: int, n: int, m: int,
+        exchange: str = "fused",
+    ):
         self.shards = shards
         self.P = P
         self.n = n
         self.m = m
+        # "fused": one partial-bundle object per shard (zero-copy slicing,
+        # single-node fast path). "split": per-destination objects
+        # (num_returns=P) — the multi-node shape where column q ships only
+        # to shard q.
+        self.exchange = exchange
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -414,7 +453,36 @@ class GraphEngine:
         pre_b = pickle.dumps(pre_fn)
         post_b = pickle.dumps(post_fn)
         P = self.P
-        # Phase 1: scatter on all shards; partials stay in the object store.
+        if self.exchange == "fused":
+            # One object per shard; gathers map it zero-copy and slice
+            # their column (single-node fast path).
+            bundle_refs, scalar_refs = [], []
+            for s in self.shards:
+                b_ref, s_ref = s.scatter_fused.options(
+                    num_returns=2
+                ).remote(pre_b, sr_name, scalars)
+                bundle_refs.append(b_ref)
+                scalar_refs.append(s_ref)
+            pre_scalars = self._reduce_scalars(
+                ray.get(scalar_refs), scalar_reduce
+            )
+            merged = dict(scalars or {})
+            merged.update(pre_scalars)
+            if post_scalars_fn is not None:
+                merged.update(post_scalars_fn(merged))
+            g_refs = [
+                s.gather_fused.remote(
+                    sr_name, post_b, merged, q, *bundle_refs
+                )
+                for q, s in enumerate(self.shards)
+            ]
+            post_scalars = self._reduce_scalars(
+                ray.get(g_refs), scalar_reduce
+            )
+            merged.update(post_scalars)
+            return merged
+        # "split" exchange: per-destination objects (num_returns=P+1) so a
+        # multi-node cluster ships only column q to shard q.
         partial_refs: list[list] = []
         scalar_refs = []
         for s in self.shards:
