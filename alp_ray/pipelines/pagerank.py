@@ -65,6 +65,7 @@ def pagerank(
     conv: float = 1e-7,
     max_iters: int = 1000,
     checkpointer=None,
+    sync_every: int = 8,
 ) -> PageRankResult:
     """Run to convergence; leaves the result in engine state ``"pr"``."""
     import time
@@ -102,25 +103,46 @@ def pagerank(
     history: list[float] = []
     t0 = time.perf_counter()
     it = start_iter
-    while it < max_iters:
-        scalars = engine.superstep(
-            _pre,
-            "plus_first",
-            _post,
-            post_scalars_fn=offset_fn,
-        )
-        residual = scalars["residual"]
-        history.append(residual)
-        it += 1
-        if checkpointer is not None:
-            checkpointer.maybe_checkpoint(
-                engine,
-                ["pr"],
-                iteration=it,
-                metrics={"residual": residual},
+    if checkpointer is None and sync_every > 1:
+        # Nonblocking path: submit sync_every iterations as one task
+        # graph (≙ ALP nonblocking backend); driver syncs once per chunk.
+        while it < max_iters:
+            chunk = min(sync_every, max_iters - it)
+            results = engine.run_supersteps(
+                _pre,
+                "plus_first",
+                _post,
+                iters=chunk,
+                post_scalars_fn=offset_fn,
             )
-        if residual <= conv:
-            break
+            for r in results:
+                residual = r["residual"]
+                history.append(residual)
+                it += 1
+                if residual <= conv:
+                    break
+            if residual <= conv:
+                break
+    else:
+        while it < max_iters:
+            scalars = engine.superstep(
+                _pre,
+                "plus_first",
+                _post,
+                post_scalars_fn=offset_fn,
+            )
+            residual = scalars["residual"]
+            history.append(residual)
+            it += 1
+            if checkpointer is not None:
+                checkpointer.maybe_checkpoint(
+                    engine,
+                    ["pr"],
+                    iteration=it,
+                    metrics={"residual": residual},
+                )
+            if residual <= conv:
+                break
     iter_seconds = time.perf_counter() - t0
     return PageRankResult(
         converged=residual <= conv,

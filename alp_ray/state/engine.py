@@ -280,22 +280,72 @@ class GraphShard:
         out = post(self.state, y, self._ctx(scalars))
         return out or {}
 
-    def scatter_fused(
+    def scatter_packed(
         self,
         pre_fn_bytes: bytes,
         semiring_name: str,
         scalars: dict | None = None,
     ) -> tuple:
-        """Bundled variant of ``scatter``: returns (partial_bundle,
-        scalar_dict) as TWO objects (call with num_returns=2). The bundle
-        holds all P partials in one object — P objects/superstep instead
-        of P², and gather readers map the plasma buffers zero-copy. On a
-        multi-node cluster prefer the ``split`` exchange so only column q
-        ships to shard q."""
-        out = self.scatter(pre_fn_bytes, semiring_name, scalars)
-        return list(out[: self.P]), out[self.P]
+        """Packed variant of ``scatter``: ONE object
+        ``(ids, vals, offsets, scalar_dict)`` where the per-destination
+        partial for shard q is ``ids[offsets[q]:offsets[q+1]]`` (and same
+        for vals). Three arrays per bundle regardless of P — readers map
+        the plasma buffers zero-copy and slice, so per-gather
+        deserialization is O(P) array views, not O(P²). The dense-frontier
+        path emits its precomputed contiguous layout with no extra copy.
+        On a multi-node cluster prefer the ``split`` exchange so only
+        column q ships to shard q."""
+        sr = SEMIRINGS[semiring_name]
+        pre = pickle.loads(pre_fn_bytes)
+        out = pre(self.state, self._ctx(scalars))
+        if isinstance(out, tuple) and len(out) == 3:
+            x, active, pre_scalars = out
+        elif isinstance(out, tuple):
+            x, active = out
+            pre_scalars = {}
+        else:
+            x, active, pre_scalars = out, None, {}
+        w = self.w
+        if active is None:
+            contrib = sr.mul(
+                x[self.src_local],
+                w if w is not None else self._ones(),
+            )
+            if self.m_local:
+                seg_vals = sr.add.segment_reduce(contrib, self.seg_starts)
+            else:
+                seg_vals = np.empty(0)
+            return self.out_dst_local, seg_vals, self.qbounds, pre_scalars
+        # Sparse frontier: mask by active source, re-segment (grouped by
+        # (dest shard, dst) so the packed layout holds).
+        mask = active[self.src_local]
+        dst = self.dst[mask]
+        xs = x[self.src_local[mask]]
+        ws = w[mask] if w is not None else np.ones(xs.size)
+        contrib = sr.mul(xs, ws)
+        order = np.lexsort((dst, _part_of(dst, self.P)))
+        dst, contrib = dst[order], contrib[order]
+        if dst.size:
+            starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+            u_dst = dst[starts]
+            vals = sr.add.segment_reduce(contrib, starts)
+            u_part = _part_of(u_dst, self.P)
+            qb = np.searchsorted(u_part, np.arange(self.P + 1))
+            return _local_of(u_dst, self.P), vals, qb, pre_scalars
+        return (
+            np.empty(0, np.int64),
+            np.empty(0),
+            np.zeros(self.P + 1, np.int64),
+            pre_scalars,
+        )
 
-    def gather_fused(
+    def _ones(self) -> np.ndarray:
+        if getattr(self, "_ones_cache", None) is None or \
+                self._ones_cache.size != self.m_local:
+            self._ones_cache = np.ones(self.m_local)
+        return self._ones_cache
+
+    def gather_packed(
         self,
         semiring_name: str,
         post_fn_bytes: bytes,
@@ -303,8 +353,83 @@ class GraphShard:
         q: int,
         *bundles,
     ) -> dict:
-        col = [b[q] for b in bundles]
-        return self.gather(semiring_name, post_fn_bytes, scalars, *col)
+        sr = SEMIRINGS[semiring_name]
+        post = pickle.loads(post_fn_bytes)
+        y = self._accumulate_packed(sr, q, bundles)
+        out = post(self.state, y, self._ctx(scalars))
+        return out or {}
+
+    def _accumulate_packed(self, sr, q: int, bundles) -> np.ndarray:
+        y = np.full(self.n_local, sr.add.identity, dtype=np.float64)
+        for b in bundles:
+            ids, vals, off = b[0], b[1], b[2]
+            lo, hi = off[q], off[q + 1]
+            if hi > lo:
+                seg_i = ids[lo:hi]
+                y[seg_i] = sr.add.ufunc(y[seg_i], vals[lo:hi])
+        return y
+
+    def gather_pipelined(
+        self,
+        semiring_name: str,
+        post_fn_bytes: bytes,
+        post_scalars_fn_bytes: bytes | None,
+        static_scalars: dict | None,
+        q: int,
+        bundle_refs: list,
+    ) -> dict:
+        """Gather variant for the driver-free pipeline (≙ the reference's
+        NONBLOCKING backend, nonblocking/pipeline.cpp: primitives enqueue
+        and execute without host sync). ``bundle_refs`` arrive as DATA
+        (a list of ObjectRefs, not resolved args) so the task spec stays
+        tiny; the explicit ray.get here is deadlock-free because every
+        caller submits all scatter_k tasks before any gather_k, and actor
+        queues preserve submission order. Each bundle is
+        (partials_list, scalar_dict); scalars are reduced here (the
+        allreduce) and the pickled driver hook (e.g. PageRank's
+        dangling→offset) applied before the normal gather."""
+        outs = ray.get(bundle_refs)
+        scalar_dicts = [o[3] for o in outs]
+        merged = dict(static_scalars or {})
+        for key in {k for d in scalar_dicts if d for k in d}:
+            merged[key] = float(
+                np.sum([d[key] for d in scalar_dicts if d and key in d])
+            )
+        if post_scalars_fn_bytes is not None:
+            hook = pickle.loads(post_scalars_fn_bytes)
+            merged.update(hook(merged))
+        return self.gather_packed(
+            semiring_name, post_fn_bytes, merged, q, *outs
+        )
+
+    def gather_scatter_packed(
+        self,
+        semiring_name: str,
+        post_fn_bytes: bytes,
+        post_scalars_fn_bytes: bytes | None,
+        static_scalars: dict | None,
+        q: int,
+        bundle_refs: list,
+        pre_fn_bytes: bytes,
+    ) -> tuple:
+        """Fused superstep tail+head: gather iteration k, then immediately
+        scatter iteration k+1 — ONE actor task per shard per iteration
+        instead of two, which matters because driver-side task submission
+        (~0.3-0.6 ms each in this sandbox) is the binding constraint of
+        the pipelined loop at large P. Returns (bundle_{k+1},
+        post_scalars_k) as two objects (num_returns=2)."""
+        post_scalars = self.gather_pipelined(
+            semiring_name,
+            post_fn_bytes,
+            post_scalars_fn_bytes,
+            static_scalars,
+            q,
+            bundle_refs,
+        )
+        bundle = self.scatter_packed(
+            pre_fn_bytes, semiring_name, static_scalars
+        )
+        return bundle, post_scalars
 
 
 class GraphEngine:
@@ -456,22 +581,20 @@ class GraphEngine:
         if self.exchange == "fused":
             # One object per shard; gathers map it zero-copy and slice
             # their column (single-node fast path).
-            bundle_refs, scalar_refs = [], []
-            for s in self.shards:
-                b_ref, s_ref = s.scatter_fused.options(
-                    num_returns=2
-                ).remote(pre_b, sr_name, scalars)
-                bundle_refs.append(b_ref)
-                scalar_refs.append(s_ref)
+            bundle_refs = [
+                s.scatter_packed.remote(pre_b, sr_name, scalars)
+                for s in self.shards
+            ]
+            outs = ray.get(bundle_refs)
             pre_scalars = self._reduce_scalars(
-                ray.get(scalar_refs), scalar_reduce
+                [o[3] for o in outs], scalar_reduce
             )
             merged = dict(scalars or {})
             merged.update(pre_scalars)
             if post_scalars_fn is not None:
                 merged.update(post_scalars_fn(merged))
             g_refs = [
-                s.gather_fused.remote(
+                s.gather_packed.remote(
                     sr_name, post_b, merged, q, *bundle_refs
                 )
                 for q, s in enumerate(self.shards)
@@ -508,6 +631,72 @@ class GraphEngine:
         post_scalars = self._reduce_scalars(ray.get(out_refs), scalar_reduce)
         merged.update(post_scalars)
         return merged
+
+    def run_supersteps(
+        self,
+        pre_fn: Callable,
+        semiring: Semiring | str,
+        post_fn: Callable,
+        iters: int,
+        scalars: dict | None = None,
+        post_scalars_fn: Callable[[dict], dict] | None = None,
+    ) -> list[dict]:
+        """Submit ``iters`` supersteps as ONE task graph with no driver
+        barrier until the end (≙ ALP's nonblocking fused pipeline,
+        docs/Nonblocking_backend.md): per-actor serial execution orders
+        scatter_k → gather_k → scatter_{k+1}; cross-shard ordering comes
+        from the bundle refs; per-iteration scalar reduction (dangling
+        mass, offsets) happens INSIDE the gathers. Returns the reduced
+        post-scalars of every iteration (one driver ray.get total).
+
+        This removes the 2-barrier-per-iteration driver latency — the
+        sandbox's ~5 ms actor RPC floor otherwise dominates every
+        iteration of a latency-bound loop.
+        """
+        sr_name = semiring if isinstance(semiring, str) else semiring.name
+        # Fn bytes go through the object store once — keeps every task
+        # spec tiny (driver submission rate bounds the pipelined loop).
+        pre_b = ray.put(pickle.dumps(pre_fn))
+        post_b = ray.put(pickle.dumps(post_fn))
+        hook_b = (
+            ray.put(pickle.dumps(post_scalars_fn))
+            if post_scalars_fn is not None
+            else None
+        )
+        P = self.P
+        all_out_refs: list[list] = []
+        bundle_refs = [
+            s.scatter_packed.remote(pre_b, sr_name, scalars)
+            for s in self.shards
+        ]
+        for k in range(iters):
+            if k < iters - 1:
+                nxt, outs = [], []
+                for q, s in enumerate(self.shards):
+                    b_ref, o_ref = s.gather_scatter_packed.options(
+                        num_returns=2
+                    ).remote(
+                        sr_name, post_b, hook_b, scalars, q,
+                        bundle_refs, pre_b,
+                    )
+                    nxt.append(b_ref)
+                    outs.append(o_ref)
+                all_out_refs.append(outs)
+                bundle_refs = nxt
+            else:
+                all_out_refs.append([
+                    s.gather_pipelined.remote(
+                        sr_name, post_b, hook_b, scalars, q, bundle_refs
+                    )
+                    for q, s in enumerate(self.shards)
+                ])
+        flat = ray.get([r for refs in all_out_refs for r in refs])
+        results = []
+        for i in range(iters):
+            results.append(
+                self._reduce_scalars(flat[i * P : (i + 1) * P], None)
+            )
+        return results
 
     @staticmethod
     def _reduce_scalars(
