@@ -23,10 +23,23 @@ from alp_ray.stages.graph import dedup_edges, symmetrize
 from alp_ray.state.engine import GraphEngine
 
 
+def _auto_concurrency() -> tuple[int, int]:
+    """Size actor pools to the cluster (a fixed cap would pin the fused
+    synth→extract stage to a fraction of the cores)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # Floor at half the cores: Ray Data's autoscaler ramps the pool too
+    # slowly for short jobs if min=1.
+    return (max(2, cpus // 2), max(4, cpus))
+
+
 def corpus_to_edges(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     """corpus → distinct (repo, src_path, dst_path, src, dst) edge table."""
     extracted = corpus.map_batches(
-        ImportExtractor, batch_format="pyarrow", concurrency=(1, 8)
+        ImportExtractor, batch_format="pyarrow",
+        concurrency=_auto_concurrency(),
     )
     with_ids = extracted.map_batches(add_vertex_ids, batch_format="pyarrow")
     # Dedup on (src, dst) while keeping the name columns: group on the
@@ -39,6 +52,20 @@ def corpus_to_edges(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
         .aggregate(Count(alias_name="cnt"))
         .drop_columns(["cnt"])
     )
+
+
+def corpus_to_edge_ids(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    """corpus → distinct (src, dst) int64 edge table — the cheap path for
+    graph builds (int-keyed dedup shuffle; the string name columns are
+    only materialized by ``corpus_to_edges`` when a caller needs them)."""
+    extracted = corpus.map_batches(
+        ImportExtractor, batch_format="pyarrow",
+        concurrency=_auto_concurrency(),
+    )
+    with_ids = extracted.map_batches(
+        add_vertex_ids, batch_format="pyarrow"
+    )
+    return dedup_edges(with_ids.select_columns(["src", "dst"]))
 
 
 def densify(
@@ -61,7 +88,7 @@ def build_engine_from_corpus(
     num_cpus_per_shard: float = 0,
 ) -> tuple[GraphEngine, np.ndarray]:
     """Returns (engine over dense ids, dense→hash id map)."""
-    edges = corpus_to_edges(corpus).select_columns(["src", "dst"])
+    edges = corpus_to_edge_ids(corpus)
     if symmetric:
         edges = symmetrize(edges)
     df = edges.to_pandas()

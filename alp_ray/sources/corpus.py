@@ -73,7 +73,11 @@ def _path_of(file_idx: int) -> str:
 
 
 def _import_targets(
-    gidx: int, n_repos: int, files_per_repo: int, seed: int
+    gidx: int,
+    n_repos: int,
+    files_per_repo: int,
+    seed: int,
+    import_factor: int = 1,
 ) -> list[int]:
     """Deterministic same-repo, same-lang import targets (file indices)."""
     repo_idx, file_idx, _, _, lang, is_isolated, is_utility = _file_meta(
@@ -94,8 +98,9 @@ def _import_targets(
     targets: list[int] = []
     if not is_utility and rng.rand() < 0.8:
         targets.append(utility)
-    # Zipf-ish out-degree: k in [0, 4], skewed toward small.
-    k = int(min(rng.zipf(2.0), 5)) - 1
+    # Zipf-ish out-degree: k in [0, 4], skewed toward small;
+    # import_factor scales density for benchmark corpora.
+    k = (int(min(rng.zipf(2.0), 5)) - 1) * import_factor
     pool = [c for c in candidates if c not in targets]
     if k > 0 and pool:
         picks = rng.choice(len(pool), size=min(k, len(pool)), replace=False)
@@ -113,7 +118,11 @@ def _import_line(lang: str, dst_path: str) -> str:
 
 
 def _make_rows(
-    gidxs: np.ndarray, n_repos: int, files_per_repo: int, seed: int
+    gidxs: np.ndarray,
+    n_repos: int,
+    files_per_repo: int,
+    seed: int,
+    import_factor: int = 1,
 ) -> dict[str, list]:
     repos, paths, commits, langs, contents = [], [], [], [], []
     for gidx in gidxs:
@@ -123,7 +132,9 @@ def _make_rows(
         )
         rng = _rng_for(seed, repo_idx, file_idx + 10_000_019)
         lines = [f"// {repo}:{path}" if lang != "py" else f"# {repo}:{path}"]
-        for t in _import_targets(gidx, n_repos, files_per_repo, seed):
+        for t in _import_targets(
+            gidx, n_repos, files_per_repo, seed, import_factor
+        ):
             lines.append(_import_line(lang, _path_of(t)))
         n_filler = 3 + int(rng.randint(0, 12))
         for i in range(n_filler):
@@ -148,27 +159,36 @@ def synth_corpus(
     files_per_repo: int = 60,
     seed: int = 42,
     *,
+    import_factor: int = 1,
     override_num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
-    """Corpus as a Dataset; each block synthesized on-worker from indices."""
+    """Corpus as a Dataset; each block synthesized on-worker from indices.
+    ``import_factor`` scales import density (bench corpora)."""
     n = corpus_num_files(n_repos, files_per_repo)
 
     def gen(batch: dict[str, np.ndarray]) -> pa.Table:
-        return pa.table(_make_rows(batch["id"], n_repos, files_per_repo, seed))
+        return pa.table(
+            _make_rows(
+                batch["id"], n_repos, files_per_repo, seed, import_factor
+            )
+        )
 
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(gen, batch_format="numpy")
 
 
 def expected_edges(
-    n_repos: int, files_per_repo: int, seed: int = 42
+    n_repos: int, files_per_repo: int, seed: int = 42,
+    import_factor: int = 1,
 ) -> pa.Table:
     """Ground-truth import edges ``(repo, src_path, dst_path)`` (driver-side;
     used by tests to check extraction exactly — FIXTURES.md F1)."""
     repos, srcs, dsts = [], [], []
     for gidx in range(corpus_num_files(n_repos, files_per_repo)):
         _, _, repo, path, _, _, _ = _file_meta(gidx, n_repos, files_per_repo)
-        for t in _import_targets(gidx, n_repos, files_per_repo, seed):
+        for t in _import_targets(
+            gidx, n_repos, files_per_repo, seed, import_factor
+        ):
             repos.append(repo)
             srcs.append(path)
             dsts.append(_path_of(t))

