@@ -79,13 +79,17 @@ def pregel(
             msgs = state["__in_msg"]
         pctx = dict(ctx)
         pctx["round"] = rnd
-        out_msgs, active, _ = _run_program(program, state, msgs, pctx)
+        out_msgs, active, votes = _run_program(program, state, msgs, pctx)
         state[out_message_state] = out_msgs
         state["__active"] = active.astype(np.float64)
+        n_not_halted = (
+            float((~votes).sum()) if votes is not None
+            else float(active.sum())
+        )
         return (
             out_msgs,
             active,
-            {"n_active": float(active.sum())},
+            {"n_active": float(active.sum()), "n_not_halted": n_not_halted},
         )
 
     def post(state, y, ctx):
@@ -99,13 +103,22 @@ def pregel(
             pre, ring, post, scalars={"round": rnd}
         )
         rounds = rnd + 1
-        if scalars["n_active"] == 0:
+        # Terminate when no vertex is active OR all active vertices voted
+        # to halt (≙ masked and-monoid foldl, pregel.hpp:812-814).
+        if scalars["n_active"] == 0 or scalars["n_not_halted"] == 0:
             converged = True
             break
     return PregelResult(rounds=rounds, converged=converged)
 
 
 def _run_program(program, state, msgs, pctx):
+    """program returns (out_msgs, active[, halt_votes]) — halt_votes is a
+    bool mask (voteToHalt semantics); None means active IS the vote."""
     out = program(state, msgs, pctx)
     out_msgs, active = out[0], np.asarray(out[1], dtype=bool)
-    return out_msgs, active, None
+    votes = (
+        np.asarray(out[2], dtype=bool)
+        if len(out) > 2 and out[2] is not None
+        else None
+    )
+    return out_msgs, active, votes
