@@ -143,6 +143,20 @@ def _q_ewise_add_degrees(sf_dir: str):
     return _cast(z, {"vertex": pa.int64(), "val": pa.int64()})
 
 
+def _q_spy(sf_dir: str):
+    from alp_ray.pipelines.spy import spy
+
+    out = spy(
+        _dense_edges(sf_dir), n_rows=MOD_DENSE, n_cols=MOD_DENSE,
+        small_m=16, small_n=16,
+    )
+    return _cast(
+        out,
+        {"bucket_i": pa.int64(), "bucket_j": pa.int64(),
+         "count": pa.int64()},
+    )
+
+
 def _q_triangles(sf_dir: str):
     from alp_ray.pipelines.triangles import triangle_count
 
@@ -520,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_min_plus": _q_spmv_min_plus,
         "ewise_add_degrees": _q_ewise_add_degrees,
         # Algorithms (SURVEY §2.7)
+        "spy_downsample": _q_spy,
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
         "khop2": _q_khop2,
@@ -578,6 +593,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL "
             f"  SELECT dst AS vertex, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY dst"
             ") GROUP BY vertex"
+        ),
+        "spy_downsample": (
+            "SELECT CAST(FLOOR(src / (601.0 / 16)) AS BIGINT) AS bucket_i, "
+            "CAST(FLOOR(dst / (601.0 / 16)) AS BIGINT) AS bucket_j, "
+            f"COUNT(*) AS count FROM ({_E_DENSE}) GROUP BY 1, 2"
         ),
         "triangle_count": (
             "WITH ec AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "

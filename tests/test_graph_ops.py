@@ -1,0 +1,117 @@
+"""Dataset-path graph ops (stages/graph.py) vs NumPy oracles — the
+eWise inner/outer-join and spmv semantics SURVEY §7 flags as easy to
+get silently wrong."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from alp_ray.functions.semiring import MIN_PLUS, PLUS_FIRST, PLUS_TIMES
+from alp_ray.pipelines.spy import spy
+from alp_ray.stages.graph import (
+    canonicalize,
+    dedup_edges,
+    degrees,
+    ewise_union,
+    fold,
+    spmv,
+    symmetrize,
+)
+
+
+def _edges_ds(src, dst, w=None):
+    cols = {"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64)}
+    if w is not None:
+        cols["weight"] = np.asarray(w, np.float64)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_dedup_and_symmetrize_and_canonicalize():
+    src = [0, 0, 1, 2, 2, 3]
+    dst = [1, 1, 0, 3, 3, 3]  # dup (0,1), dup (2,3), self-loop (3,3)
+    ds = _edges_ds(src, dst)
+    dd = dedup_edges(ds).to_pandas()
+    assert len(dd) == 4  # (0,1),(1,0),(2,3),(3,3)
+    sym = symmetrize(ds).to_pandas()
+    got = set(map(tuple, sym[["src", "dst"]].to_numpy()))
+    assert got == {(0, 1), (1, 0), (2, 3), (3, 2)}
+    canon = canonicalize(ds).to_pandas()
+    got = set(map(tuple, canon[["src", "dst"]].to_numpy()))
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_degrees():
+    ds = _edges_ds([0, 0, 1, 2], [1, 2, 2, 0])
+    out = degrees(ds, key="src", name="deg").to_pandas()
+    m = dict(zip(out["src"], out["deg"]))
+    assert m == {0: 2, 1: 1, 2: 1}
+
+
+def test_spmv_dataset_x_input():
+    """x passed as a vertex-state Dataset (not a tuple)."""
+    src = np.array([0, 1, 2, 0], np.int64)
+    dst = np.array([1, 2, 0, 2], np.int64)
+    w = np.array([2.0, 3.0, 4.0, 5.0])
+    edges = _edges_ds(src, dst, w)
+    x_ds = ray.data.from_arrow(
+        pa.table({"vertex": [0, 1, 2], "val": [1.0, 10.0, 100.0]})
+    )
+    y = spmv(edges, x_ds, PLUS_TIMES).to_pandas()
+    got = dict(zip(y["vertex"], y["val"]))
+    # y[1] = x[0]*2; y[2] = x[1]*3 + x[0]*5; y[0] = x[2]*4
+    assert got == {0: 400.0, 1: 2.0, 2: 35.0}
+
+
+def test_spmv_sparse_x_skips_missing():
+    src = np.array([0, 1], np.int64)
+    dst = np.array([2, 2], np.int64)
+    edges = _edges_ds(src, dst)
+    # x only defined at vertex 0 (GraphBLAS sparse-vector semantics:
+    # absent ≠ 0 — vertex 1 contributes nothing, not identity).
+    y = spmv(edges, (np.array([7.0]), np.array([0], np.int64)),
+             PLUS_FIRST, weight_col=None).to_pandas()
+    assert dict(zip(y["vertex"], y["val"])) == {2: 7.0}
+
+
+def test_spmv_min_plus_weighted():
+    src = np.array([0, 1, 0], np.int64)
+    dst = np.array([2, 2, 2], np.int64)
+    w = np.array([5.0, 1.0, 2.0])
+    edges = _edges_ds(src, dst, w)
+    x = (np.array([10.0, 100.0]), np.array([0, 1], np.int64))
+    y = spmv(edges, x, MIN_PLUS).to_pandas()
+    assert dict(zip(y["vertex"], y["val"])) == {2: 12.0}
+
+
+def test_ewise_union_and_fold():
+    x = ray.data.from_arrow(
+        pa.table({"vertex": [0, 1], "val": [1.0, 2.0]})
+    )
+    y = ray.data.from_arrow(
+        pa.table({"vertex": [1, 2], "val": [10.0, 20.0]})
+    )
+    z = ewise_union(x, y, "sum").to_pandas()
+    assert dict(zip(z["vertex"], z["val"])) == {0: 1.0, 1: 12.0, 2: 20.0}
+    assert fold(x, "sum") == 3.0
+    assert fold(y, "max") == 20.0
+
+
+def test_spy_counts():
+    # 100-vertex grid; bucket into 4x4.
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 100, 500).astype(np.int64)
+    dst = rng.randint(0, 100, 500).astype(np.int64)
+    out = spy(_edges_ds(src, dst), 100, 100, 4, 4).to_pandas()
+    bi = (src / 25.0).astype(np.int64)
+    bj = (dst / 25.0).astype(np.int64)
+    want = {}
+    for a, b in zip(bi, bj):
+        want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (row["bucket_i"], row["bucket_j"]): row["count"]
+        for _, row in out.iterrows()
+    }
+    assert got == want
+    assert out["count"].sum() == 500
