@@ -129,6 +129,18 @@ def _q_spmv_min_plus(sf_dir: str):
     return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
 
 
+def _q_spmv_masked(sf_dir: str):
+    from alp_ray.functions.semiring import PLUS_FIRST
+    from alp_ray.stages.graph import spmv
+
+    edges = _dense_edges(sf_dir)
+    mask = np.arange(0, MOD_DENSE, 3, dtype=np.int64)  # structural mask
+    y = spmv(
+        edges, _x_tuple(edges), PLUS_FIRST, weight_col=None, mask=mask
+    )
+    return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
+
+
 def _q_ewise_add_degrees(sf_dir: str):
     from alp_ray.stages.graph import degrees, ewise_union
 
@@ -258,6 +270,88 @@ def _q_kcore(sf_dir: str):
     return pa.table(
         {"vertex": pa.array(ids.astype(np.int64)),
          "core": pa.array(core[ids])}
+    )
+
+
+def _q_labelprop(sf_dir: str):
+    from alp_ray.pipelines.labelprop import label_propagation
+    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    edges = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True,
+                          weighted=True)
+    src, dst, w = edges_to_arrays(edges, weighted=True)
+    # Symmetrize with consistent weights (weight is a function of the
+    # unordered pair only when we re-derive it after the swap).
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    key = s2 * MOD_SPARSE + d2
+    _, idx = np.unique(key, return_index=True)
+    s2, d2 = s2[idx], d2[idx]
+    w2 = ((s2 + d2) % 10 + 1).astype(np.float64)
+    engine = GraphEngine.from_arrays(s2, d2, w2, n=MOD_SPARSE, P=4)
+    seed_mask = np.zeros(MOD_SPARSE, bool)
+    seed_mask[:20] = True
+    seed_labels = (np.arange(MOD_SPARSE) % 2).astype(np.float64)
+    label_propagation(engine, seed_labels, seed_mask)
+    f = engine.get_state_by_vertex("f")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "label": pa.array(f.astype(np.int64)),
+        }
+    )
+
+
+def _q_pregel_pagerank(sf_dir: str):
+    from alp_ray.pipelines.pregel_algorithms import pregel_pagerank
+    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
+    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
+    pregel_pagerank(engine)
+    score = engine.get_state_by_vertex("score")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "score": pa.array(np.round(score, 6)),
+        }
+    )
+
+
+def _q_conjugate_gradient(sf_dir: str):
+    from alp_ray.pipelines.linalg import conjugate_gradient
+    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.state.engine import GraphEngine
+
+    src, dst, w = edges_to_arrays(
+        _dense_edges(sf_dir, weighted=True), weighted=True
+    )
+    # SPD system: symmetrized adjacency + diagonally-dominant shift.
+    s2 = np.concatenate([src, dst, np.arange(MOD_DENSE)])
+    d2 = np.concatenate([dst, src, np.arange(MOD_DENSE)])
+    w_sym = ((np.concatenate([src, dst]) + np.concatenate([dst, src]))
+             % 10 + 1).astype(np.float64)
+    deg = np.zeros(MOD_DENSE)
+    np.add.at(deg, s2[: 2 * len(src)], w_sym)
+    w2 = np.concatenate([w_sym, deg + 1.0])
+    key = s2 * (MOD_DENSE + 1) + d2
+    _, idx = np.unique(key, return_index=True)
+    engine = GraphEngine.from_arrays(
+        s2[idx], d2[idx], w2[idx], n=MOD_DENSE, P=4
+    )
+    rng = np.random.RandomState(7)
+    b = rng.rand(MOD_DENSE)
+    x, iters, res = conjugate_gradient(engine, b, tol=1e-10)
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "x": pa.array(np.round(x, 6)),
+        }
     )
 
 
@@ -532,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_plus_times": _q_spmv_plus_times,
         "spmv_transpose": _q_spmv_transpose,
         "spmv_min_plus": _q_spmv_min_plus,
+        "spmv_masked": _q_spmv_masked,
         "ewise_add_degrees": _q_ewise_add_degrees,
         # Algorithms (SURVEY §2.7)
         "spy_downsample": _q_spy,
@@ -540,6 +635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "khop2": _q_khop2,
         "sssp_hops4": _q_sssp4,
         "pagerank": _q_pagerank,
+        "pregel_pagerank": _q_pregel_pagerank,
+        "labelprop": _q_labelprop,
+        "conjugate_gradient": _q_conjugate_gradient,
         "kcore": _q_kcore,
         # North-star corpus pipeline
         "corpus_extract": _q_corpus_extract,
@@ -586,6 +684,10 @@ def oracle_sql() -> dict[str, str]:
         "spmv_min_plus": (
             f"SELECT dst AS vertex, CAST(MIN({x} + weight) AS DOUBLE) AS val "
             f"FROM ({_E_WEIGHTED}) GROUP BY dst"
+        ),
+        "spmv_masked": (
+            f"SELECT dst AS vertex, CAST(SUM((src % 7) + 1) AS DOUBLE) AS val "
+            f"FROM ({_E_DENSE}) WHERE dst % 3 = 0 GROUP BY dst"
         ),
         "ewise_add_degrees": (
             "SELECT vertex, CAST(SUM(c) AS BIGINT) AS val FROM ("

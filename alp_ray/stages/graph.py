@@ -106,6 +106,8 @@ class _ScatterStage:
         semiring: Semiring,
         transpose: bool,
         weight_col: str | None,
+        mask_ref=None,
+        invert_mask: bool = False,
     ) -> None:
         # x is broadcast once via ray.put and read zero-copy per actor —
         # NOT re-shipped per batch.
@@ -114,6 +116,8 @@ class _ScatterStage:
         self.src_col = "dst" if transpose else "src"
         self.dst_col = "src" if transpose else "dst"
         self.weight_col = weight_col
+        self.mask = ray.get(mask_ref) if mask_ref is not None else None
+        self.invert_mask = invert_mask
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = np.asarray(batch.column(self.src_col))
@@ -123,6 +127,12 @@ class _ScatterStage:
             if self.weight_col and self.weight_col in batch.column_names
             else np.ones(len(src))
         )
+        if self.mask is not None:
+            pos = np.searchsorted(self.mask, dst)
+            pos_c = np.clip(pos, 0, max(self.mask.size - 1, 0))
+            in_mask = (self.mask.size > 0) & (self.mask[pos_c] == dst)
+            keep = ~in_mask if self.invert_mask else in_mask
+            src, dst, w = src[keep], dst[keep], w[keep]
         # Gather x[src] via binary search on the sorted broadcast vector;
         # rows whose src has no entry (sparse x) contribute nothing.
         pos = np.searchsorted(self.xi, src)
@@ -150,6 +160,8 @@ def spmv(
     transpose: bool = False,
     weight_col: str | None = "weight",
     value_col: str = "val",
+    mask: np.ndarray | None = None,
+    invert_mask: bool = False,
 ) -> "ray.data.Dataset":
     """y = A^T·x (or A·x with transpose=True… matching vxm/mxv duality —
     ``transpose`` swaps which endpoint is "input", ≙
@@ -160,6 +172,12 @@ def spmv(
     once), each edge block scatters and pre-combines, and one
     ``groupby(vertex)`` shuffle applies the add monoid — the scalable
     re-expression of reference/blas2.hpp's scatter kernel.
+
+    ``mask``: sorted array of OUTPUT vertex ids — only masked outputs
+    are produced (structural output mask, ≙ the masked mxv/vxm
+    overloads, base/blas2.hpp:307; ``invert_mask`` ≙
+    descriptors::invert_mask:66). Applied as a pre-filter on the
+    destination column so masked-out contributions never shuffle.
     """
     if isinstance(x, tuple):
         xv, xi = x
@@ -169,12 +187,19 @@ def spmv(
         xv = np.asarray(tbl.column(value_col), dtype=np.float64)
     order = np.argsort(xi)
     xref = ray.put((xv[order], xi[order]))
+    mask_ref = (
+        ray.put(np.sort(np.asarray(mask, np.int64)))
+        if mask is not None
+        else None
+    )
 
     agg_cls = _AGG[semiring.add.arrow_agg]
     out = (
         edges.map_batches(
             _ScatterStage,
-            fn_constructor_args=(xref, semiring, transpose, weight_col),
+            fn_constructor_args=(
+                xref, semiring, transpose, weight_col, mask_ref, invert_mask
+            ),
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
@@ -209,6 +234,61 @@ def fold(
     if monoid_agg == "max":
         return x.max(value_col)
     raise ValueError(monoid_agg)
+
+
+def zip_vectors(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Two vertex-state tables → one pair-valued table (struct column) —
+    ≙ grb::zip (reference/blas1.hpp:9975; pair element types as used by
+    kmeans' Vector<pair>, kmeans.hpp:226). Inner-join semantics."""
+    a = x.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "first"]
+    )
+    b = y.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "second"]
+    )
+    joined = a.join(b, join_type="inner", num_partitions=8, on=("vertex",))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        pair = pa.StructArray.from_arrays(
+            [
+                batch.column("first").chunk(0)
+                if batch.column("first").num_chunks
+                else pa.array([], pa.float64()),
+                batch.column("second").chunk(0)
+                if batch.column("second").num_chunks
+                else pa.array([], pa.float64()),
+            ],
+            names=["first", "second"],
+        )
+        return pa.table({"vertex": batch.column("vertex"), "pair": pair})
+
+    return joined.map_batches(pack, batch_format="pyarrow")
+
+
+def unzip_vectors(
+    z: "ray.data.Dataset", pair_col: str = "pair"
+) -> "ray.data.Dataset":
+    """Inverse of ``zip_vectors`` — ≙ grb::unzip (reference/blas1.hpp:10023).
+    Returns (vertex, first, second) flat columns."""
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pair = batch.column(pair_col)
+        if isinstance(pair, pa.ChunkedArray):
+            pair = pair.combine_chunks()
+        return pa.table(
+            {
+                "vertex": batch.column("vertex"),
+                "first": pair.field("first"),
+                "second": pair.field("second"),
+            }
+        )
+
+    return z.map_batches(unpack, batch_format="pyarrow")
 
 
 def ewise_union(

@@ -115,3 +115,34 @@ def test_spy_counts():
     }
     assert got == want
     assert out["count"].sum() == 500
+
+
+def test_spmv_output_mask_and_invert():
+    src = np.array([0, 0, 1], np.int64)
+    dst = np.array([1, 2, 2], np.int64)
+    edges = _edges_ds(src, dst)
+    x = (np.array([1.0, 10.0]), np.array([0, 1], np.int64))
+    # Structural output mask {1}: only vertex 1 produced.
+    y = spmv(edges, x, PLUS_FIRST, weight_col=None,
+             mask=np.array([1])).to_pandas()
+    assert dict(zip(y["vertex"], y["val"])) == {1: 1.0}
+    # Inverted mask (≙ descriptors::invert_mask): complement of {1}.
+    y = spmv(edges, x, PLUS_FIRST, weight_col=None,
+             mask=np.array([1]), invert_mask=True).to_pandas()
+    assert dict(zip(y["vertex"], y["val"])) == {2: 11.0}
+
+
+def test_zip_unzip_roundtrip():
+    from alp_ray.stages.graph import unzip_vectors, zip_vectors
+
+    x = ray.data.from_arrow(
+        pa.table({"vertex": [0, 1, 2], "val": [1.0, 2.0, 3.0]})
+    )
+    y = ray.data.from_arrow(
+        pa.table({"vertex": [1, 2, 3], "val": [20.0, 30.0, 40.0]})
+    )
+    z = zip_vectors(x, y)
+    back = unzip_vectors(z).to_pandas().sort_values("vertex")
+    assert list(back["vertex"]) == [1, 2]
+    assert list(back["first"]) == [2.0, 3.0]
+    assert list(back["second"]) == [20.0, 30.0]
