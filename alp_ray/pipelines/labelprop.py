@@ -51,6 +51,71 @@ def _post(state, y, ctx):
     return {"changed": changed}
 
 
+def community_lpa(
+    edges: "ray.data.Dataset",
+    n: int,
+    max_iters: int = 20,
+) -> np.ndarray:
+    """Synchronous community label propagation (Raghavan et al. 2007) —
+    the generic LPA promised by SURVEY §7.6, built on the Pregel layer's
+    vocabulary but with a NON-monoid combine (per-label frequency +
+    argmax), so it runs as a Dataset pipeline: scatter labels along
+    edges, count per (vertex, label) with an in-batch combiner, pick the
+    most frequent label (ties → smallest label; deterministic).
+
+    ``edges``: SYMMETRIC (src, dst) Dataset with dense vertex ids < n.
+    Returns the final label array.
+    """
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        lref = ray.put(labels)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lref)
+            src = np.asarray(batch.column("src"), np.int64)
+            dst = np.asarray(batch.column("dst"), np.int64)
+            t = pa.table({"vertex": dst, "label": lab[src]})
+            g = t.group_by(["vertex", "label"]).aggregate(
+                [("vertex", "count")]
+            )
+            return g.rename_columns(["vertex", "label", "c"])
+
+        counts = (
+            edges.map_batches(scatter, batch_format="pyarrow")
+            .groupby(["vertex", "label"])
+            .aggregate(Sum("c", alias_name="cnt"))
+        )
+
+        def pick(group: pa.Table) -> pa.Table:
+            v = group.column("vertex")[0].as_py()
+            lab = np.asarray(group.column("label"), np.int64)
+            cnt = np.asarray(group.column("cnt"), np.int64)
+            order = np.lexsort((lab, -cnt))  # max count, then min label
+            return pa.table(
+                {
+                    "vertex": pa.array([v], pa.int64()),
+                    "new_label": pa.array([int(lab[order[0]])], pa.int64()),
+                }
+            )
+
+        picked = counts.groupby("vertex").map_groups(
+            pick, batch_format="pyarrow"
+        ).to_pandas()
+        new_labels = labels.copy()
+        new_labels[picked["vertex"].to_numpy()] = picked[
+            "new_label"
+        ].to_numpy()
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
 def label_propagation(
     engine: GraphEngine,
     seed_labels: np.ndarray,

@@ -106,6 +106,9 @@ def pagerank(
     if checkpointer is None and sync_every > 1:
         # Nonblocking path: submit sync_every iterations as one task
         # graph (≙ ALP nonblocking backend); driver syncs once per chunk.
+        # Checkpointed runs use the per-iteration loop below instead: a
+        # checkpoint is inherently a sync point, and exact per-iteration
+        # semantics make resume bit-deterministic (tested).
         while it < max_iters:
             chunk = min(sync_every, max_iters - it)
             results = engine.run_supersteps(

@@ -23,9 +23,11 @@ def _graph(seed=5, n=80, m=400):
 
 def test_resume_equals_uninterrupted(tmp_path):
     src, dst, n = _graph()
-    # Uninterrupted run.
+    # Uninterrupted run (sync_every=1: exact per-iteration stop, same
+    # discipline the checkpointed/resumed run uses — the equivalence
+    # claim is then bitwise up to FP reduction order).
     e1 = GraphEngine.from_arrays(src, dst, n=n, P=3)
-    pagerank(e1, conv=1e-9)
+    pagerank(e1, conv=1e-9, sync_every=1)
     pr_full = e1.get_state_by_vertex("pr")
     e1.shutdown()
 

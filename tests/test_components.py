@@ -138,3 +138,47 @@ def test_labelprop_random_vs_oracle():
     engine.shutdown()
     expect = oracle.label_prop(s, d, ww, n, seed_labels, seed_mask)
     np.testing.assert_array_equal(f, expect)
+
+
+def test_community_lpa_two_cliques():
+    from alp_ray.pipelines.labelprop import community_lpa
+
+    # Two K5 cliques joined by one weak edge: LPA should find 2
+    # communities (each clique converges to its min... most frequent →
+    # every member sees the same multiset; deterministic tie-break).
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((4, 5))  # weak bridge
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    s, d = _sym(src, dst)
+    labels = community_lpa(_tri_ds(s, d), n=10)
+    # Each clique ends with one label; bridge must not merge them.
+    c0 = set(labels[:5].tolist())
+    c1 = set(labels[5:].tolist())
+    assert len(c0) == 1 and len(c1) == 1
+    assert c0 != c1
+
+
+def test_minhash_dedup_keep_filters_losers():
+    import pyarrow as pa
+
+    import ray.data
+
+    from alp_ray.pipelines.dedup import minhash_dedup_keep
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 4,
+        "one two three four five six seven eight nine ten " * 4,
+    ]
+    texts.append(texts[0])  # exact dup of doc 0 → id 2 must be dropped
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(3, dtype=np.int64), "text": texts}
+        )
+    )
+    kept = minhash_dedup_keep(ds, threshold=0.9).to_pandas()
+    assert set(kept["doc_id"]) == {0, 1}
