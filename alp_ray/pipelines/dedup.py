@@ -57,25 +57,34 @@ def exact_dedup(
 # -------------------------------------------------------------- minhash --
 
 
-def _shingles(text: str, k: int) -> set[int]:
+_SHINGLE_P = (1 << 31) - 1
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Unique k-gram fingerprints as a sorted int64 array — vectorized
+    polynomial hash over the byte windows (sliding_window_view · powers
+    mod 2³¹−1), no per-window digest calls."""
     t = " ".join(text.split()).lower()
-    if len(t) < k:
-        h = hashlib.blake2b(t.encode(), digest_size=8).digest()
-        return {int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF}
-    out = set()
-    for i in range(len(t) - k + 1):
-        h = hashlib.blake2b(
-            t[i : i + k].encode(), digest_size=8
-        ).digest()
-        out.add(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
-    return out
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if data.size < k:
+        h = hashlib.blake2b(t.encode(), digest_size=4).digest()
+        return np.array(
+            [int.from_bytes(h, "little") % _SHINGLE_P], dtype=np.int64
+        )
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    pows = np.power(257, np.arange(k), dtype=np.int64) % _SHINGLE_P
+    vals = (win * pows[None, :]).sum(axis=1) % _SHINGLE_P
+    return np.unique(vals)
 
 
 class MinHashStage:
     """doc → (doc_id, minhash signature list). Permutations are the
-    classic (a*x+b) mod p family, seeded once per actor."""
+    classic (a*x+b) mod p family over the Mersenne prime 2³¹−1, seeded
+    once per actor; 31-bit operands keep every product inside int64 so
+    the whole signature is one vectorized (shingles × perms) matmul-mod
+    (no Python bignum path)."""
 
-    P = (1 << 61) - 1
+    P = (1 << 31) - 1
 
     def __init__(
         self,
@@ -86,21 +95,19 @@ class MinHashStage:
         seed: int = 42,
     ) -> None:
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, self.P, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, self.P, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, self.P, size=num_perm).astype(np.int64)
+        self.b = rng.randint(0, self.P, size=num_perm).astype(np.int64)
         self.k = shingle_k
         self.num_perm = num_perm
         self.id_col = id_col
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(_shingles(text, self.k), dtype=np.int64)
-        # (a*x + b) mod p per permutation, min over shingles.
-        vals = (
-            self.a[None, :].astype(object) * sh[:, None].astype(object)
-            + self.b[None, :]
-        ) % self.P
-        return np.min(np.asarray(vals, dtype=np.int64) & 0xFFFFFFFF, axis=0)
+        sh = _shingles(text, self.k) % self.P
+        # (a*x + b) mod p per permutation, min over shingles; a,x < 2³¹
+        # so a*x < 2⁶² fits int64 exactly.
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % self.P
+        return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
@@ -379,7 +386,9 @@ def ngram_jaccard_pairs(
     for r in cand_rows:
         sa = _shingles(texts[r["id_a"]], shingle_k)
         sb = _shingles(texts[r["id_b"]], shingle_k)
-        j = len(sa & sb) / max(len(sa | sb), 1)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / max(union, 1)
         if j >= threshold:
             out_a.append(r["id_a"])
             out_b.append(r["id_b"])
