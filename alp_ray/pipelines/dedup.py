@@ -134,10 +134,17 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    max_bucket: int = 512,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with estimated Jaccard (from full
     signature agreement), deduped across bands. rows_per_band =
-    num_perm // bands; collision threshold ≈ (1/bands)^(1/rows)."""
+    num_perm // bands; collision threshold ≈ (1/bands)^(1/rows).
+
+    ``max_bucket``: buckets larger than this emit NO pairs (logged, not
+    silent) — an oversized bucket is quadratic in pair count and at
+    corpus scale is near-always degenerate content (empty/boilerplate
+    shingle sets), which exact_dedup already collapses. ≙ the
+    degree-based skew guard of SURVEY §7.8.
     rows = num_perm // bands
     sigs = docs.map_batches(
         MinHashStage,
@@ -181,6 +188,14 @@ def minhash_lsh_pairs(
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col))
+        if ids.size > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: dropping oversized bucket (%d > %d docs)",
+                ids.size, max_bucket,
+            )
+            ids = ids[:0]
         if ids.size < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
