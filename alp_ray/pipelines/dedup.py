@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     corpus scale is near-always degenerate content (empty/boilerplate
     shingle sets), which exact_dedup already collapses. ≙ the
     degree-based skew guard of SURVEY §7.8.
+    """
     rows = num_perm // bands
     sigs = docs.map_batches(
         MinHashStage,
