@@ -81,6 +81,88 @@ def densify(
     )
 
 
+def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Dataset-native dense-id assignment — the 10^12-vertex path where a
+    driver-side np.unique cannot hold the vertex set.
+
+    sorted distinct vertices → per-block prefix offsets (driver holds
+    only O(#blocks) row counts) → contiguous ids per block. Returns a
+    ``(vertex, dense_id)`` mapping Dataset; the only shuffle is the
+    distinct+sort.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                np.asarray(batch.column("src"), np.int64),
+                np.asarray(batch.column("dst"), np.int64),
+            ]
+        )
+        return pa.table({"vertex": np.unique(v)})
+
+    distinct = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("vertex")
+        .aggregate(Count(alias_name="c"))
+        .drop_columns(["c"])
+        .sort("vertex")
+        .materialize()
+    )
+    refs = distinct.to_arrow_refs()
+
+    @ray.remote
+    def _rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    @ray.remote
+    def _tag(tbl: pa.Table, offset: int) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": tbl.column("vertex"),
+                "dense_id": pa.array(
+                    np.arange(
+                        offset, offset + tbl.num_rows, dtype=np.int64
+                    )
+                ),
+            }
+        )
+
+    out_refs = [
+        _tag.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def remap_edges_dense(
+    edges: "ray.data.Dataset", mapping: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Rewrite (src, dst) hash ids to dense ids via two joins against the
+    mapping — all-Dataset (no driver vertex table)."""
+    # Pin the mapping before fanning it into two joins: re-executing its
+    # lazy plan inside one streaming topology trips Ray 2.49's join
+    # operator. The mapping is (vertex, dense_id) — already the small
+    # side by construction.
+    mapping = mapping.materialize()
+    m_src = mapping.rename_columns(["src", "src_dense"])
+    m_dst = mapping.rename_columns(["dst", "dst_dense"])
+    first = edges.join(
+        m_src, join_type="inner", num_partitions=8, on=("src",)
+    ).materialize()
+    # The materialize() is a workaround: chaining two hash-joins in one
+    # lazy plan trips Ray 2.49's join operator ("no match or multiple
+    # matches for key field" on the second key).
+    out = first.join(m_dst, join_type="inner", num_partitions=8, on=("dst",))
+    return out.select_columns(["src_dense", "dst_dense"]).rename_columns(
+        ["src", "dst"]
+    )
+
+
 def build_engine_from_corpus(
     corpus: "ray.data.Dataset",
     P: int = 8,

@@ -146,3 +146,32 @@ def test_zip_unzip_roundtrip():
     assert list(back["vertex"]) == [1, 2]
     assert list(back["first"]) == [2.0, 3.0]
     assert list(back["second"]) == [20.0, 30.0]
+
+
+def test_dense_id_mapping_dataset_native():
+    from alp_ray.pipelines.code_graph import (
+        dense_id_mapping_ds,
+        densify,
+        remap_edges_dense,
+    )
+
+    rng = np.random.RandomState(12)
+    src = rng.choice(np.array([5, -3, 900, 17, 42], np.int64), 60)
+    dst = rng.choice(np.array([5, -3, 900, 17, 1000], np.int64), 60)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst)
+    mapping = dense_id_mapping_ds(ds).to_pandas().sort_values("vertex")
+    # dense ids are 0..n-1 in sorted-vertex order == driver densify.
+    _, _, uniq = densify(src, dst)
+    np.testing.assert_array_equal(mapping["vertex"].to_numpy(), uniq)
+    np.testing.assert_array_equal(
+        mapping["dense_id"].to_numpy(), np.arange(len(uniq))
+    )
+    remapped = remap_edges_dense(
+        ds, dense_id_mapping_ds(ds)
+    ).to_pandas()
+    s_d, d_d, _ = densify(src, dst)
+    got = sorted(map(tuple, remapped[["src", "dst"]].to_numpy()))
+    want = sorted(zip(s_d.tolist(), d_d.tolist()))
+    assert got == want
