@@ -144,20 +144,25 @@ def remap_edges_dense(
 ) -> "ray.data.Dataset":
     """Rewrite (src, dst) hash ids to dense ids via two joins against the
     mapping — all-Dataset (no driver vertex table)."""
-    # Pin the mapping before fanning it into two joins: re-executing its
-    # lazy plan inside one streaming topology trips Ray 2.49's join
-    # operator. The mapping is (vertex, dense_id) — already the small
-    # side by construction.
+    # Pin the mapping before fanning it into two joins (re-executing its
+    # lazy plan inside one streaming topology is wasteful), and size the
+    # join partition count to the data: Ray 2.49's hash join breaks on
+    # EMPTY left partitions ("no match or multiple matches for key
+    # field" — empty shuffled blocks lose their schema), so tiny inputs
+    # must not be over-partitioned.
     mapping = mapping.materialize()
+    n_vertices = mapping.count()
+    parts = int(np.clip(n_vertices // 10_000, 2, 64))
     m_src = mapping.rename_columns(["src", "src_dense"])
     m_dst = mapping.rename_columns(["dst", "dst_dense"])
     first = edges.join(
-        m_src, join_type="inner", num_partitions=8, on=("src",)
+        m_src, join_type="inner", num_partitions=parts, on=("src",)
     ).materialize()
-    # The materialize() is a workaround: chaining two hash-joins in one
-    # lazy plan trips Ray 2.49's join operator ("no match or multiple
-    # matches for key field" on the second key).
-    out = first.join(m_dst, join_type="inner", num_partitions=8, on=("dst",))
+    # The materialize() between the two joins is also load-bearing:
+    # chaining two hash-joins in one lazy plan trips the same operator.
+    out = first.join(
+        m_dst, join_type="inner", num_partitions=parts, on=("dst",)
+    )
     return out.select_columns(["src_dense", "dst_dense"]).rename_columns(
         ["src", "dst"]
     )
