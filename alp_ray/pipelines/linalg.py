@@ -205,7 +205,7 @@ def cosine_similarity_vectors(
     bds = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "yv"]
     )
-    joined = a.join(bds, join_type="inner", num_partitions=8, on=("vertex",))
+    joined = a.join(bds, join_type="inner", num_partitions=2, on=("vertex",))
 
     def parts(batch: pa.Table) -> pa.Table:
         xv = np.asarray(batch.column("xv"), np.float64)

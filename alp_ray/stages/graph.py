@@ -250,7 +250,7 @@ def zip_vectors(
     b = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "second"]
     )
-    joined = a.join(b, join_type="inner", num_partitions=8, on=("vertex",))
+    joined = a.join(b, join_type="inner", num_partitions=2, on=("vertex",))
 
     def pack(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
