@@ -42,9 +42,18 @@ def _post(state, y, ctx):
 
 
 def connected_components(
-    engine: GraphEngine, max_iters: int = 10_000, checkpointer=None
+    engine: GraphEngine,
+    max_iters: int = 10_000,
+    checkpointer=None,
+    sync_every: int = 4,
 ) -> ComponentsResult:
-    """Leaves per-vertex component labels in engine state ``"label"``."""
+    """Leaves per-vertex component labels in engine state ``"label"``.
+
+    Without a checkpointer, iterations run pipelined in chunks of
+    ``sync_every`` (≙ nonblocking backend); overshooting convergence is
+    free — once no vertex improves, further supersteps are no-ops on an
+    empty frontier.
+    """
     engine.set_state_use_index("label")
     engine.set_state("active", 1.0)
     start_iter = 0
@@ -53,6 +62,23 @@ def connected_components(
         if resumed is not None:
             start_iter = resumed
     it = start_iter
+    if checkpointer is None and sync_every > 1:
+        while it < max_iters:
+            chunk = min(sync_every, max_iters - it)
+            results = engine.run_supersteps(
+                _pre, "max_first", _post, iters=chunk
+            )
+            done = False
+            for r in results:
+                it += 1
+                if r["changed"] == 0:
+                    done = True
+                    break
+            if done:
+                break
+        return ComponentsResult(
+            iterations=it - start_iter, n=engine.n, m=engine.m
+        )
     while it < max_iters:
         scalars = engine.superstep(_pre, "max_first", _post)
         it += 1
