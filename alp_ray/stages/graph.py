@@ -236,6 +236,39 @@ def fold(
     raise ValueError(monoid_agg)
 
 
+def ewise_inner(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    op,
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Operator-variant eWiseApply (INTERSECTION semantics: output only
+    where both inputs have an entry) — ≙ base/blas1.hpp:208 eWiseApply
+    with a plain binary op, vs the monoid variant (``ewise_union``) whose
+    missing side falls back to the identity. The inner-vs-outer-join
+    distinction is exactly GraphBLAS's op-vs-monoid distinction
+    (SURVEY §7 "easy to get silently wrong").
+
+    ``op``: vectorized callable (np arrays) → np array.
+    """
+    a = x.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "__xa"]
+    )
+    b = y.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "__xb"]
+    )
+    joined = a.join(b, join_type="inner", num_partitions=2, on=("vertex",))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        xa = np.asarray(batch.column("__xa"), np.float64)
+        xb = np.asarray(batch.column("__xb"), np.float64)
+        return pa.table(
+            {"vertex": batch.column("vertex"), value_col: op(xa, xb)}
+        )
+
+    return joined.map_batches(apply, batch_format="pyarrow")
+
+
 def zip_vectors(
     x: "ray.data.Dataset",
     y: "ray.data.Dataset",

@@ -419,6 +419,18 @@ class GraphShard:
             semiring_name, post_fn_bytes, merged, q, *outs
         )
 
+    def scatter_packed2(
+        self,
+        pre_fn_bytes: bytes,
+        semiring_name: str,
+        scalars: dict | None = None,
+    ) -> tuple:
+        """scatter_packed split into (bundle, scalars) as TWO objects
+        (call with num_returns=2) so the synchronous superstep driver
+        fetches only the scalar dict, never the partial arrays."""
+        out = self.scatter_packed(pre_fn_bytes, semiring_name, scalars)
+        return out[:3], out[3]
+
     def gather_scatter_packed(
         self,
         semiring_name: str,
@@ -620,13 +632,15 @@ class GraphEngine:
         if self.exchange == "fused":
             # One object per shard; gathers map it zero-copy and slice
             # their column (single-node fast path).
-            bundle_refs = [
-                s.scatter_packed.remote(pre_b, sr_name, scalars)
-                for s in self.shards
-            ]
-            outs = ray.get(bundle_refs)
+            bundle_refs, scalar_refs = [], []
+            for s in self.shards:
+                b_ref, s_ref = s.scatter_packed2.options(
+                    num_returns=2
+                ).remote(pre_b, sr_name, scalars)
+                bundle_refs.append(b_ref)
+                scalar_refs.append(s_ref)
             pre_scalars = self._reduce_scalars(
-                [o[3] for o in outs], scalar_reduce
+                ray.get(scalar_refs), scalar_reduce
             )
             merged = dict(scalars or {})
             merged.update(pre_scalars)

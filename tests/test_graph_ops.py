@@ -175,3 +175,17 @@ def test_dense_id_mapping_dataset_native():
     got = sorted(map(tuple, remapped[["src", "dst"]].to_numpy()))
     want = sorted(zip(s_d.tolist(), d_d.tolist()))
     assert got == want
+
+
+def test_ewise_inner_op_variant():
+    from alp_ray.stages.graph import ewise_inner
+
+    x = ray.data.from_arrow(
+        pa.table({"vertex": [0, 1, 2], "val": [4.0, 9.0, 16.0]})
+    )
+    y = ray.data.from_arrow(
+        pa.table({"vertex": [1, 2, 3], "val": [3.0, 4.0, 5.0]})
+    )
+    # op variant: intersection only (vertex 0 and 3 absent from output).
+    z = ewise_inner(x, y, np.subtract).to_pandas()
+    assert dict(zip(z["vertex"], z["val"])) == {1: 6.0, 2: 12.0}
