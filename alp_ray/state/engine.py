@@ -41,6 +41,22 @@ Design
 At cluster scale the same layout holds: P = #workers × cores, shards are
 placed by Ray, and the only per-iteration traffic is the P×P sparse partial
 exchange (bounded by nnz, not n²) plus O(P) scalars to the driver.
+
+Skew notes (SURVEY §7.8):
+- Hot DESTINATIONS (popular files imported everywhere) are cheap by
+  construction: each scatter pre-reduces per (shard, dst), so a hot dst
+  receives at most P partial entries per superstep regardless of its
+  in-degree — the salt-split/two-stage-reduce the north rule asks for is
+  built into the exchange.
+- Hot SOURCES concentrate scatter work on the owner shard (edges are
+  partitioned by src so x never moves). Modulo partitioning decorrelates
+  id-adjacent hubs, but a single vertex with an extreme out-degree still
+  lands whole. The engine's dual physical form is the mitigation: the
+  Dataset scatter+shuffle spmv (stages/graph.py) partitions by EDGE
+  blocks (perfectly balanced) at the cost of shuffling contributions —
+  use it for iterations over graphs with pathological out-degree skew,
+  exactly like the reference's gather-vs-scatter kernel choice
+  (reference/blas2.hpp:1132 cost model).
 """
 
 from __future__ import annotations

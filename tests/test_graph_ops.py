@@ -189,3 +189,30 @@ def test_ewise_inner_op_variant():
     # op variant: intersection only (vertex 0 and 3 absent from output).
     z = ewise_inner(x, y, np.subtract).to_pandas()
     assert dict(zip(z["vertex"], z["val"])) == {1: 6.0, 2: 12.0}
+
+
+def test_spmv_hot_source_skew():
+    """Edge-balanced Dataset spmv handles a pathological hot source
+    (one vertex owning 80% of edges) — the skew mitigation documented
+    in the engine (gather-vs-scatter kernel choice)."""
+    rng = np.random.RandomState(77)
+    n = 200
+    hot_dst = rng.randint(0, n, 800).astype(np.int64)
+    hot_src = np.zeros(800, np.int64)  # vertex 0 = hot source
+    rest_src = rng.randint(1, n, 200).astype(np.int64)
+    rest_dst = rng.randint(0, n, 200).astype(np.int64)
+    src = np.concatenate([hot_src, rest_src])
+    dst = np.concatenate([hot_dst, rest_dst])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    x = rng.rand(n)
+    y = spmv(
+        _edges_ds(src, dst), (x, np.arange(n, dtype=np.int64)),
+        PLUS_FIRST, weight_col=None,
+    ).to_pandas()
+    expect = np.zeros(n)
+    for s_, d_ in zip(src, dst):
+        expect[d_] += x[s_]
+    got = np.zeros(n)
+    got[y["vertex"].to_numpy()] = y["val"].to_numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
