@@ -32,11 +32,83 @@ from ray.data.aggregate import Max, Sum
 from alp_ray.stages.graph import canonicalize, symmetrize
 
 
-def triangle_count(edges: "ray.data.Dataset") -> int:
-    """edges: directed or undirected (src, dst) Dataset; returns #triangles."""
+def triangle_count(
+    edges: "ray.data.Dataset",
+    method: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+) -> int:
+    """edges: directed or undirected (src, dst) Dataset; returns #triangles.
+
+    Two physical forms (≙ the reference's gather-vs-scatter kernel choice,
+    reference/blas2.hpp:1132):
+    - ``broadcast``: oriented adjacency CSR broadcast once via ray.put;
+      per-edge neighbour-set intersection in map_batches (edge-iterator
+      algorithm). Wins while the oriented edge set fits comfortably in
+      one object (< ``broadcast_threshold`` edges).
+    - ``shuffle``: per-source wedge generation + semi-join against the
+      edge set via groupby — the all-Dataset scale path.
+    """
     canon = canonicalize(edges).materialize()
-    if canon.count() == 0:
+    m = canon.count()
+    if m == 0:
         return 0
+    if method == "auto":
+        method = "broadcast" if m <= broadcast_threshold else "shuffle"
+    if method == "broadcast":
+        return _triangle_count_broadcast(canon)
+    return _triangle_count_shuffle(canon)
+
+
+def _triangle_count_broadcast(canon: "ray.data.Dataset") -> int:
+    sym = symmetrize(canon)
+    deg_tbl = (
+        sym.groupby("src").count().rename_columns(["v", "deg"]).to_pandas()
+    )
+    n_map = dict(zip(deg_tbl["v"], deg_tbl["deg"]))
+
+    df = canon.to_pandas()
+    a = df["src"].to_numpy(np.int64)
+    b = df["dst"].to_numpy(np.int64)
+    deg_a = np.fromiter((n_map[v] for v in a), np.int64, a.size)
+    deg_b = np.fromiter((n_map[v] for v in b), np.int64, b.size)
+    a_first = (deg_a < deg_b) | ((deg_a == deg_b) & (a < b))
+    lo = np.where(a_first, a, b)
+    hi = np.where(a_first, b, a)
+    # Oriented CSR (low-rank → high-rank): out-neighbour lists sorted.
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    uniq, starts = np.unique(lo, return_index=True)
+    bounds = np.append(starts, lo.size)
+    index = {int(v): (int(bounds[i]), int(bounds[i + 1]))
+             for i, v in enumerate(uniq)}
+    adj_ref = ray.put((hi, index))
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        nbrs, idx = ray.get(adj_ref)
+        u = np.asarray(batch.column("a"), np.int64)
+        v = np.asarray(batch.column("b"), np.int64)
+        total = 0
+        for x, y in zip(u, v):
+            sx = idx.get(int(x))
+            sy = idx.get(int(y))
+            if sx is None or sy is None:
+                continue
+            total += np.intersect1d(
+                nbrs[sx[0] : sx[1]], nbrs[sy[0] : sy[1]],
+                assume_unique=True,
+            ).size
+        return pa.table({"t": pa.array([total], pa.int64())})
+
+    oriented = ray.data.from_arrow(
+        pa.table({"a": lo, "b": hi})
+    )
+    total = oriented.map_batches(
+        count_batch, batch_format="pyarrow", batch_size=8192
+    ).sum("t")
+    return int(total or 0)
+
+
+def _triangle_count_shuffle(canon: "ray.data.Dataset") -> int:
 
     # Degrees in the undirected simple graph (for the rank orientation).
     sym = symmetrize(canon)

@@ -182,3 +182,17 @@ def test_minhash_dedup_keep_filters_losers():
     )
     kept = minhash_dedup_keep(ds, threshold=0.9).to_pandas()
     assert set(kept["doc_id"]) == {0, 1}
+
+
+def test_triangles_shuffle_path_matches_broadcast():
+    from alp_ray.pipelines.triangles import triangle_count
+
+    rng = np.random.RandomState(10)
+    n = 80
+    mask = rng.rand(n, n) < 0.15
+    src, dst = np.nonzero(np.triu(mask, 1))
+    ds = _tri_ds(src, dst)
+    got_b = triangle_count(ds, method="broadcast")
+    got_s = triangle_count(ds, method="shuffle")
+    want = oracle.triangle_count(src, dst, n)
+    assert got_b == got_s == want
