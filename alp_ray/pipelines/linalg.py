@@ -79,6 +79,104 @@ def conjugate_gradient(
     return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
 
 
+def bicgstab(
+    engine: GraphEngine,
+    b: np.ndarray,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+) -> tuple[np.ndarray, int, float]:
+    """BiCGstab for general (nonsymmetric) A — ≙ algorithms/bicgstab.hpp
+    (x, A, b, max_iterations, tol; workspace r, rhat, p, v, s, t; residual
+    measured as the 2-norm of r = b − Ax). Same engine layout as CG: one
+    spmv superstep per matrix product, shard-local axpy/dot partials
+    reduced driver-side (the collectives)."""
+    engine.set_state_by_vertex("b", b.astype(np.float64))
+    engine.set_state("x", 0.0)
+
+    def init_fn(state, ctx):
+        state["r"] = state["b"].copy()
+        state["rhat"] = state["r"].copy()
+        state["p"] = np.zeros_like(state["r"])
+        state["v"] = np.zeros_like(state["r"])
+        return {"rr": float(state["r"] @ state["r"])}
+
+    rr = sum(d["rr"] for d in engine.map_local(init_fn))
+    rho = alpha = omega = 1.0
+
+    def mv(in_name: str, out_name: str) -> dict:
+        def pre(state, ctx, in_name=in_name):
+            return state[in_name]
+
+        def post(state, y, ctx, out_name=out_name):
+            state[out_name] = y
+            return {}
+
+        return engine.superstep(pre, "plus_times", post)
+
+    it = 0
+    while it < max_iters and np.sqrt(rr) > tol:
+        rho_new = sum(
+            d["d"]
+            for d in engine.map_local(
+                lambda st, c: {"d": float(st["rhat"] @ st["r"])}
+            )
+        )
+        beta = (rho_new / rho) * (alpha / omega) if rho != 0 else 0.0
+        rho = rho_new
+
+        def upd_p(state, ctx, beta=beta, omega=omega):
+            state["p"] = state["r"] + beta * (
+                state["p"] - omega * state["v"]
+            )
+            return {}
+
+        engine.map_local(upd_p)
+        mv("p", "v")
+        rhat_v = sum(
+            d["d"]
+            for d in engine.map_local(
+                lambda st, c: {"d": float(st["rhat"] @ st["v"])}
+            )
+        )
+        alpha = rho / rhat_v if rhat_v != 0 else 0.0
+
+        def upd_s(state, ctx, alpha=alpha):
+            state["s"] = state["r"] - alpha * state["v"]
+            return {"ss": float(state["s"] @ state["s"])}
+
+        ss = sum(d["ss"] for d in engine.map_local(upd_s))
+        if np.sqrt(ss) <= tol:
+            engine.map_local(
+                lambda st, c, alpha=alpha: (
+                    st.__setitem__("x", st["x"] + alpha * st["p"])
+                )
+            )
+            rr = ss
+            it += 1
+            break
+        mv("s", "t")
+        parts = engine.map_local(
+            lambda st, c: {
+                "ts": float(st["t"] @ st["s"]),
+                "tt": float(st["t"] @ st["t"]),
+            }
+        )
+        ts = sum(d["ts"] for d in parts)
+        tt = sum(d["tt"] for d in parts)
+        omega = ts / tt if tt != 0 else 0.0
+
+        def upd_xr(state, ctx, alpha=alpha, omega=omega):
+            state["x"] = (
+                state["x"] + alpha * state["p"] + omega * state["s"]
+            )
+            state["r"] = state["s"] - omega * state["t"]
+            return {"rr": float(state["r"] @ state["r"])}
+
+        rr = sum(d["rr"] for d in engine.map_local(upd_xr))
+        it += 1
+    return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
+
+
 # --------------------------------------------------------------- kmeans --
 
 

@@ -105,3 +105,24 @@ def test_cosine_similarity_vectors():
     a = np.array([1.0, 2.0, 3.0])
     b = np.array([3.0, 2.0, 1.0])
     assert got == pytest.approx(a @ b / np.linalg.norm(a) / np.linalg.norm(b))
+
+
+def test_bicgstab_nonsymmetric():
+    from alp_ray.pipelines.linalg import bicgstab
+
+    rng = np.random.RandomState(34)
+    n = 24
+    A = rng.rand(n, n) * (rng.rand(n, n) < 0.4)
+    A = A + np.eye(n) * n  # diagonally dominant, NOT symmetric
+    src, dst = np.nonzero(A)
+    w = A[src, dst]
+    b = rng.rand(n)
+    engine = GraphEngine.from_arrays(
+        src.astype(np.int64), dst.astype(np.int64), w, n=n, P=3
+    )
+    x, iters, res = bicgstab(engine, b, tol=1e-10, max_iters=400)
+    engine.shutdown()
+    # Engine computes y[dst] = sum_src A[src,dst] x[src] = A^T x,
+    # so bicgstab solved A^T x = b.
+    np.testing.assert_allclose(A.T @ x, b, atol=1e-7)
+    assert res <= 1e-10
