@@ -482,6 +482,84 @@ def _q_window_hourly(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_json_extract(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        # props is a JSON object like {"k": 87}: extract k as BIGINT.
+        ks = pc.extract_regex(
+            batch.column("props"), r'"k":\s*(?P<k>-?\d+)'
+        )
+        kvals = pc.struct_field(ks, "k")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "k": pc.cast(kvals, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.multimodal import DecodeImageStage, synth_media
+
+    media = ray.data.from_arrow(synth_media(96, seed=42))
+    return media.filter(expr="kind == 'image'").map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=16,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["media_id", "channel_means"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.ann import build_ivf, ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    C, bucketed = build_ivf(emb, n_centroids=8)
+    bucketed = bucketed.materialize()
+    q = np.asarray(
+        emb.filter(expr="vec_id == 0").take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    t = ivf_topk(bucketed, C, q, k=10, nprobe=4)
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "cosine": pa.array(
+                np.round(np.asarray(t.column("cosine")), 6)
+            ),
+        }
+    )
+
+
+def _q_community_lpa(sf_dir: str):
+    from alp_ray.pipelines.labelprop import community_lpa
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
+    labels = community_lpa(edges, n=MOD_SPARSE, max_iters=10)
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "community": pa.array(labels),
+        }
+    )
+
+
 def _q_sessions(sf_dir: str):
     import ray.data
 
@@ -658,6 +736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans,
         "window_hourly": _q_window_hourly,
         "sessions": _q_sessions,
+        "json_extract": _q_json_extract,
+        "multimodal_decode": _q_multimodal,
+        "ann_ivf_top10": _q_ann_ivf,
+        "community_lpa": _q_community_lpa,
     }
 
 
@@ -775,6 +857,10 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start_us, event_type, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) "
+            "AS k FROM events"
         ),
         "sessions": (
             "WITH gaps AS ("

@@ -216,3 +216,14 @@ def test_spmv_hot_source_skew():
     got = np.zeros(n)
     got[y["vertex"].to_numpy()] = y["val"].to_numpy()
     np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_blas0_scalar_ops():
+    from alp_ray.functions.scalar import apply, fold_all, foldl, foldr
+    from alp_ray.functions.semiring import MONOID_MAX, MONOID_PLUS
+
+    assert apply(np.add, 2, 3) == 5
+    assert foldl(np.multiply, 4, 5) == 20
+    assert foldr(np.subtract, 4, 10) == -6  # op(x, inout)
+    assert fold_all(MONOID_PLUS, [1, 2, 3]) == 6.0
+    assert fold_all(MONOID_MAX, []) == MONOID_MAX.identity
