@@ -550,11 +550,11 @@ def _q_community_lpa(sf_dir: str):
     from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
 
-    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
-    labels = community_lpa(edges, n=MOD_SPARSE, max_iters=10)
+    edges = symmetrize(derived_edges(sf_dir, mod=MOD_DENSE, sparse=True))
+    labels = community_lpa(edges, n=MOD_DENSE, max_iters=5)
     return pa.table(
         {
-            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
             "community": pa.array(labels),
         }
     )

@@ -91,25 +91,41 @@ def community_lpa(
             .aggregate(Sum("c", alias_name="cnt"))
         )
 
-        def pick(group: pa.Table) -> pa.Table:
-            v = group.column("vertex")[0].as_py()
-            lab = np.asarray(group.column("label"), np.int64)
-            cnt = np.asarray(group.column("cnt"), np.int64)
-            order = np.lexsort((lab, -cnt))  # max count, then min label
-            return pa.table(
-                {
-                    "vertex": pa.array([v], pa.int64()),
-                    "new_label": pa.array([int(lab[order[0]])], pa.int64()),
-                }
-            )
+        if n <= 1_000_000:
+            # Small-n fast path: the (vertex,label,cnt) table is O(edges
+            # touched) but the argmax itself is a driver-side lexsort —
+            # groupby().map_groups costs ~1 Ray task per vertex group,
+            # which dominates at small scale.
+            cdf = counts.to_pandas()
+            vv = cdf["vertex"].to_numpy(np.int64)
+            ll = cdf["label"].to_numpy(np.int64)
+            cc = cdf["cnt"].to_numpy(np.int64)
+            order = np.lexsort((ll, -cc, vv))  # by vertex, max cnt, min lab
+            vv, ll = vv[order], ll[order]
+            firsts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+            picked_v, picked_l = vv[firsts], ll[firsts]
+        else:
+            def pick(group: pa.Table) -> pa.Table:
+                v = group.column("vertex")[0].as_py()
+                lab = np.asarray(group.column("label"), np.int64)
+                cnt = np.asarray(group.column("cnt"), np.int64)
+                order = np.lexsort((lab, -cnt))  # max count, min label
+                return pa.table(
+                    {
+                        "vertex": pa.array([v], pa.int64()),
+                        "new_label": pa.array(
+                            [int(lab[order[0]])], pa.int64()
+                        ),
+                    }
+                )
 
-        picked = counts.groupby("vertex").map_groups(
-            pick, batch_format="pyarrow"
-        ).to_pandas()
+            picked = counts.groupby("vertex").map_groups(
+                pick, batch_format="pyarrow"
+            ).to_pandas()
+            picked_v = picked["vertex"].to_numpy()
+            picked_l = picked["new_label"].to_numpy()
         new_labels = labels.copy()
-        new_labels[picked["vertex"].to_numpy()] = picked[
-            "new_label"
-        ].to_numpy()
+        new_labels[picked_v] = picked_l
         if np.array_equal(new_labels, labels):
             break
         labels = new_labels
