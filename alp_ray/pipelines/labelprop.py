@@ -71,6 +71,9 @@ def community_lpa(
     import ray
     from ray.data.aggregate import Sum
 
+    # Pin the edge table once: a lazy plan (extraction/symmetrize
+    # groupbys upstream) would otherwise re-execute EVERY iteration.
+    edges = edges.materialize()
     labels = np.arange(n, dtype=np.int64)
     for _ in range(max_iters):
         lref = ray.put(labels)

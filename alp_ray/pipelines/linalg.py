@@ -191,6 +191,8 @@ def kmeans(
 ):
     """Lloyd iterations over the Dataset; k-means++ init on a sample.
     Returns (centroids, assignment Dataset (id, cluster, dist))."""
+    # Pin once: a lazy source would re-read/execute every Lloyd round.
+    emb = emb.materialize()
     sample = emb.limit(sample_size).to_pandas()
     X = np.array(sample[vec_col].tolist(), dtype=np.float64)
     rng = np.random.RandomState(seed)
