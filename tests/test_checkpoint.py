@@ -77,3 +77,20 @@ def test_partitioning_mismatch_rejected(tmp_path):
     finally:
         e2.shutdown()
     assert raised
+
+
+def test_torn_checkpoint_ignored(tmp_path):
+    """A checkpoint dir without a complete MANIFEST (kill mid-write)
+    must be invisible to resume."""
+    src, dst, n = _graph(seed=8)
+    ckpt = Checkpointer(str(tmp_path / "ck"), every=1)
+    e = GraphEngine.from_arrays(src, dst, n=n, P=3)
+    pagerank(e, conv=1e-9, max_iters=3, checkpointer=ckpt)
+    e.shutdown()
+    # Simulate a kill mid-checkpoint: iter_000009 dir with data files but
+    # no manifest.
+    torn = tmp_path / "ck" / "iter_000009"
+    torn.mkdir()
+    (torn / "part_00000.parquet").write_bytes(b"garbage")
+    latest = ckpt.latest()
+    assert latest["iteration"] == 3  # torn dir ignored
