@@ -256,7 +256,7 @@ def run_scaling(sf_dir: str) -> dict:
     straggler-safe setting measured in BASELINE.md)."""
     n = int(os.environ.get("GRAFT_SCALE_N", 3_000_000))
     m = int(os.environ.get("GRAFT_SCALE_EDGES", 48_000_000))
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", 2))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", 3))
     cpu_pair = tuple(
         int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     )
@@ -271,6 +271,9 @@ def run_scaling(sf_dir: str) -> dict:
     # analogue of adding NODES — each node brings its own bandwidth.
     # 8→32 cores on one socket measures bandwidth saturation, not the
     # engine (override with GRAFT_SCALING_CPUS=8,32 to see that too).
+    # Aggregation: MEDIAN over interleaved reps — this VM's co-tenant
+    # noise spans ±40% run-to-run, so extremes are not representative.
+    all_runs: dict[str, list] = {}
     for rep in range(reps):
         for cpus in cpu_pair:
             P = cpus if cpus <= 16 else max(4, int(cpus * 0.75))
@@ -287,14 +290,20 @@ def run_scaling(sf_dir: str) -> dict:
             line = [
                 l for l in out.stdout.splitlines() if l.startswith("{")
             ][-1]
-            r = json.loads(line)
-            key = f"cpus_{cpus}"
-            best = results.get(key)
-            if best is None or r["edges_per_sec"] > best["edges_per_sec"]:
-                r["reps_seen"] = (best or {}).get("reps_seen", 0) + 1
-                results[key] = r
-            else:
-                best["reps_seen"] = best.get("reps_seen", 0) + 1
+            all_runs.setdefault(f"cpus_{cpus}", []).append(
+                json.loads(line)
+            )
+    for key, runs in all_runs.items():
+        runs_sorted = sorted(runs, key=lambda r: r["edges_per_sec"])
+        med = runs_sorted[len(runs_sorted) // 2]
+        med["all_edges_per_sec"] = [r["edges_per_sec"] for r in runs]
+        med["all_etl_files_per_sec"] = [
+            r["etl"]["files_per_sec"] for r in runs
+        ]
+        # Median for the ETL metric too (may come from another run).
+        etl_sorted = sorted(med["all_etl_files_per_sec"])
+        med["etl"]["files_per_sec"] = etl_sorted[len(etl_sorted) // 2]
+        results[key] = med
     lo, hi = cpu_pair
     ratio = hi / lo
     eps_lo = results[f"cpus_{lo}"]["edges_per_sec"]
