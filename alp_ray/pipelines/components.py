@@ -87,7 +87,13 @@ def connected_components(
                 engine,
                 ["label", "active"],
                 iteration=it,
-                metrics={"changed": scalars["changed"]},
+                metrics={
+                    # frontier size = changed vertices (they message next
+                    # round); edge traffic next round is bounded by the
+                    # frontier's out-degree sum.
+                    "changed": scalars["changed"],
+                    "frontier": scalars["changed"],
+                },
             )
         if scalars["changed"] == 0:
             break

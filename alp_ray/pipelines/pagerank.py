@@ -142,7 +142,13 @@ def pagerank(
                     engine,
                     ["pr"],
                     iteration=it,
-                    metrics={"residual": residual},
+                    metrics={
+                        "residual": residual,
+                        # flop/traffic accounting per superstep (north
+                        # rule: frontier-size/flop metrics in manifest).
+                        "traversed_edges_per_iter": engine.m,
+                        "frontier": engine.n,  # dense iteration
+                    },
                 )
             if residual <= conv:
                 break
