@@ -153,10 +153,16 @@ def label_propagation(
 
     it = 0
     changed = np.inf
+    # Pipelined chunks (≙ nonblocking backend): the thresholded update is
+    # idempotent at its fixpoint, so overshooting convergence is a no-op.
     while it < max_iters:
-        scalars = engine.superstep(_pre, "plus_times", _post)
-        changed = scalars["changed"]
-        it += 1
+        chunk = min(4, max_iters - it)
+        results = engine.run_supersteps(_pre, "plus_times", _post, chunk)
+        for r in results:
+            changed = r["changed"]
+            it += 1
+            if changed == 0:
+                break
         if changed == 0:
             break
     return LabelPropResult(converged=changed == 0, iterations=it)

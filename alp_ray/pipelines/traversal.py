@@ -38,9 +38,10 @@ def khop(
         state["frontier"] = new.astype(np.float64)
         return {"new": float(new.sum())}
 
-    for _ in range(k):
-        scalars = engine.superstep(pre, "max_first", post)
-        if scalars["new"] == 0:
+    # All k hops submitted as one pipelined task graph; extra hops after
+    # the frontier empties are no-ops.
+    for r in engine.run_supersteps(pre, "max_first", post, iters=k):
+        if r["new"] == 0:
             break
     reach = engine.get_state_by_vertex("reach")
     return reach > 0.5, int((reach > 0.5).sum())
@@ -68,9 +69,19 @@ def sssp(
         state["changed"] = changed.astype(np.float64)
         return {"changed": float(changed.sum())}
 
-    for _ in range(max_iters):
-        scalars = engine.superstep(pre, "min_plus", post)
-        if scalars["changed"] == 0:
+    it = 0
+    while it < max_iters:
+        # Pipelined chunks: Bellman-Ford relaxation past the fixpoint is
+        # a no-op on an empty frontier.
+        chunk = min(4, max_iters - it)
+        results = engine.run_supersteps(pre, "min_plus", post, chunk)
+        done = False
+        for r in results:
+            it += 1
+            if r["changed"] == 0:
+                done = True
+                break
+        if done:
             break
     return engine.get_state_by_vertex("dist")
 
