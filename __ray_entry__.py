@@ -155,6 +155,18 @@ def _q_ewise_add_degrees(sf_dir: str):
     return _cast(z, {"vertex": pa.int64(), "val": pa.int64()})
 
 
+def _q_spgemm(sf_dir: str):
+    from alp_ray.functions.semiring import PLUS_TIMES
+    from alp_ray.pipelines.matrix import spgemm
+
+    e = _dense_edges(sf_dir)
+    c = spgemm(e, _dense_edges(sf_dir), PLUS_TIMES)
+    return _cast(
+        c,
+        {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
+    )
+
+
 def _q_spy(sf_dir: str):
     from alp_ray.pipelines.spy import spy
 
@@ -708,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewise_add_degrees": _q_ewise_add_degrees,
         # Algorithms (SURVEY §2.7)
         "spy_downsample": _q_spy,
+        "spgemm_two_hop": _q_spgemm,
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
         "khop2": _q_khop2,
@@ -777,6 +790,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL "
             f"  SELECT dst AS vertex, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY dst"
             ") GROUP BY vertex"
+        ),
+        "spgemm_two_hop": (
+            f"SELECT a.src, b.dst, CAST(COUNT(*) AS DOUBLE) AS weight "
+            f"FROM ({_E_DENSE}) a JOIN ({_E_DENSE}) b ON b.src = a.dst "
+            "GROUP BY 1, 2"
         ),
         "spy_downsample": (
             "SELECT CAST(FLOOR(src / (601.0 / 16)) AS BIGINT) AS bucket_i, "
