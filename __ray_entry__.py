@@ -159,8 +159,11 @@ def _q_spgemm(sf_dir: str):
     from alp_ray.functions.semiring import PLUS_TIMES
     from alp_ray.pipelines.matrix import spgemm
 
-    e = _dense_edges(sf_dir)
-    c = spgemm(e, _dense_edges(sf_dir), PLUS_TIMES)
+    from alp_ray.sources.tables import derived_edges
+
+    e1 = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True)
+    e2 = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True)
+    c = spgemm(e1, e2, PLUS_TIMES)
     return _cast(
         c,
         {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
@@ -793,7 +796,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spgemm_two_hop": (
             f"SELECT a.src, b.dst, CAST(COUNT(*) AS DOUBLE) AS weight "
-            f"FROM ({_E_DENSE}) a JOIN ({_E_DENSE}) b ON b.src = a.dst "
+            f"FROM ({_E_SPARSE}) a JOIN ({_E_SPARSE}) b ON b.src = a.dst "
             "GROUP BY 1, 2"
         ),
         "spy_downsample": (
