@@ -52,8 +52,14 @@ def _pre(state, ctx):
 
 
 def _post(state, y, ctx):
-    offset = ctx["scalars"]["offset"]
-    pr_new = y + offset
+    # Uniform teleport: scalar offset. Personalized: offset scaled by the
+    # local teleport-distribution slice (Σt = 1, so the uniform case is
+    # t ≡ 1/n folded into the scalar).
+    coef = ctx["scalars"]["offset"]
+    if "tvec" in state:
+        pr_new = y + coef * state["tvec"]
+    else:
+        pr_new = y + coef
     residual = float(np.abs(pr_new - state["pr"]).sum())
     state["pr"] = pr_new
     return {"residual": residual}
@@ -66,11 +72,22 @@ def pagerank(
     max_iters: int = 1000,
     checkpointer=None,
     sync_every: int = 8,
+    personalize: "np.ndarray | None" = None,
 ) -> PageRankResult:
-    """Run to convergence; leaves the result in engine state ``"pr"``."""
+    """Run to convergence; leaves the result in engine state ``"pr"``.
+
+    ``personalize``: optional teleport distribution t (length n, sums to
+    1) — personalized PageRank: random jumps (and dangling mass) land on
+    t instead of the uniform 1/n. None = the reference's simple_pagerank
+    semantics exactly.
+    """
     import time
 
     n = engine.n
+    if personalize is not None:
+        t = np.asarray(personalize, dtype=np.float64)
+        assert t.shape == (n,) and abs(t.sum() - 1.0) < 1e-9
+        engine.set_state_by_vertex("tvec", t)
 
     # Setup (≙ :200-249): out-degrees are shard-local because edges are
     # partitioned by src.
@@ -88,10 +105,12 @@ def pagerank(
     engine.compute_out_degrees("outdeg")
     engine.map_local(setup)
 
-    def offset_fn(scalars):
-        return {
-            "offset": (alpha * scalars["pr_dangling"] + (1.0 - alpha)) / n
-        }
+    personalized = personalize is not None
+
+    def offset_fn(scalars, personalized=personalized, n=n, alpha=alpha):
+        coef = alpha * scalars["pr_dangling"] + (1.0 - alpha)
+        # Uniform case folds the 1/n of t≡1/n into the scalar.
+        return {"offset": coef if personalized else coef / n}
 
     start_iter = 0
     if checkpointer is not None:

@@ -62,3 +62,44 @@ def test_pagerank_throughput_accounting():
     engine.shutdown()
     assert res.traversed_edges == res.m * res.iterations
     assert res.edges_per_sec > 0
+
+
+def test_personalized_pagerank_vs_oracle():
+    rng = np.random.RandomState(55)
+    n, m = 120, 500
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst = src[idx], dst[idx]
+    # Teleport to a 5-vertex seed set.
+    t = np.zeros(n)
+    t[[1, 7, 20, 33, 90]] = 0.2
+
+    engine = GraphEngine.from_arrays(src, dst, n=n, P=3)
+    res = pagerank(engine, conv=1e-10, personalize=t)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+
+    # Dense oracle with teleport vector t.
+    A = np.zeros((n, n), bool)
+    A[src, dst] = True
+    outdeg = A.sum(1)
+    dangling = outdeg == 0
+    scale = np.where(dangling, 0.0, 0.85 / np.maximum(outdeg, 1))
+    p = np.full(n, 1.0 / n)
+    for _ in range(1000):
+        d_mass = p[dangling].sum()
+        x = p * scale
+        coef = 0.85 * d_mass + 0.15
+        p_new = A.T @ x + coef * t
+        if np.abs(p_new - p).sum() <= 1e-10:
+            p = p_new
+            break
+        p = p_new
+    assert res.converged
+    np.testing.assert_allclose(pr, p, atol=1e-8)
+    # Seeds and their neighbourhoods dominate.
+    assert pr[[1, 7, 20, 33, 90]].sum() > 5.0 / n
