@@ -38,6 +38,14 @@ class _BruteTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col))
+        if ids.size == 0:
+            # Upstream filters (e.g. ivf probe pruning) legitimately
+            # produce empty batches; argpartition/norm would raise.
+            return pa.table(
+                {"query": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         V = _as_matrix(batch.column(self.vec_col))
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         S = Vn @ self.Q.T  # (nb, nq)

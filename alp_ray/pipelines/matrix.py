@@ -102,13 +102,25 @@ def matrix_ewise(
     the identity); ``intersect=True`` → op/INTERSECTION semantics (only
     coordinates present in BOTH) — grb::eWiseApply's monoid vs op
     variants (reference/blas3.hpp:1259/:1206).
+
+    Inputs must be duplicate-free per the ``buildMatrixUnique`` /
+    ``descriptors::no_duplicates`` ingestion contract (base/io.hpp:1336)
+    — same assumption the reference makes. Side presence is tracked with
+    distinct bit tags (Max-combined), so even a contract-violating
+    duplicated coordinate within ONE input cannot masquerade as an
+    intersection; its weights still fold under the monoid, mirroring the
+    reference's undefined-behavior-on-duplicates.
     """
     a = _with_weight(A).map_batches(
-        lambda t: t.append_column("n", pa.array(np.ones(len(t), np.int64))),
+        lambda t: t.append_column(
+            "ta", pa.array(np.ones(len(t), np.int64))
+        ).append_column("tb", pa.array(np.zeros(len(t), np.int64))),
         batch_format="pyarrow",
     )
     b = _with_weight(B).map_batches(
-        lambda t: t.append_column("n", pa.array(np.ones(len(t), np.int64))),
+        lambda t: t.append_column(
+            "ta", pa.array(np.zeros(len(t), np.int64))
+        ).append_column("tb", pa.array(np.ones(len(t), np.int64))),
         batch_format="pyarrow",
     )
     agg = _AGG[monoid_agg]
@@ -116,12 +128,14 @@ def matrix_ewise(
         a.union(b)
         .groupby(["src", "dst"])
         .aggregate(
-            agg("weight", alias_name="weight"), Sum("n", alias_name="n")
+            agg("weight", alias_name="weight"),
+            Max("ta", alias_name="ta"),
+            Max("tb", alias_name="tb"),
         )
     )
     if intersect:
-        u = u.filter(expr="n >= 2")
-    return u.drop_columns(["n"])
+        u = u.filter(expr="ta == 1 and tb == 1")
+    return u.drop_columns(["ta", "tb"])
 
 
 def outer(

@@ -34,6 +34,13 @@ class PageRankResult:
     m: int
     iter_seconds: float = 0.0
     residual_history: list[float] = field(default_factory=list)
+    # The pipelined (sync_every>1) path pre-submits whole chunks, so when
+    # convergence lands mid-chunk the engine state "pr" reflects
+    # ``applied_iterations`` supersteps (chunk end) while ``iterations``/
+    # ``residual`` describe the first iteration that met the tolerance.
+    # The update is contractive, so the extra steps only tighten the
+    # result — but the metadata records the overshoot honestly.
+    applied_iterations: int = 0
 
     @property
     def traversed_edges(self) -> int:
@@ -122,6 +129,7 @@ def pagerank(
     history: list[float] = []
     t0 = time.perf_counter()
     it = start_iter
+    applied = start_iter
     if checkpointer is None and sync_every > 1:
         # Nonblocking path: submit sync_every iterations as one task
         # graph (≙ ALP nonblocking backend); driver syncs once per chunk.
@@ -137,6 +145,7 @@ def pagerank(
                 iters=chunk,
                 post_scalars_fn=offset_fn,
             )
+            applied += chunk
             for r in results:
                 residual = r["residual"]
                 history.append(residual)
@@ -156,6 +165,7 @@ def pagerank(
             residual = scalars["residual"]
             history.append(residual)
             it += 1
+            applied = it
             if checkpointer is not None:
                 checkpointer.maybe_checkpoint(
                     engine,
@@ -180,6 +190,7 @@ def pagerank(
         m=engine.m,
         iter_seconds=iter_seconds,
         residual_history=history,
+        applied_iterations=applied - start_iter,
     )
 
 

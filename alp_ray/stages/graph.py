@@ -119,7 +119,21 @@ class _ScatterStage:
         self.mask = ray.get(mask_ref) if mask_ref is not None else None
         self.invert_mask = invert_mask
 
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "val": pa.array([], pa.float64())}
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Empty x (or an empty non-inverted mask) yields no output — and
+        # np.clip(pos, 0, -1) below would mis-index, so return early.
+        if self.xi.size == 0 or len(batch) == 0:
+            return self._empty()
+        if self.mask is not None and self.mask.size == 0 \
+                and not self.invert_mask:
+            return self._empty()
         src = np.asarray(batch.column(self.src_col))
         dst = np.asarray(batch.column(self.dst_col))
         w = (
@@ -127,17 +141,17 @@ class _ScatterStage:
             if self.weight_col and self.weight_col in batch.column_names
             else np.ones(len(src))
         )
-        if self.mask is not None:
+        if self.mask is not None and self.mask.size > 0:
             pos = np.searchsorted(self.mask, dst)
-            pos_c = np.clip(pos, 0, max(self.mask.size - 1, 0))
-            in_mask = (self.mask.size > 0) & (self.mask[pos_c] == dst)
+            pos_c = np.clip(pos, 0, self.mask.size - 1)
+            in_mask = self.mask[pos_c] == dst
             keep = ~in_mask if self.invert_mask else in_mask
             src, dst, w = src[keep], dst[keep], w[keep]
         # Gather x[src] via binary search on the sorted broadcast vector;
         # rows whose src has no entry (sparse x) contribute nothing.
         pos = np.searchsorted(self.xi, src)
         pos_c = np.clip(pos, 0, self.xi.size - 1)
-        hit = (self.xi.size > 0) & (self.xi[pos_c] == src)
+        hit = self.xi[pos_c] == src
         if not hit.all():
             src, dst, w, pos_c = src[hit], dst[hit], w[hit], pos_c[hit]
         contrib = self.sr.mul(self.xv[pos_c], w)

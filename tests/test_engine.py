@@ -146,3 +146,22 @@ def test_partitioned_parquet_build(tmp_path):
     y = _run_spmv(engine, x, "plus_times")
     np.testing.assert_allclose(y, _dense(src, dst, w, n).T @ x, rtol=1e-12)
     engine.shutdown()
+
+
+@pytest.mark.parametrize("exchange", ["fused", "split"])
+def test_exchange_modes_agree(exchange):
+    """The 'split' exchange (per-destination objects — the multi-node
+    shape where column q ships only to shard q) must produce the same
+    spmv as the fused single-bundle path."""
+    n = 40
+    src, dst, w = _random_graph(n=n, m=200, seed=11)
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst, w = src[idx], dst[idx], w[idx]
+    engine = GraphEngine.from_arrays(src, dst, w, n=n, P=3)
+    engine.exchange = exchange
+    rng = np.random.RandomState(3)
+    x = rng.rand(n)
+    y = _run_spmv(engine, x, "plus_times")
+    engine.shutdown()
+    np.testing.assert_allclose(y, _dense(src, dst, w, n).T @ x, rtol=1e-12)

@@ -227,3 +227,27 @@ def test_blas0_scalar_ops():
     assert foldr(np.subtract, 4, 10) == -6  # op(x, inout)
     assert fold_all(MONOID_PLUS, [1, 2, 3]) == 6.0
     assert fold_all(MONOID_MAX, []) == MONOID_MAX.identity
+
+
+def test_spmv_empty_x_and_empty_mask():
+    """Regression (ADVICE r1): an empty broadcast vector or an empty
+    non-inverted mask must yield an empty result, not an IndexError
+    from the clipped searchsorted gather."""
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 0], np.int64)
+    edges = _edges_ds(src, dst)
+    y = spmv(
+        edges,
+        (np.array([], np.float64), np.array([], np.int64)),
+        PLUS_FIRST,
+        weight_col=None,
+    ).to_pandas()
+    assert len(y) == 0
+    y2 = spmv(
+        edges,
+        (np.ones(3), np.arange(3, dtype=np.int64)),
+        PLUS_FIRST,
+        weight_col=None,
+        mask=np.array([], np.int64),
+    ).to_pandas()
+    assert len(y2) == 0
