@@ -43,6 +43,12 @@ _E_WEIGHTED = (
     f"FROM ({_E_DENSE})"
 )
 
+# Fixed iteration counts shared by the Ray queries and their unrolled
+# DuckDB CTE twins (same number of synchronous updates on both sides).
+_PR_K = 20       # pagerank power steps
+_LP_K = 12       # thresholded label-propagation steps (fixpoint-safe)
+_LPA_K = 5       # community LPA steps (fixpoint-safe)
+
 
 def _cast(ds, types: dict[str, pa.DataType], round6: tuple[str, ...] = ()):
     def fn(batch: pa.Table) -> pa.Table:
@@ -193,20 +199,20 @@ def _q_triangles(sf_dir: str):
 
 def _q_components(sf_dir: str):
     from alp_ray.pipelines.components import connected_components
-    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
     edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
-    src, dst, _ = edges_to_arrays(edges)
-    engine = GraphEngine.from_arrays(src, dst, n=MOD_SPARSE, P=4)
+    # Dataset-native build: blocks stream worker→shard, never the driver.
+    engine = GraphEngine.from_dataset(edges, n=MOD_SPARSE, P=4)
     connected_components(engine)
+    engine.compute_out_degrees("outdeg")
     labels = engine.get_state_by_vertex("label").astype(np.int64)
+    outdeg = engine.get_state_by_vertex("outdeg")
     engine.shutdown()
-    present = np.zeros(MOD_SPARSE, bool)
-    present[src] = True
-    present[dst] = True
-    ids = np.flatnonzero(present)
+    # Graph is symmetric, so present vertices are exactly outdeg > 0.
+    ids = np.flatnonzero(outdeg > 0)
     return pa.table(
         {
             "vertex": pa.array(ids.astype(np.int64)),
@@ -217,11 +223,11 @@ def _q_components(sf_dir: str):
 
 def _q_khop2(sf_dir: str):
     from alp_ray.pipelines.traversal import khop
-    from alp_ray.sources.tables import edges_to_arrays
     from alp_ray.state.engine import GraphEngine
 
-    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
-    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
     mask, _ = khop(engine, source=0, k=2)
     engine.shutdown()
     return pa.table(
@@ -231,13 +237,12 @@ def _q_khop2(sf_dir: str):
 
 def _q_sssp4(sf_dir: str):
     from alp_ray.pipelines.traversal import sssp
-    from alp_ray.sources.tables import edges_to_arrays
     from alp_ray.state.engine import GraphEngine
 
-    src, dst, w = edges_to_arrays(
-        _dense_edges(sf_dir, weighted=True), weighted=True
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir, weighted=True), n=MOD_DENSE, P=4,
+        weighted=True,
     )
-    engine = GraphEngine.from_arrays(src, dst, w, n=MOD_DENSE, P=4)
     dist = sssp(engine, source=0, max_iters=4)
     engine.shutdown()
     finite = np.isfinite(dist)
@@ -251,64 +256,80 @@ def _q_sssp4(sf_dir: str):
 
 
 def _q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (20 power steps with dangling handling)
+    so the DuckDB twin — the same 20 steps unrolled as CTEs — matches
+    value-for-value. Semantics per simple_pagerank.hpp (α=0.85, dangling
+    mass, uniform teleport); fixed K instead of the residual exit so
+    both sides apply the identical number of updates."""
     from alp_ray.pipelines.pagerank import pagerank
-    from alp_ray.sources.tables import edges_to_arrays
     from alp_ray.state.engine import GraphEngine
 
-    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
-    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
-    pagerank(engine, conv=1e-6)
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    pagerank(engine, conv=0.0, max_iters=_PR_K, sync_every=_PR_K)
     pr = engine.get_state_by_vertex("pr")
     engine.shutdown()
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "pr": pa.array(pr),
+            "pr": pa.array(np.round(pr, 7)),
         }
     )
 
 
 def _q_kcore(sf_dir: str):
     from alp_ray.pipelines.traversal import kcore_decomposition
-    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
     edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
-    src, dst, _ = edges_to_arrays(edges)
-    engine = GraphEngine.from_arrays(src, dst, n=MOD_SPARSE, P=4)
+    engine = GraphEngine.from_dataset(edges, n=MOD_SPARSE, P=4)
+    engine.compute_out_degrees("outdeg")
     core = kcore_decomposition(engine)
+    outdeg = engine.get_state_by_vertex("outdeg")
     engine.shutdown()
-    present = np.zeros(MOD_SPARSE, bool)
-    present[src] = True
-    ids = np.flatnonzero(present)
+    ids = np.flatnonzero(outdeg > 0)  # symmetric graph: present ⇔ deg>0
     return pa.table(
         {"vertex": pa.array(ids.astype(np.int64)),
          "core": pa.array(core[ids])}
     )
 
 
+def _sym_weighted_sparse(sf_dir: str):
+    """Symmetrized sparse edge set with the deterministic pair weight
+    (src+dst)%10+1 — weight is a function of the unordered pair, so it
+    is re-derived after the swap (identical on both directions)."""
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    sym = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        return batch.append_column(
+            "weight", pa.array(((s + d) % 10 + 1).astype(np.float64))
+        )
+
+    return sym.map_batches(add_w, batch_format="pyarrow")
+
+
 def _q_labelprop(sf_dir: str):
+    """Fixed-K thresholded propagation (the Kamvar update reaches a
+    fixpoint, so K ≥ convergence makes extra steps no-ops — the SQL twin
+    unrolls the same K steps)."""
     from alp_ray.pipelines.labelprop import label_propagation
-    from alp_ray.sources.tables import derived_edges, edges_to_arrays
     from alp_ray.state.engine import GraphEngine
 
-    edges = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True,
-                          weighted=True)
-    src, dst, w = edges_to_arrays(edges, weighted=True)
-    # Symmetrize with consistent weights (weight is a function of the
-    # unordered pair only when we re-derive it after the swap).
-    s2 = np.concatenate([src, dst])
-    d2 = np.concatenate([dst, src])
-    key = s2 * MOD_SPARSE + d2
-    _, idx = np.unique(key, return_index=True)
-    s2, d2 = s2[idx], d2[idx]
-    w2 = ((s2 + d2) % 10 + 1).astype(np.float64)
-    engine = GraphEngine.from_arrays(s2, d2, w2, n=MOD_SPARSE, P=4)
+    engine = GraphEngine.from_dataset(
+        _sym_weighted_sparse(sf_dir), n=MOD_SPARSE, P=4, weighted=True
+    )
     seed_mask = np.zeros(MOD_SPARSE, bool)
     seed_mask[:20] = True
     seed_labels = (np.arange(MOD_SPARSE) % 2).astype(np.float64)
-    label_propagation(engine, seed_labels, seed_mask)
+    label_propagation(engine, seed_labels, seed_mask, max_iters=_LP_K)
     f = engine.get_state_by_vertex("f")
     engine.shutdown()
     return pa.table(
@@ -321,11 +342,11 @@ def _q_labelprop(sf_dir: str):
 
 def _q_pregel_pagerank(sf_dir: str):
     from alp_ray.pipelines.pregel_algorithms import pregel_pagerank
-    from alp_ray.sources.tables import edges_to_arrays
     from alp_ray.state.engine import GraphEngine
 
-    src, dst, _ = edges_to_arrays(_dense_edges(sf_dir))
-    engine = GraphEngine.from_arrays(src, dst, n=MOD_DENSE, P=4)
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
     pregel_pagerank(engine)
     score = engine.get_state_by_vertex("score")
     engine.shutdown()
@@ -338,25 +359,54 @@ def _q_pregel_pagerank(sf_dir: str):
 
 
 def _q_conjugate_gradient(sf_dir: str):
+    """SPD system A = W_sym + diag(1 + weighted degree), built as a pure
+    Dataset pipeline (symmetrize → pair weight → degree aggregate →
+    union → one groupby; no driver edge arrays)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
     from alp_ray.pipelines.linalg import conjugate_gradient
-    from alp_ray.sources.tables import edges_to_arrays
+    from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
-    src, dst, w = edges_to_arrays(
-        _dense_edges(sf_dir, weighted=True), weighted=True
+    sym = symmetrize(_dense_edges(sf_dir))
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        return batch.append_column(
+            "weight", pa.array(((s + d) % 10 + 1).astype(np.float64))
+        )
+
+    wsym = sym.map_batches(add_w, batch_format="pyarrow").materialize()
+    # Diagonal = 1 (base, every vertex) + weighted degree (from edges);
+    # merged with the off-diagonal entries by ONE groupby-sum — no join.
+    ar = np.arange(MOD_DENSE, dtype=np.int64)
+    base_diag = ray.data.from_arrow(
+        pa.table(
+            {"src": ar, "dst": ar, "weight": np.ones(MOD_DENSE)}
+        )
     )
-    # SPD system: symmetrized adjacency + diagonally-dominant shift.
-    s2 = np.concatenate([src, dst, np.arange(MOD_DENSE)])
-    d2 = np.concatenate([dst, src, np.arange(MOD_DENSE)])
-    w_sym = ((np.concatenate([src, dst]) + np.concatenate([dst, src]))
-             % 10 + 1).astype(np.float64)
-    deg = np.zeros(MOD_DENSE)
-    np.add.at(deg, s2[: 2 * len(src)], w_sym)
-    w2 = np.concatenate([w_sym, deg + 1.0])
-    key = s2 * (MOD_DENSE + 1) + d2
-    _, idx = np.unique(key, return_index=True)
-    engine = GraphEngine.from_arrays(
-        s2[idx], d2[idx], w2[idx], n=MOD_DENSE, P=4
+
+    def deg_diag(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        return pa.table(
+            {
+                "src": s,
+                "dst": s,
+                "weight": batch.column("weight"),
+            }
+        )
+
+    diag_contrib = wsym.map_batches(deg_diag, batch_format="pyarrow")
+    A = (
+        wsym.union(base_diag)
+        .union(diag_contrib)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    engine = GraphEngine.from_dataset(
+        A, n=MOD_DENSE, P=4, weighted=True
     )
     rng = np.random.RandomState(7)
     b = rng.rand(MOD_DENSE)

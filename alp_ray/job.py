@@ -67,7 +67,7 @@ def main() -> None:
         n_tri = triangle_count(corpus_to_edge_ids(corpus))
         summary.update({"n_triangles": n_tri})
     else:
-        engine, ids = build_engine_from_corpus(
+        engine, mapping = build_engine_from_corpus(
             corpus, P=args.shards, symmetric=args.pipeline == "components"
         )
         build_s = time.perf_counter() - t0
@@ -85,7 +85,9 @@ def main() -> None:
                 engine, alpha=args.alpha, conv=args.conv,
                 checkpointer=ckpt,
             )
-            out_ds = engine.state_dataset(["pr"])
+            from alp_ray.pipelines.code_graph import _state_with_hash_ids
+
+            out_ds = _state_with_hash_ids(engine, mapping, "pr")
             summary.update(
                 {
                     "n_vertices": res.n,
@@ -102,7 +104,9 @@ def main() -> None:
             from alp_ray.pipelines.components import connected_components
 
             res = connected_components(engine, checkpointer=ckpt)
-            out_ds = engine.state_dataset(["label"])
+            from alp_ray.pipelines.code_graph import _state_with_hash_ids
+
+            out_ds = _state_with_hash_ids(engine, mapping, "label")
             summary.update(
                 {
                     "n_vertices": res.n,

@@ -173,19 +173,45 @@ def build_engine_from_corpus(
     P: int = 8,
     symmetric: bool = False,
     num_cpus_per_shard: float = 0,
-) -> tuple[GraphEngine, np.ndarray]:
-    """Returns (engine over dense ids, dense→hash id map)."""
+) -> tuple[GraphEngine, "ray.data.Dataset"]:
+    """Returns (engine over dense ids, (vertex, dense_id) mapping
+    Dataset). Fully Dataset-native: hash-id edges → sorted-distinct
+    dense-id mapping (``dense_id_mapping_ds``) → two-join remap
+    (``remap_edges_dense``) → streaming shard ingest
+    (``GraphEngine.from_dataset``: blocks flow worker → object store →
+    shard actor). The driver holds handles and counters only — no edge
+    or vertex table ever materializes on it, so the same code path runs
+    at 10^12-file scale."""
     edges = corpus_to_edge_ids(corpus)
     if symmetric:
         edges = symmetrize(edges)
-    df = edges.to_pandas()
-    s, d, ids = densify(
-        df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+    edges = edges.materialize()
+    mapping = dense_id_mapping_ds(edges).materialize()
+    n = mapping.count()
+    dense = remap_edges_dense(edges, mapping)
+    engine = GraphEngine.from_dataset(
+        dense, n=n, P=P, num_cpus_per_shard=num_cpus_per_shard
     )
-    engine = GraphEngine.from_arrays(
-        s, d, n=len(ids), P=P, num_cpus_per_shard=num_cpus_per_shard
+    return engine, mapping
+
+
+def _state_with_hash_ids(
+    engine: GraphEngine,
+    mapping: "ray.data.Dataset",
+    state_name: str,
+) -> "ray.data.Dataset":
+    """engine state (dense vertex ids) ⋈ mapping → (vertex hash id,
+    value) — the Dataset-native inverse of the dense remap."""
+    state = engine.state_dataset([state_name]).rename_columns(
+        ["dense_id", state_name]
     )
-    return engine, ids
+    joined = state.join(
+        mapping,
+        join_type="inner",
+        num_partitions=2,
+        on=("dense_id",),
+    )
+    return joined.select_columns(["vertex", state_name])
 
 
 def corpus_pagerank(
@@ -196,55 +222,97 @@ def corpus_pagerank(
 ) -> tuple[pa.Table, PageRankResult]:
     """PageRank over the import graph; returns (vertex_hash_id, pr) table
     + run stats. Note: per the BASELINE metric, conv defaults to 1e-6."""
-    engine, ids = build_engine_from_corpus(corpus, P=P)
+    engine, mapping = build_engine_from_corpus(corpus, P=P)
     res = pagerank(engine, alpha=alpha, conv=conv)
-    pr = engine.get_state_by_vertex("pr")
+    out = _state_with_hash_ids(engine, mapping, "pr")
+    # Small-result escape hatch (≙ PinnedVector): rankings are O(n) and
+    # the caller asked for a table.
+    tbl = pa.concat_tables(
+        ray.get(out.to_arrow_refs())
+    ).combine_chunks()
     engine.shutdown()
-    return pa.table({"vertex": ids, "pr": pr}), res
+    return tbl.select(["vertex", "pr"]), res
 
 
 def corpus_components(
     corpus: "ray.data.Dataset", P: int = 8
 ) -> pa.Table:
-    engine, ids = build_engine_from_corpus(corpus, P=P, symmetric=True)
+    engine, mapping = build_engine_from_corpus(corpus, P=P, symmetric=True)
     connected_components(engine)
-    labels = engine.get_state_by_vertex("label").astype(np.int64)
-    engine.shutdown()
-    # Dense label → stable hash id of the component representative.
-    return pa.table(
-        {"vertex": ids, "component": ids[labels]}
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dense_id": batch.column("vertex").cast(pa.int64()),
+                "label_dense": batch.column("label").cast(pa.int64()),
+            }
+        )
+
+    labels = engine.state_dataset(["label"]).map_batches(
+        to_int, batch_format="pyarrow"
     )
+    # Two joins: dense vertex → hash id, dense component label → hash id
+    # of the representative (materialize between — chained lazy joins
+    # trip Ray 2.49's hash-join operator).
+    j1 = labels.join(
+        mapping, join_type="inner", num_partitions=2, on=("dense_id",)
+    ).materialize()
+    m2 = mapping.rename_columns(["component", "label_dense"])
+    j2 = j1.select_columns(["vertex", "label_dense"]).join(
+        m2, join_type="inner", num_partitions=2, on=("label_dense",)
+    )
+    tbl = pa.concat_tables(
+        ray.get(
+            j2.select_columns(["vertex", "component"]).to_arrow_refs()
+        )
+    ).combine_chunks()
+    engine.shutdown()
+    return tbl.select(["vertex", "component"])
 
 
 def flagship(sf_scale: float = 0.001) -> "ray.data.Dataset":
     """The ``entry()`` pipeline: synthesize a corpus sized off the sf
     (deterministic), verify the sha256 invariant en route, extract the
-    import graph, PageRank it, and return (repo, path, pr) ranked."""
+    import graph, PageRank it, and return (repo, path, pr) — scores
+    joined back by stable hash id (a Dataset join, not a driver map)."""
     n_repos = max(2, int(20 * (sf_scale / 0.001)))
     corpus = synth_corpus(n_repos=n_repos, files_per_repo=60, seed=42)
     pr_table, _ = corpus_pagerank(corpus, P=4)
-    # Join ranks back to (repo, path) via the stable hash id.
-    pr_map = dict(
-        zip(
-            pr_table.column("vertex").to_pylist(),
-            pr_table.column("pr").to_pylist(),
-        )
-    )
-    pr_ref = ray.put(pr_map)
+    pr_ds = ray.data.from_arrow(pr_table)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(pr_ref)
+    def with_id(batch: pa.Table) -> pa.Table:
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
-        prs = [
-            m.get(_stable_id(r, p), 0.0) for r, p in zip(repos, paths)
-        ]
+        ids = np.fromiter(
+            (_stable_id(r, p) for r, p in zip(repos, paths)),
+            dtype=np.int64,
+            count=len(repos),
+        )
         return pa.table(
             {
                 "repo": batch.column("repo"),
                 "path": batch.column("path"),
-                "pr": pa.array(prs, pa.float64()),
+                "vertex": pa.array(ids),
             }
         )
 
-    return corpus.map_batches(attach, batch_format="pyarrow")
+    files = corpus.map_batches(with_id, batch_format="pyarrow")
+    joined = files.join(
+        pr_ds, join_type="left_outer", num_partitions=2, on=("vertex",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pr = pc.fill_null(
+            batch.column("pr").cast(pa.float64()), 0.0
+        )
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "pr": pr,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

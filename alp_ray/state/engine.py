@@ -113,12 +113,22 @@ class GraphShard:
         edges: tuple[np.ndarray, np.ndarray, np.ndarray | None] | None = None,
         parquet_path: str | None = None,
         synth: dict | None = None,
+        deferred: bool = False,
     ) -> None:
         self.part = part
         self.P = P
         self.n = n
         self.n_local = local_size(n, P, part)
         self.state: dict[str, np.ndarray] = {}
+        if deferred:
+            # Streaming ingest (GraphEngine.from_dataset): edge chunks
+            # arrive via ingest_block from map_batches workers — through
+            # the object store, never the driver — then finalize_build
+            # compresses once (≙ buildMatrixUnique's PARALLEL IOMode with
+            # each process receiving its partition of the nonzero
+            # stream, base/io.hpp:1336 + iomode.hpp).
+            self._pending: list[tuple] = []
+            return
         if synth is not None:
             # Parallel synthetic build: each shard deterministically
             # generates its own residue class of a zipf-skewed random
@@ -149,6 +159,40 @@ class GraphShard:
         else:
             src, dst, w = edges
         self._build(src, dst, w)
+
+    def ingest_block(
+        self, src: np.ndarray, dst: np.ndarray, w: np.ndarray | None
+    ) -> int:
+        self._pending.append((src, dst, w))
+        return int(src.size)
+
+    def finalize_build(self) -> int:
+        """Concatenate ingested chunks, build compressed storage, free
+        the staging buffers. Returns this shard's edge count."""
+        if self._pending:
+            src = np.concatenate([p[0] for p in self._pending])
+            dst = np.concatenate([p[1] for p in self._pending])
+            ws = [p[2] for p in self._pending]
+            w = (
+                np.concatenate(ws)
+                if all(x is not None for x in ws)
+                else None
+            )
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+            w = None
+        self._pending = []
+        self._build(src, dst, w)
+        return self.m_local
+
+    def state_table(self, names: list[str]) -> pa.Table:
+        """(vertex, *state columns) as one Arrow block — stays in the
+        object store (callers wrap the refs in a Dataset)."""
+        cols: dict = {"vertex": self.vertex_ids()}
+        for nm in names:
+            cols[nm] = self.state[nm]
+        return pa.table(cols)
 
     def _build(
         self, src: np.ndarray, dst: np.ndarray, w: np.ndarray | None
@@ -477,6 +521,48 @@ class GraphShard:
         return bundle, post_scalars
 
 
+class _ShardIngest:
+    """map_batches stage routing each edge block's P slices straight to
+    the owning GraphShard actors (worker → object store → actor; the
+    driver never touches edge data). The per-batch ray.get provides
+    backpressure and guarantees every chunk has landed by the time the
+    Dataset is fully consumed."""
+
+    def __init__(self, shards: list, P: int, weighted: bool) -> None:
+        self.shards = shards
+        self.P = P
+        self.weighted = weighted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), np.int64)
+        dst = np.asarray(batch.column("dst"), np.int64)
+        w = (
+            np.asarray(batch.column("weight"), np.float64)
+            if self.weighted
+            else None
+        )
+        part = src % self.P
+        order = np.argsort(part, kind="stable")
+        src, dst, part = src[order], dst[order], part[order]
+        if w is not None:
+            w = w[order]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        refs = []
+        for p in range(self.P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                refs.append(
+                    self.shards[p].ingest_block.remote(
+                        src[lo:hi],
+                        dst[lo:hi],
+                        w[lo:hi] if w is not None else None,
+                    )
+                )
+        if refs:
+            ray.get(refs)
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
+
+
 class GraphEngine:
     """Driver-side handle over P GraphShard actors.
 
@@ -558,6 +644,44 @@ class GraphEngine:
         return cls(shards, P, n, int(sum(ms)))
 
     @classmethod
+    def from_dataset(
+        cls,
+        edges: "ray.data.Dataset",
+        n: int,
+        P: int = 8,
+        weighted: bool = False,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Streaming distributed build from an edge Dataset — the
+        Dataset-native ingestion path: each map_batches worker routes its
+        block's ``src % P`` slices directly to the owning shard actors,
+        so edge data flows worker → object store → shard and the driver
+        holds only handles and counters. ≙ PARALLEL IOMode ingestion
+        (iomode.hpp; reference/matrix.hpp:245-293 parallel CRS build)
+        without the reference's per-process file re-scan."""
+        import ray.data  # noqa: F401  (Dataset type only)
+
+        P = max(1, min(P, n)) if n > 0 else 1
+        shards = [
+            GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                p, P, n, deferred=True
+            )
+            for p in range(P)
+        ]
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        edges.map_batches(
+            _ShardIngest,
+            fn_constructor_args=(shards, P, weighted),
+            batch_format="pyarrow",
+            concurrency=(1, max(2, cpus)),
+        ).sum("n")
+        ms = ray.get([s.finalize_build.remote() for s in shards])
+        return cls(shards, P, n, int(sum(ms)))
+
+    @classmethod
     def from_partitioned_parquet(
         cls, path: str, n: int, m: int, P: int,
         num_cpus_per_shard: float = 0,
@@ -602,19 +726,13 @@ class GraphEngine:
         return out
 
     def state_dataset(self, names: list[str]) -> "ray.data.Dataset":
-        """Vertex state as a Dataset (vertex + one column per name) without
-        a driver copy: one block per shard."""
+        """Vertex state as a Dataset (vertex + one column per name)
+        without a driver copy: one block per shard, built ON the shard
+        and wrapped by ObjectRef — the data never lands on the driver."""
         import ray.data
 
-        def shard_table(s, names=tuple(names)):
-            ids = ray.get(s.vertex_ids.remote())
-            cols = {"vertex": ids}
-            for nm in names:
-                cols[nm] = ray.get(s.get_state.remote(nm))
-            return pa.table(cols)
-
-        tables = [shard_table(s) for s in self.shards]
-        return ray.data.from_arrow(tables)
+        refs = [s.state_table.remote(list(names)) for s in self.shards]
+        return ray.data.from_arrow_refs(refs)
 
     def map_local(self, fn: Callable, scalars: dict | None = None) -> list:
         fb = pickle.dumps(fn)

@@ -50,7 +50,11 @@ def corpus_pagerank_bench(sf: float, P: int, conv: float = 1e-6) -> dict:
     P adapts to edge count (tiny graphs are latency-bound at high P)."""
     import ray
 
-    from alp_ray.pipelines.code_graph import corpus_to_edge_ids, densify
+    from alp_ray.pipelines.code_graph import (
+        corpus_to_edge_ids,
+        dense_id_mapping_ds,
+        remap_edges_dense,
+    )
     from alp_ray.pipelines.pagerank import pagerank
     from alp_ray.sources.corpus import synth_corpus
     from alp_ray.state.engine import GraphEngine
@@ -60,13 +64,16 @@ def corpus_pagerank_bench(sf: float, P: int, conv: float = 1e-6) -> dict:
     corpus = synth_corpus(
         n_repos=n_repos, files_per_repo=fpr, seed=42, import_factor=6
     )
-    df = corpus_to_edge_ids(corpus).to_pandas()
-    s_arr, d_arr, ids = densify(
-        df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
-    )
-    P = int(np.clip(len(s_arr) // 50_000, 4, P))
-    engine = GraphEngine.from_arrays(
-        s_arr, d_arr, n=len(ids), P=P, num_cpus_per_shard=0
+    # Dataset-native chain: hash-id edges → dense-id mapping → remap →
+    # streaming shard ingest. No edge table ever lands on the driver.
+    edges = corpus_to_edge_ids(corpus).materialize()
+    m_edges = edges.count()
+    P = int(np.clip(m_edges // 50_000, 4, P))
+    mapping = dense_id_mapping_ds(edges).materialize()
+    n_v = mapping.count()
+    dense = remap_edges_dense(edges, mapping)
+    engine = GraphEngine.from_dataset(
+        dense, n=n_v, P=P, num_cpus_per_shard=0
     )
     build_s = time.perf_counter() - t0
     # Warm the actor pool (cold numpy import etc.), then measure.
@@ -139,20 +146,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # 3. Derived-edge graph algorithms at this sf.
     from alp_ray.pipelines.components import connected_components
     from alp_ray.pipelines.triangles import triangle_count
-    from alp_ray.sources.tables import derived_edges, edges_to_arrays
+    from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
     t0 = time.perf_counter()
     edges = symmetrize(derived_edges(sf_dir, mod=20011, sparse=False))
-    src, dst, _ = edges_to_arrays(edges)
-    eng = GraphEngine.from_arrays(src, dst, n=20011, P=P,
-                                  num_cpus_per_shard=0)
+    eng = GraphEngine.from_dataset(edges, n=20011, P=P,
+                                   num_cpus_per_shard=0)
     cc_res = connected_components(eng)
     eng.shutdown()
     queries["connected_components"] = round(time.perf_counter() - t0, 3)
     extras["connected_components"] = {
-        "edges": len(src), "iterations": cc_res.iterations
+        "edges": eng.m, "iterations": cc_res.iterations
     }
 
     t0 = time.perf_counter()
