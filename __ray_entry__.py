@@ -50,6 +50,14 @@ _LP_K = 12       # thresholded label-propagation steps (fixpoint-safe)
 _LPA_K = 5       # community LPA steps (fixpoint-safe)
 
 
+def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """DuckDB-compatible ROUND (half away from zero) for nonnegative
+    values — np.round is banker's and differs exactly on the dyadic
+    rationals (k/2^m) that quality scores land on."""
+    p = 10.0 ** nd
+    return np.floor(np.asarray(x, np.float64) * p + 0.5) / p
+
+
 def _cast(ds, types: dict[str, pa.DataType], round6: tuple[str, ...] = ()):
     def fn(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -273,7 +281,7 @@ def _q_pagerank(sf_dir: str):
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "pr": pa.array(np.round(pr, 7)),
+            "pr": pa.array(_round_half_away(pr, 7)),
         }
     )
 
@@ -748,9 +756,182 @@ def _q_quality(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return docs.map_batches(
+    out = docs.map_batches(
         QualityScoreStage, batch_format="pyarrow", concurrency=(1, 4)
-    ).select_columns(["doc_id", "q_score", "q_n_chars"])
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "q_score": pa.array(
+                    _round_half_away(
+                        np.asarray(batch.column("q_score"), np.float64), 6
+                    )
+                ),
+                "q_n_chars": batch.column("q_n_chars"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ------------------------------------------------- unrolled SQL twins --
+#
+# Iterative algorithms get DuckDB oracles by unrolling a FIXED number of
+# synchronous updates as chained CTEs (the pattern proven by sssp_hops4 /
+# the recursive-CTE CC oracle). FP care: every scalar expression mirrors
+# the numpy kernel's operation ORDER (e.g. `val * (0.85 / c)` — scale
+# first — and `s * (1.0/d)` for the Kamvar threshold), so both sides run
+# the same IEEE ops; only reduction order differs, which the 6/7-decimal
+# rounding absorbs (sums are exact integers in labelprop/LPA).
+
+_E_SPARSE601 = (
+    "SELECT DISTINCT l_orderkey % {m} AS src, "
+    "(l_partkey * 7 + l_suppkey) % {m} AS dst "
+    "FROM lineitem WHERE l_linenumber = 1 "
+    "AND l_orderkey % {m} != (l_partkey * 7 + l_suppkey) % {m}"
+).format(m=MOD_DENSE)
+
+
+def _pagerank_sql(K: int) -> str:
+    """simple_pagerank semantics (α=0.85, dangling mass, uniform
+    teleport), K unrolled power steps — matches _q_pagerank's fixed-K
+    run step for step."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e "
+        "GROUP BY src), ",
+        f"pr0 AS MATERIALIZED (SELECT v, CAST(1.0/{MOD_DENSE} AS DOUBLE) "
+        "AS val FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f", pr{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "COALESCE(y.s, 0.0) + (0.85 * COALESCE((SELECT SUM(p.val) "
+            f"FROM {p} p LEFT JOIN outdeg d ON d.src = p.v "
+            "WHERE d.src IS NULL), 0.0) + (1.0 - 0.85)) "
+            f"/ {MOD_DENSE}.0 AS val "
+            "FROM verts v LEFT JOIN ("
+            "SELECT e.dst AS v, SUM(p.val * (0.85 / d.c)) AS s "
+            f"FROM {p} p JOIN e ON e.src = p.v "
+            "JOIN outdeg d ON d.src = p.v "
+            "GROUP BY e.dst) y ON y.v = v.v)"
+        )
+    parts.append(f" SELECT v AS vertex, ROUND(val, 7) AS pr FROM pr{K}")
+    return "".join(parts)
+
+
+def _labelprop_sql(K: int) -> str:
+    """Kamvar thresholded propagation over the symmetric weighted sparse
+    graph, K unrolled steps (fixpoint-idempotent, so K ≥ the Ray side's
+    early-converged iteration count also matches)."""
+    es = (
+        "SELECT src, dst, CAST((src + dst) % 10 + 1 AS DOUBLE) AS weight "
+        f"FROM (SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE}))"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_SPARSE})), ",
+        "dsum AS MATERIALIZED (SELECT dst AS v, SUM(weight) AS d FROM es "
+        "GROUP BY dst), ",
+        "f0 AS MATERIALIZED (SELECT v, CASE WHEN v < 20 "
+        "THEN CAST(v % 2 AS DOUBLE) ELSE 0.0 END AS f FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"f{k - 1}"
+        parts.append(
+            f", f{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "CASE WHEN v.v < 20 THEN CAST(v.v % 2 AS DOUBLE) "
+            "WHEN COALESCE(y.s, 0.0) * COALESCE(1.0 / d.d, 0.0) >= 0.5 "
+            "THEN 1.0 ELSE 0.0 END AS f "
+            "FROM verts v "
+            "LEFT JOIN (SELECT e.dst AS v, SUM(p.f * e.weight) AS s "
+            f"FROM {p} p JOIN es e ON e.src = p.v GROUP BY e.dst) y "
+            "ON y.v = v.v "
+            "LEFT JOIN dsum d ON d.v = v.v)"
+        )
+    parts.append(
+        f" SELECT v AS vertex, CAST(f AS BIGINT) AS label FROM f{K}"
+    )
+    return "".join(parts)
+
+
+def _community_lpa_sql(K: int) -> str:
+    """Synchronous community LPA (argmax in-neighbour label count, ties →
+    smallest label, no-in-neighbour keeps), K unrolled steps."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE601}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE601})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT e.dst AS v, p.lab AS lab, "
+            "COUNT(*) AS c "
+            f"FROM {p} p JOIN es e ON e.src = p.v GROUP BY e.dst, p.lab)"
+            f", b{k} AS (SELECT v, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM c{k})"
+            f", l{k} AS (SELECT v.v AS v, COALESCE(b.lab, p.lab) AS lab "
+            "FROM verts v "
+            f"LEFT JOIN (SELECT v, lab FROM b{k} WHERE rn = 1) b "
+            "ON b.v = v.v "
+            f"JOIN {p} p ON p.v = v.v)"
+        )
+    parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
+    return "".join(parts)
+
+
+def _quality_sql() -> str:
+    from alp_ray.stages.text import _STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "GREATEST(length(text), 1) AS L, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters, "
+        "length(regexp_extract_all(text, '[A-Za-z]+')) AS n_words, "
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+        "AS punct_n, "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_n, "
+        "length(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        f"w -> w IN ({stop_list}))) AS stop_n "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "ROUND(LEAST(GREATEST("
+        "0.25 * LEAST(GREATEST((CASE WHEN n_words > 0 THEN "
+        "CAST(letters AS DOUBLE) / n_words ELSE 0.0 END) / 6.0, 0.0), 1.0)"
+        " + 0.25 * LEAST(GREATEST(1.0 - (CAST(punct_n AS DOUBLE) / L) * 4"
+        ", 0.0), 1.0)"
+        " + 0.25 * LEAST(GREATEST(1.0 - (CAST(digit_n AS DOUBLE) / L) * 4"
+        ", 0.0), 1.0)"
+        " + 0.25 * LEAST(GREATEST((CASE WHEN n_words > 0 THEN "
+        "CAST(stop_n AS DOUBLE) / n_words ELSE 0.0 END) * 3, 0.0), 1.0)"
+        ", 0.0), 1.0), 6) AS q_score, "
+        "n_chars AS q_n_chars FROM s"
+    )
+
+
+_FINGERPRINT_SQL = (
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(regexp_replace(regexp_replace("
+    "text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), '.'), "
+    "c -> CAST(ord(c) AS BIGINT))), "
+    "(h, c) -> (h * 1000003 + c) % 2147483647) AS fingerprint "
+    "FROM documents"
+)
 
 
 def entry() -> Any:
@@ -961,4 +1142,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(SQRT(SUM(v * v)), 6) AS norm2 FROM ("
             "  SELECT UNNEST(embedding) AS v FROM embeddings)"
         ),
+        "pagerank": _pagerank_sql(_PR_K),
+        "labelprop": _labelprop_sql(_LP_K),
+        "community_lpa": _community_lpa_sql(_LPA_K),
+        "quality_scores": _quality_sql(),
+        "fingerprints": _FINGERPRINT_SQL,
     }

@@ -55,34 +55,57 @@ _STOPWORDS = (
 
 class QualityScoreStage:
     """Heuristic quality signals: length, mean word length, punctuation /
-    digit / uppercase / stopword ratios, and a composite score in [0,1]."""
+    digit / uppercase / stopword ratios, and a composite score in [0,1].
+
+    Fully vectorized over the Arrow string column: per-char classes are
+    ``pc.count_substring_regex`` counts, stopword membership is a
+    flattened-list ``pc.is_in`` + ``np.add.reduceat`` segment sum — no
+    per-row Python. The regex definitions (words = ``[A-Za-z]+`` runs,
+    punct = ``[^A-Za-z0-9\\s]``) are the spec and match the DuckDB
+    oracle twin character-class for character-class."""
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self._word = re.compile(r"[A-Za-z]+")
-        self._stop = frozenset(_STOPWORDS)
+        self._stop_set = pa.array(_STOPWORDS, pa.string())
+
+    def _counts(self, text: pa.ChunkedArray, pattern: str) -> np.ndarray:
+        return np.asarray(
+            pc.count_substring_regex(text, pattern), dtype=np.float64
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        mean_wlen = np.zeros(n)
-        punct = np.zeros(n)
-        digit = np.zeros(n)
-        upper = np.zeros(n)
-        stop = np.zeros(n)
-        for i, t in enumerate(texts):
-            L = max(len(t), 1)
-            n_chars[i] = len(t)
-            words = self._word.findall(t)
-            if words:
-                mean_wlen[i] = sum(map(len, words)) / len(words)
-                stop[i] = sum(
-                    1 for w in words if w.lower() in self._stop
-                ) / len(words)
-            punct[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / L
-            digit[i] = sum(c.isdigit() for c in t) / L
-            upper[i] = sum(c.isupper() for c in t) / L
+        text = batch.column(self.text_col)
+        n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        letters = self._counts(text, "[A-Za-z]")
+        n_words = self._counts(text, "[A-Za-z]+")
+        punct_n = self._counts(text, r"[^A-Za-z0-9\s]")
+        digit_n = self._counts(text, "[0-9]")
+        upper_n = self._counts(text, "[A-Z]")
+        # Stopword hits: lowercase → split on non-letter runs → flat
+        # membership test → per-document segment sum.
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(text), "[^a-z]+"
+        ).combine_chunks()
+        flat_hit = pc.is_in(
+            words.flatten(), value_set=self._stop_set
+        ).cast(pa.int8())
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        hits = np.asarray(flat_hit, dtype=np.int8)
+        if hits.size:
+            seg = np.add.reduceat(
+                hits.astype(np.int64), np.minimum(offsets[:-1], hits.size - 1)
+            )
+            seg[offsets[:-1] == offsets[1:]] = 0
+            stop_n = seg.astype(np.float64)
+        else:
+            stop_n = np.zeros(len(n_chars))
+        L = np.maximum(n_chars, 1).astype(np.float64)
+        has_w = n_words > 0
+        mean_wlen = np.where(has_w, letters / np.maximum(n_words, 1), 0.0)
+        stop = np.where(has_w, stop_n / np.maximum(n_words, 1), 0.0)
+        punct = punct_n / L
+        digit = digit_n / L
+        upper = upper_n / L
         score = np.clip(
             0.25 * (mean_wlen / 6.0).clip(0, 1)
             + 0.25 * (1 - punct * 4).clip(0, 1)
@@ -105,58 +128,121 @@ class QualityScoreStage:
         return out
 
 
+def _tri_key(c0: np.ndarray, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """Pack a codepoint trigram into one int64 (codepoints < 2^21)."""
+    return (
+        c0.astype(np.int64)
+        | (c1.astype(np.int64) << 21)
+        | (c2.astype(np.int64) << 42)
+    )
+
+
 class LangIdStage:
-    """Character-trigram-profile language ID (heuristic n-gram scorer)."""
+    """Character-trigram-profile language ID (heuristic n-gram scorer).
+
+    Vectorized: the batch's texts are lowered and concatenated into one
+    codepoint array (utf-32 view), trigram windows are packed int64 keys,
+    per-language hits are a sorted ``np.isin`` + per-document
+    ``reduceat`` — no per-row or per-trigram Python. Semantics identical
+    to the per-char definition (trigrams over CHARACTERS, profile match,
+    best score, 0.01 threshold)."""
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.profiles = {
-            lang: frozenset(tris) for lang, tris in _LANG_PROFILES.items()
-        }
+        self.langs = sorted(_LANG_PROFILES)
+        self.prof_keys = []
+        for lang in self.langs:
+            ks = []
+            for tri in _LANG_PROFILES[lang]:
+                cs = np.frombuffer(
+                    tri.encode("utf-32-le"), dtype=np.uint32
+                )
+                ks.append(int(_tri_key(cs[0:1], cs[1:2], cs[2:3])[0]))
+            self.prof_keys.append(np.sort(np.array(ks, np.int64)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        langs, confs = [], []
-        for t in texts:
-            tl = t.lower()
-            tris = [tl[i : i + 3] for i in range(max(len(tl) - 2, 0))]
-            if not tris:
-                langs.append("und")
-                confs.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles.items():
-                hits = sum(1 for tr in tris if tr in prof)
-                score = hits / len(tris)
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang if best > 0.01 else "und")
-            confs.append(best)
+        n = len(texts)
+        lowered = [t.lower() for t in texts]
+        lens = np.array([len(t) for t in lowered], np.int64)
+        flat = (
+            np.frombuffer(
+                "".join(lowered).encode("utf-32-le"), dtype=np.uint32
+            )
+            if n
+            else np.empty(0, np.uint32)
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_tris = np.maximum(lens - 2, 0)
+        if flat.size >= 3:
+            keys_all = _tri_key(flat[:-2], flat[1:-1], flat[2:])
+            # Valid windows: those not crossing a document boundary.
+            tri_starts = starts[:, None]  # per doc
+            idx = [
+                keys_all[s : s + c]
+                for s, c in zip(starts, n_tris)
+            ]
+            keys = np.concatenate(idx) if idx else np.empty(0, np.int64)
+        else:
+            keys = np.empty(0, np.int64)
+        tri_offs = np.concatenate([[0], np.cumsum(n_tris)])
+        scores = np.zeros((len(self.langs), n))
+        for li, prof in enumerate(self.prof_keys):
+            if keys.size:
+                pos = np.searchsorted(prof, keys)
+                pos = np.clip(pos, 0, prof.size - 1)
+                hit = (prof[pos] == keys).astype(np.int64)
+                seg = np.add.reduceat(
+                    hit, np.minimum(tri_offs[:-1], max(hit.size - 1, 0))
+                )
+                seg[tri_offs[:-1] == tri_offs[1:]] = 0
+            else:
+                seg = np.zeros(n, np.int64)
+            scores[li] = np.where(
+                n_tris > 0, seg / np.maximum(n_tris, 1), 0.0
+            )
+        best_i = scores.argmax(axis=0)
+        best = scores[best_i, np.arange(n)] if n else np.empty(0)
+        langs_arr = np.array(self.langs, object)[best_i]
+        langs_out = np.where(best > 0.01, langs_arr, "und")
         return batch.append_column(
-            "lang_pred", pa.array(langs, pa.string())
-        ).append_column("lang_conf", pa.array(confs, pa.float64()))
+            "lang_pred", pa.array(list(langs_out), pa.string())
+        ).append_column("lang_conf", pa.array(best, pa.float64()))
 
 
 class FingerprintStage:
-    """64-bit document fingerprint via polynomial rolling hash of the
-    whitespace-normalized text (deterministic, order-sensitive)."""
+    """Document fingerprint via polynomial rolling hash of the
+    whitespace-normalized text (deterministic, order-sensitive):
+    ``h = (h·B + codepoint) mod (2³¹−1)`` — the Mersenne-31 modulus
+    keeps every intermediate below 2⁵² so the Horner recurrence runs
+    vectorized in int64 across the whole batch (one numpy step per char
+    POSITION, not per char), and the DuckDB twin's ``list_reduce`` over
+    BIGINT computes the identical value."""
 
     BASE = 1000003
-    MOD = (1 << 61) - 1
+    MOD = (1 << 31) - 1
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
         self._ws = re.compile(r"\s+")
 
-    def _fp(self, t: str) -> int:
-        h = 0
-        for ch in self._ws.sub(" ", t.strip()):
-            h = (h * self.BASE + ord(ch)) % self.MOD
-        return h
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        fps = np.fromiter(
-            (self._fp(t) for t in texts), dtype=np.int64, count=len(texts)
+        n = len(texts)
+        norm = [self._ws.sub(" ", t.strip()) for t in texts]
+        lens = np.array([len(t) for t in norm], np.int64)
+        flat = (
+            np.frombuffer(
+                "".join(norm).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if n
+            else np.empty(0, np.int64)
         )
-        return batch.append_column("fingerprint", pa.array(fps))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else []
+        h = np.zeros(n, np.int64)
+        max_len = int(lens.max()) if n else 0
+        for j in range(max_len):
+            active = lens > j
+            idx = starts[active] + j
+            h[active] = (h[active] * self.BASE + flat[idx]) % self.MOD
+        return batch.append_column("fingerprint", pa.array(h))

@@ -1,0 +1,99 @@
+"""Vectorized text-stage kernels vs naive per-char Python oracles.
+
+The vectorized Arrow/numpy implementations in alp_ray.stages.text are
+the production kernels; these tests pin their semantics to the obvious
+per-row definitions (the round-1 implementations) on tricky inputs:
+empty strings, whitespace-only, punctuation/digit/upper mixes, and
+multiple languages."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from alp_ray.stages.text import (
+    _LANG_PROFILES,
+    _STOPWORDS,
+    FingerprintStage,
+    LangIdStage,
+    QualityScoreStage,
+)
+
+TEXTS = [
+    "the cat sat on the mat and the dog ran to the house",
+    "key agg row scan slow fast table value part hash",
+    "",
+    "   ",
+    "a",
+    "der die das ein und sch ich nicht",
+    "Hello, World! 123 Testing... UPPER case? yes-no_maybe",
+    "une de la le les et que pour dans ce qui",
+    "12345 67890 !!!",
+]
+
+
+def _table():
+    return pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS})
+
+
+def test_quality_matches_naive():
+    out = QualityScoreStage()(_table())
+    word_re = re.compile(r"[A-Za-z]+")
+    stop = frozenset(_STOPWORDS)
+    for i, s in enumerate(TEXTS):
+        L = max(len(s), 1)
+        words = word_re.findall(s)
+        mw = sum(map(len, words)) / len(words) if words else 0.0
+        st = (
+            sum(1 for w in words if w.lower() in stop) / len(words)
+            if words
+            else 0.0
+        )
+        pu = len(re.findall(r"[^A-Za-z0-9\s]", s)) / L
+        di = len(re.findall(r"[0-9]", s)) / L
+        sc = float(
+            np.clip(
+                0.25 * np.clip(mw / 6.0, 0, 1)
+                + 0.25 * np.clip(1 - pu * 4, 0, 1)
+                + 0.25 * np.clip(1 - di * 4, 0, 1)
+                + 0.25 * np.clip(st * 3, 0, 1),
+                0,
+                1,
+            )
+        )
+        assert abs(out.column("q_mean_word_len")[i].as_py() - mw) < 1e-12
+        assert abs(out.column("q_stopword_ratio")[i].as_py() - st) < 1e-12
+        assert abs(out.column("q_punct_ratio")[i].as_py() - pu) < 1e-12
+        assert abs(out.column("q_digit_ratio")[i].as_py() - di) < 1e-12
+        assert abs(out.column("q_score")[i].as_py() - sc) < 1e-12
+        assert out.column("q_n_chars")[i].as_py() == len(s)
+
+
+def test_langid_matches_naive():
+    out = LangIdStage()(_table())
+    langs_sorted = sorted(_LANG_PROFILES)
+    for i, s in enumerate(TEXTS):
+        tl = s.lower()
+        tris = [tl[j : j + 3] for j in range(max(len(tl) - 2, 0))]
+        scores = [
+            (
+                sum(1 for tr in tris if tr in set(_LANG_PROFILES[lang]))
+                / len(tris)
+                if tris
+                else 0.0
+            )
+            for lang in langs_sorted
+        ]
+        bi = int(np.argmax(scores))
+        exp = langs_sorted[bi] if scores[bi] > 0.01 else "und"
+        assert out.column("lang_pred")[i].as_py() == exp
+        assert abs(out.column("lang_conf")[i].as_py() - scores[bi]) < 1e-12
+
+
+def test_fingerprint_matches_naive_horner():
+    out = FingerprintStage()(_table())
+    for i, s in enumerate(TEXTS):
+        h = 0
+        for ch in re.sub(r"\s+", " ", s.strip()):
+            h = (h * 1000003 + ord(ch)) % ((1 << 31) - 1)
+        assert out.column("fingerprint")[i].as_py() == h
