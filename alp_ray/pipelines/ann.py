@@ -85,7 +85,13 @@ def cosine_topk(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    # Final combine: partials are ≤ k rows per (query, block) — tiny.
+    return _combine_topk(partials, k, id_col)
+
+
+def _combine_topk(
+    partials: "ray.data.Dataset", k: int, id_col: str
+) -> pa.Table:
+    """Final combine: partials are ≤ k rows per (query, block) — tiny."""
     heaps: dict[int, list] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
         qs = np.asarray(b.column("query"))
@@ -121,9 +127,15 @@ def build_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_path: str | None = None,
 ):
     """Coarse quantizer (mini k-means on a sample) + bucketed dataset.
-    Returns (centroids, bucketed_ds with 'bucket' column)."""
+    Returns (centroids, bucketed_ds with 'bucket' column).
+
+    ``persist_path``: optionally write the bucketed vectors as
+    hive-partitioned parquet on ``bucket`` — the storage layout that
+    makes ``ivf_topk_from_store`` prune NON-PROBED BUCKETS AT THE READ
+    (partition filter), not post-scan."""
     sample = emb.limit(sample_size).to_pandas()
     X = np.array(sample[vec_col].tolist(), dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -142,11 +154,68 @@ def build_ivf(
         Cm = ray.get(cref)
         V = _as_matrix(batch.column(vec_col))
         d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
-        return batch.append_column(
-            "bucket", pa.array(d.argmin(1).astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: pa.array(
+                    V.tolist(), pa.list_(pa.float64(), V.shape[1])
+                ),
+                "bucket": pa.array(d.argmin(1).astype(np.int64)),
+            }
         )
 
-    return C, emb.map_batches(assign, batch_format="pyarrow")
+    bucketed = emb.map_batches(assign, batch_format="pyarrow")
+    if persist_path is not None:
+        bucketed.write_parquet(persist_path, partition_cols=["bucket"])
+    return C, bucketed
+
+
+class _IvfTopK:
+    """ONE pass over the bucketed vectors serving ALL queries: each
+    batch contributes partial top-k only to the queries probing that
+    row's bucket (vectorized mask per query)."""
+
+    def __init__(self, q_ref, probe_sets, k, id_col, vec_col) -> None:
+        self.Q = ray.get(q_ref)  # (nq, d) L2-normalized
+        self.probe = probe_sets  # list[np.ndarray] of bucket ids
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col))
+        out_q, out_id, out_sim = [], [], []
+        if ids.size:
+            bk = np.asarray(batch.column("bucket"), np.int64)
+            V = _as_matrix(batch.column(self.vec_col))
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            S = Vn @ self.Q.T  # (nb, nq)
+            for qi in range(self.Q.shape[0]):
+                sel = np.isin(bk, self.probe[qi])
+                if not sel.any():
+                    continue
+                sims = S[sel, qi]
+                sids = ids[sel]
+                kk = min(self.k, sims.size)
+                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_id.append(sids[top])
+                out_sim.append(sims[top])
+        if not out_q:
+            return pa.table(
+                {"query": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query": np.concatenate(out_q),
+                self.id_col: np.concatenate(out_id),
+                "cosine": np.concatenate(out_sim),
+            }
+        )
 
 
 def ivf_topk(
@@ -158,32 +227,63 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
-    """Approximate top-k probing only the nprobe nearest buckets per
-    query (prune at the read: non-probed buckets never leave storage)."""
+    """Approximate top-k: ONE scan serves every query; each query ranks
+    only rows of its ``nprobe`` nearest buckets. Per-batch partial
+    top-k + tiny driver combine (same shape as ``cosine_topk``)."""
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe = [
+        np.sort(np.argsort(d[qi])[:nprobe]) for qi in range(Q.shape[0])
+    ]
+    qref = ray.put(Qn)
+    partials = bucketed.map_batches(
+        _IvfTopK,
+        fn_constructor_args=(qref, probe, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _combine_topk(partials, k, id_col)
+
+
+def ivf_topk_from_store(
+    path: str,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF top-k over a hive-partitioned bucket store: the union of all
+    queries' probed buckets becomes a PARTITION FILTER on read_parquet,
+    so non-probed buckets never leave storage — prune at the read."""
+    import glob
+
+    import ray.data
+    from ray.data.datasource.partitioning import Partitioning
+
     Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-    probe = np.argsort(d, axis=1)[:, :nprobe]
-    tables = []
-    for qi in range(Q.shape[0]):
-        buckets = [int(b) for b in probe[qi]]
-
-        def probe_filter(batch: pa.Table, buckets=tuple(buckets)) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.is_in(
-                batch.column("bucket"),
-                value_set=pa.array(buckets, pa.int64()),
-            )
-            return batch.filter(mask)
-
-        sub = bucketed.map_batches(probe_filter, batch_format="pyarrow")
-        t = cosine_topk(sub, Q[qi : qi + 1], k=k, id_col=id_col,
-                        vec_col=vec_col)
-        t = t.set_column(
-            0, "query", pa.array(np.full(t.num_rows, qi, np.int64))
-        )
-        tables.append(t)
-    return pa.concat_tables(tables)
+    probe_union = sorted(
+        {int(b) for qi in range(Q.shape[0])
+         for b in np.argsort(d[qi])[:nprobe]}
+    )
+    # Partition-path pruning (Ray 2.49's parquet partition-filter
+    # pushdown is broken, so enumerate the probed bucket directories —
+    # non-probed buckets genuinely never leave storage).
+    files = [
+        f
+        for b in probe_union
+        for f in sorted(glob.glob(f"{path}/bucket={b}/*.parquet"))
+    ]
+    bucketed = ray.data.read_parquet(
+        files, partitioning=Partitioning("hive", base_dir=path)
+    )
+    return ivf_topk(
+        bucketed, centroids, Q, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 def norm2(emb: "ray.data.Dataset", vec_col: str = "embedding") -> float:

@@ -80,9 +80,14 @@ def _shingles(text: str, k: int) -> np.ndarray:
 class MinHashStage:
     """doc → (doc_id, minhash signature list). Permutations are the
     classic (a*x+b) mod p family over the Mersenne prime 2³¹−1, seeded
-    once per actor; 31-bit operands keep every product inside int64 so
-    the whole signature is one vectorized (shingles × perms) matmul-mod
-    (no Python bignum path)."""
+    once per actor; 31-bit operands keep every product inside int64.
+
+    Vectorized across the WHOLE batch: texts are concatenated into one
+    byte array, shingle keys for every window computed in one pass, and
+    each permutation chunk reduces per-document with
+    ``np.minimum.reduceat`` — no per-document Python in the hot path
+    (the min over windows equals the min over unique shingles, so the
+    per-doc ``np.unique`` of the naive form is unnecessary)."""
 
     P = (1 << 31) - 1
 
@@ -93,6 +98,7 @@ class MinHashStage:
         id_col: str = "doc_id",
         text_col: str = "text",
         seed: int = 42,
+        perm_chunk: int = 16,
     ) -> None:
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, self.P, size=num_perm).astype(np.int64)
@@ -101,26 +107,65 @@ class MinHashStage:
         self.num_perm = num_perm
         self.id_col = id_col
         self.text_col = text_col
+        self.perm_chunk = perm_chunk
+        self.pows = (
+            np.power(257, np.arange(self.k), dtype=np.int64) % _SHINGLE_P
+        )
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k) % self.P
-        # (a*x + b) mod p per permutation, min over shingles; a,x < 2³¹
-        # so a*x < 2⁶² fits int64 exactly.
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % self.P
         return vals.min(axis=0)
 
+    def _batch_signatures(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        encs = [" ".join(t.split()).lower().encode("utf-8") for t in texts]
+        lens = np.array([len(e) for e in encs], np.int64)
+        counts = np.maximum(lens - self.k + 1, 0)
+        sig = np.empty((n, self.num_perm), np.int64)
+        flat = (
+            np.frombuffer(b"".join(encs), dtype=np.uint8).astype(np.int64)
+            if n
+            else np.empty(0, np.int64)
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else []
+        total = int(counts.sum())
+        if total:
+            win = np.lib.stride_tricks.sliding_window_view(flat, self.k)
+            # Valid (non-boundary-crossing) window positions per doc.
+            woff = np.concatenate([[0], np.cumsum(counts)])
+            pos = (
+                np.repeat(starts, counts)
+                + np.arange(total)
+                - np.repeat(woff[:-1], counts)
+            )
+            keys = ((win[pos] * self.pows[None, :]).sum(axis=1)
+                    % _SHINGLE_P) % self.P
+            red_idx = np.minimum(woff[:-1], total - 1)
+            for c0 in range(0, self.num_perm, self.perm_chunk):
+                a = self.a[c0 : c0 + self.perm_chunk]
+                b = self.b[c0 : c0 + self.perm_chunk]
+                hv = (keys[:, None] * a[None, :] + b[None, :]) % self.P
+                sig[:, c0 : c0 + a.size] = np.minimum.reduceat(
+                    hv, red_idx, axis=0
+                )
+        # Short docs (< k bytes): single blake2b fallback shingle —
+        # identical to the naive path; also overwrites the garbage rows
+        # reduceat produces for empty segments.
+        for i in np.flatnonzero(counts == 0):
+            sh = _shingles(texts[i], self.k) % self.P
+            sig[i] = ((sh[:, None] * self.a + self.b) % self.P).min(0)
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        sigs = [
-            self.signature(t)
-            for t in batch.column(self.text_col).to_pylist()
-        ]
+        texts = batch.column(self.text_col).to_pylist()
+        sig = self._batch_signatures(texts)
         return pa.table(
             {
                 self.id_col: ids,
-                "sig": pa.array(
-                    [s.tolist() for s in sigs],
-                    pa.list_(pa.int64(), self.num_perm),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.ravel(), pa.int64()), self.num_perm
                 ),
             }
         )
@@ -161,68 +206,135 @@ def minhash_lsh_pairs(
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sig_arr = batch.column("sig").to_pylist()
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        for i, sig in zip(ids, sig_arr):
-            for b in range(bands):
-                chunk = np.asarray(sig[b * rows : (b + 1) * rows], np.int64)
-                hb = hashlib.blake2b(
-                    b.to_bytes(2, "little") + chunk.tobytes(),
-                    digest_size=8,
-                ).digest()
-                bucket = int.from_bytes(hb, "little") & 0x7FFFFFFFFFFFFFFF
-                out_id.append(i)
-                out_band.append(b)
-                out_bucket.append(bucket)
-                out_sig.append(sig)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        n = ids.size
+        sig_col = batch.column("sig").combine_chunks()
+        S = np.asarray(sig_col.flatten(), np.int64).reshape(n, num_perm)
+        # Per-band bucket key: two Mersenne-31 polynomial folds of the
+        # band's row chunk (band index as salt) packed into 62 bits —
+        # fully vectorized (n × bands), replacing the per-(doc, band)
+        # blake2b loop. Values < 2³¹ keep every product inside int64.
+        M31 = (1 << 31) - 1
+        buckets = np.empty((n, bands), np.int64)
+        for b in range(bands):
+            chunk = S[:, b * rows : (b + 1) * rows]
+            h1 = np.full(n, b + 1, np.int64)
+            h2 = np.full(n, 2 * b + 7, np.int64)
+            for j in range(chunk.shape[1]):
+                h1 = (h1 * 1000003 + chunk[:, j]) % M31
+                h2 = (h2 * 999979 + chunk[:, j]) % M31
+            buckets[:, b] = h1 | (h2 << 31)
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64(), num_perm)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(buckets.ravel()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.repeat(S, bands, axis=0).ravel(), pa.int64()
+                    ),
+                    num_perm,
+                ),
             }
         )
 
+    # Coarse partitioning: co-locate whole buckets under ``part =
+    # bucket % n_parts`` and process ALL of a partition's buckets in ONE
+    # vectorized call — 32 group invocations instead of one per bucket
+    # (Ray's per-group dispatch costs ~100 µs; corpora shed millions of
+    # buckets). At cluster scale raise ``n_parts`` to ≈ total cores.
+    n_parts = 32
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col))
-        if ids.size > max_bucket:
-            import logging
+    def tag(batch: pa.Table) -> pa.Table:
+        part = np.asarray(batch.column("bucket")) % n_parts
+        return batch.append_column("part", pa.array(part))
 
-            logging.getLogger(__name__).warning(
-                "minhash_lsh: dropping oversized bucket (%d > %d docs)",
-                ids.size, max_bucket,
-            )
-            ids = ids[:0]
-        if ids.size < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        sigs_m = np.array(group.column("sig").to_pylist())
-        order = np.argsort(ids)
-        ids, sigs_m = ids[order], sigs_m[order]
-        ia, ib = np.triu_indices(ids.size, 1)
-        est = (sigs_m[ia] == sigs_m[ib]).mean(axis=1)
+    tagged = buckets.map_batches(tag, batch_format="pyarrow")
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64())}
+    )
+
+    def emit_part(group: pa.Table) -> pa.Table:
+        ids_all = np.asarray(group.column(id_col), np.int64)
+        if ids_all.size == 0:
+            return empty_pairs
+        band_all = np.asarray(group.column("band"), np.int64)
+        bucket_all = np.asarray(group.column("bucket"), np.int64)
+        sig_col = group.column("sig").combine_chunks()
+        S_all = np.asarray(sig_col.flatten(), np.int64).reshape(
+            ids_all.size, num_perm
+        )
+        # Segment rows by (band, bucket); ids sorted within segments so
+        # triu pairs come out ordered.
+        order = np.lexsort((ids_all, bucket_all, band_all))
+        ids_all = ids_all[order]
+        band_all = band_all[order]
+        bucket_all = bucket_all[order]
+        S_all = S_all[order]
+        new_seg = np.r_[
+            True,
+            (band_all[1:] != band_all[:-1])
+            | (bucket_all[1:] != bucket_all[:-1]),
+        ]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.r_[seg_starts[1:], ids_all.size]
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            if sz > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh: dropping oversized bucket "
+                    "(%d > %d docs)", sz, max_bucket,
+                )
+                continue
+            ids = ids_all[s:e]
+            sigs_m = S_all[s:e]
+            band = int(band_all[s])
+            ia, ib = np.triu_indices(int(sz), 1)
+            # FIRST-MATCH-BAND dedup (no global pair-dedup shuffle): a
+            # colliding pair's band chunks are all available here, so
+            # emit the pair only from the smallest band whose chunks
+            # agree. Pairs sharing a bucket by pure 62-bit hash
+            # collision (chunks unequal in every band) are dropped —
+            # false candidates with ~2⁻⁶² probability each.
+            eqb = (
+                sigs_m[ia].reshape(-1, bands, rows)
+                == sigs_m[ib].reshape(-1, bands, rows)
+            ).all(axis=2)
+            first = np.argmax(eqb, axis=1)
+            keep = eqb.any(axis=1) & (first == band)
+            if not keep.any():
+                continue
+            ia, ib = ia[keep], ib[keep]
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_e.append((sigs_m[ia] == sigs_m[ib]).mean(axis=1))
+        if not out_a:
+            return empty_pairs
         return pa.table(
             {
-                "id_a": ids[ia],
-                "id_b": ids[ib],
-                "est_jaccard": est,
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "est_jaccard": np.concatenate(out_e),
             }
         )
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
-    )
-    # A pair can collide in several bands — dedup on (id_a, id_b).
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    # Each qualifying pair is emitted exactly once across all bands, so
+    # no (id_a, id_b) dedup aggregate is needed afterwards — that
+    # shuffle was the dominant cost of the pipeline (Ray's shuffle
+    # aggregate carries seconds of fixed overhead per run).
+    return tagged.groupby("part").map_groups(
+        emit_part, batch_format="pyarrow"
     )
 
 
@@ -238,29 +350,56 @@ def minhash_dedup_keep(
     )
     id_col = kwargs.get("id_col", "doc_id")
     # Losers = any id that appears as the larger member of a dup pair.
-    losers = pairs.map_batches(
-        lambda b: pa.table({"loser": b.column("id_b")}),
-        batch_format="pyarrow",
-    ).groupby("loser").aggregate(Count(alias_name="c"))
-    loser_set = set(
-        r["loser"] for r in losers.select_columns(["loser"]).take_all()
+    # Survivor filter = ANTI-JOIN against the loser set (left_outer +
+    # null test) — the loser table never lands on the driver, so the
+    # filter scales with the dup count, not driver memory.
+    losers = (
+        pairs.map_batches(
+            lambda b: pa.table({id_col: b.column("id_b")}),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .aggregate(Count(alias_name="__loser"))
+        .materialize()
     )
-    loser_ref = ray.put(loser_set)
+    if losers.count() == 0:
+        return docs
+    joined = docs.join(
+        losers, join_type="left_outer", num_partitions=2, on=(id_col,)
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        ls = ray.get(loser_ref)
-        ids = np.asarray(batch.column(id_col))
-        mask = ~np.isin(ids, np.fromiter(ls, np.int64, len(ls))) if ls else np.ones(ids.size, bool)
-        return batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+        mask = pc.is_null(batch.column("__loser"))
+        return batch.filter(mask).drop_columns(["__loser"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash --
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount via a byte LUT (portable across numpy 1.x)."""
+    return (
+        _POPCNT8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 class SimHashStage:
-    """64-bit SimHash over token blake2b hashes."""
+    """64-bit SimHash over token blake2b hashes.
+
+    Vectorized per batch: the batch's tokens are deduplicated, each
+    UNIQUE token hashed once (vocabulary is much smaller than the token
+    stream for natural text), then the ±1 bit accumulation is a single
+    ``np.add.reduceat`` over the per-document token runs. Bit-for-bit
+    identical to the naive per-token definition."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
@@ -281,18 +420,43 @@ class SimHashStage:
                 out |= 1 << i
         return out
 
+    def _batch_simhash(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        toks = [t.lower().split() for t in texts]
+        counts = np.array([len(x) for x in toks], np.int64)
+        flat: list[str] = [w for doc in toks for w in doc]
+        out = np.zeros(n, np.uint64)
+        if flat:
+            arr = np.array(flat, dtype=object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            signs = np.empty((uniq.size, 64), np.int64)
+            for i, tok in enumerate(uniq):
+                digest = hashlib.blake2b(
+                    tok.encode(), digest_size=8
+                ).digest()
+                bits = np.unpackbits(
+                    np.frombuffer(digest, np.uint8), bitorder="little"
+                )
+                signs[i] = bits.astype(np.int64) * 2 - 1
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            acc = np.add.reduceat(
+                signs[inv], np.minimum(offs, len(flat) - 1), axis=0
+            )
+            acc[counts == 0] = 0
+            hbits = (acc > 0).astype(np.uint8)
+            out = np.packbits(hbits, axis=1, bitorder="little").view(
+                np.uint64
+            )[:, 0]
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        hs = [
-            self.simhash64(t)
-            for t in batch.column(self.text_col).to_pylist()
-        ]
+        texts = batch.column(self.text_col).to_pylist()
+        hs = self._batch_simhash(texts)
         return pa.table(
             {
                 self.id_col: ids,
-                "simhash": pa.array(
-                    np.array(hs, dtype=np.uint64).view(np.int64)
-                ),
+                "simhash": pa.array(hs.view(np.int64)),
             }
         )
 
@@ -345,9 +509,7 @@ def simhash_pairs(
         ids, hs = ids[order], hs[order]
         ia, ib = np.triu_indices(ids.size, 1)
         x = hs[ia] ^ hs[ib]
-        ham = np.zeros(x.size, np.int64)
-        for i, v in enumerate(x):
-            ham[i] = bin(int(v)).count("1")
+        ham = _popcount64(x)
         keep = ham <= max_hamming
         return pa.table(
             {"id_a": ids[ia][keep], "id_b": ids[ib][keep],
@@ -376,46 +538,60 @@ def ngram_jaccard_pairs(
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard for pairs surviving MinHash-LSH candidate
-    generation — verification join grouped within buckets only."""
+    generation. Verification is DISTRIBUTED: candidate pairs join their
+    two texts back (two hash joins, materialized between per the Ray
+    2.49 chained-join workaround) and a map_batches stage computes the
+    exact shingle-set Jaccard per pair — the pair table and the corpus
+    never land on the driver."""
     cand = minhash_lsh_pairs(
         docs, shingle_k=shingle_k, id_col=id_col, text_col=text_col,
         **lsh_kwargs,
-    ).filter(expr="est_jaccard >= 0.3")
-    cand_rows = cand.take_all()
-    if not cand_rows:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-        )
-    need_ids = sorted(
-        {r["id_a"] for r in cand_rows} | {r["id_b"] for r in cand_rows}
+    ).filter(expr="est_jaccard >= 0.3").materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
     )
-    texts = {}
-    id_arr = np.array(need_ids, np.int64)
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        ids = np.asarray(b.column(id_col))
-        hit = np.isin(ids, id_arr)
-        for i, t in zip(ids[hit], np.asarray(b.column(text_col).to_pylist(), object)[hit]):
-            texts[int(i)] = t
-    out_a, out_b, out_j = [], [], []
-    for r in cand_rows:
-        sa = _shingles(texts[r["id_a"]], shingle_k)
-        sb = _shingles(texts[r["id_b"]], shingle_k)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / max(union, 1)
-        if j >= threshold:
-            out_a.append(r["id_a"])
-            out_b.append(r["id_b"])
-            out_j.append(j)
-    return ray.data.from_arrow(
-        pa.table(
-            {"id_a": pa.array(out_a, pa.int64()),
-             "id_b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
-        )
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+    texts = docs.select_columns([id_col, text_col])
+    ta = texts.map_batches(
+        lambda b: pa.table(
+            {"id_a": b.column(id_col), "__text_a": b.column(text_col)}
+        ),
+        batch_format="pyarrow",
     )
+    tb = texts.map_batches(
+        lambda b: pa.table(
+            {"id_b": b.column(id_col), "__text_b": b.column(text_col)}
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = cand.join(
+        ta, join_type="inner", num_partitions=2, on=("id_a",)
+    ).materialize()
+    j2 = j1.join(tb, join_type="inner", num_partitions=2, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = np.asarray(batch.column("id_a"), np.int64)
+        b = np.asarray(batch.column("id_b"), np.int64)
+        tas = batch.column("__text_a").to_pylist()
+        tbs = batch.column("__text_b").to_pylist()
+        jac = np.empty(a.size)
+        for i in range(a.size):
+            sa = _shingles(tas[i], shingle_k)
+            sb = _shingles(tbs[i], shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / max(union, 1)
+        keep = jac >= threshold
+        return pa.table(
+            {"id_a": a[keep], "id_b": b[keep], "jaccard": jac[keep]}
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------- embedding near-dup --
@@ -429,17 +605,30 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     dims: int | None = None,
+    max_bucket: int = 512,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by cosine ≥ threshold, bucketed by random-hyperplane
-    LSH (sign pattern of `planes` projections); exact cosine verified
-    within buckets. Multi-probe: each vector also lands in its 1-bit-flip
-    neighbour buckets so near-misses across a hyperplane still collide."""
+    LSH (sign pattern of `planes` projections). Multi-probe: each vector
+    also lands in its 1-bit-flip neighbour buckets so near-misses across
+    a hyperplane still collide.
+
+    Scale shape: the ×(planes+1) multi-probe replication carries IDS
+    ONLY (8 bytes each, not the vectors); buckets emit candidate id
+    pairs under a ``max_bucket`` skew guard (oversized buckets drop with
+    a log line, ≙ the MinHash guard); exact cosines come from joining
+    the two vectors back to the DEDUPED pair list — O(candidate pairs)
+    vector traffic instead of O(n·planes)."""
     if dims is None:
         first = emb.take(1)[0]
         dims = len(first[vec_col])
     rng = np.random.RandomState(seed)
     H = rng.randn(dims, planes)
     href = ray.put(H)
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         Hm = ray.get(href)
@@ -454,50 +643,98 @@ def embedding_cosine_pairs(
             key |= base[:, b].astype(np.int64) << (8 * b)
         out_ids = [ids]
         out_keys = [key]
-        out_vecs = [V]
-        for p in range(planes):  # multi-probe neighbours
+        for p in range(planes):  # multi-probe neighbours, ids only
             out_ids.append(ids)
             out_keys.append(key ^ (1 << p))
-            out_vecs.append(V)
         return pa.table(
             {
                 id_col: np.concatenate(out_ids),
                 "bucket": np.concatenate(out_keys),
-                vec_col: pa.array(
-                    np.concatenate(out_vecs).tolist(),
-                    pa.list_(pa.float64(), dims),
-                ),
             }
         )
 
     def emit(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col))
-        uniq, idx = np.unique(ids, return_index=True)
-        if uniq.size < 2:
+        ids = np.unique(np.asarray(group.column(id_col)))
+        if ids.size > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_cosine: dropping oversized bucket "
+                "(%d > %d vectors)", ids.size, max_bucket,
+            )
+            ids = ids[:0]
+        if ids.size < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
+                 "id_b": pa.array([], pa.int64())}
             )
-        V = np.array(group.column(vec_col).to_pylist())[idx]
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        Vn = V / np.maximum(norms, 1e-12)
-        S = Vn @ Vn.T
-        ia, ib = np.triu_indices(uniq.size, 1)
-        cos = S[ia, ib]
-        keep = cos >= threshold
-        return pa.table(
-            {"id_a": uniq[ia][keep], "id_b": uniq[ib][keep],
-             "cosine": cos[keep]}
-        )
+        ia, ib = np.triu_indices(ids.size, 1)
+        return pa.table({"id_a": ids[ia], "id_b": ids[ib]})
 
-    pairs = (
-        emb.map_batches(to_buckets, batch_format="pyarrow")
+    cand = (
+        emb.select_columns([id_col, vec_col])
+        .map_batches(to_buckets, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
+        .materialize()
     )
-    from ray.data.aggregate import Max
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+    vecs = emb.select_columns([id_col, vec_col])
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
-    )
+    # map_batches projections (not rename_columns): robust to pandas-
+    # backed blocks, always emit Arrow, and PACK the vector as a binary
+    # blob — Ray 2.49's hash join rejects list-typed non-key fields, so
+    # the float64 payload rides the shuffle as bytes and is viewed back
+    # zero-copy in the verify stage.
+    def _proj(id_name, vec_name):
+        def fn(b: pa.Table) -> pa.Table:
+            V = np.array(b.column(vec_col).to_pylist(), np.float64)
+            return pa.table(
+                {
+                    id_name: b.column(id_col),
+                    vec_name: pa.array(
+                        [V[i].tobytes() for i in range(V.shape[0])],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        return fn
+
+    va = vecs.map_batches(_proj("id_a", "__va"), batch_format="pyarrow")
+    vb = vecs.map_batches(_proj("id_b", "__vb"), batch_format="pyarrow")
+    j1 = cand.join(
+        va, join_type="inner", num_partitions=2, on=("id_a",)
+    ).materialize()
+    j2 = j1.join(vb, join_type="inner", num_partitions=2, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = np.asarray(batch.column("id_a"), np.int64)
+        b = np.asarray(batch.column("id_b"), np.int64)
+        Va = np.stack(
+            [
+                np.frombuffer(x, np.float64)
+                for x in batch.column("__va").to_pylist()
+            ]
+        )
+        Vb = np.stack(
+            [
+                np.frombuffer(x, np.float64)
+                for x in batch.column("__vb").to_pylist()
+            ]
+        )
+        na = np.maximum(np.linalg.norm(Va, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(Vb, axis=1), 1e-12)
+        cos = (Va * Vb).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        return pa.table(
+            {"id_a": a[keep], "id_b": b[keep], "cosine": cos[keep]}
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -266,3 +266,60 @@ def test_multimodal_real_codec_raises():
     t = synth_media(2)
     with pytest.raises(NotImplementedError):
         stage(t)
+
+
+def test_minhash_dedup_keep_antijoin():
+    from alp_ray.pipelines.dedup import minhash_dedup_keep
+
+    ds = _docs_with_dups()
+    kept = minhash_dedup_keep(ds, threshold=0.8).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 0 in ids          # winner of the planted dup pair survives
+    assert 20 not in ids     # exact dup (larger id) removed
+    assert len(kept) < ds.count()
+    # No-duplicates corpus passes through untouched (empty loser set).
+    clean = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "one two three four five six seven eight nine",
+                    "red green blue cyan magenta yellow black white",
+                ],
+            }
+        )
+    )
+    assert minhash_dedup_keep(clean, threshold=0.8).count() == 3
+
+
+def test_simhash_batch_matches_naive():
+    from alp_ray.pipelines.dedup import SimHashStage
+
+    texts = [
+        "the quick brown fox", "", "one", "the the the",
+        "a b c d e f g", "the quick brown fox",
+    ]
+    st = SimHashStage()
+    batch = st._batch_simhash(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == st.simhash64(t), i
+
+
+def test_ivf_one_pass_multi_query_and_store(emb, tmp_path):
+    """The batched IVF serves all queries in ONE scan; all-bucket probe
+    equals brute force; the hive-partitioned store path (partition-path
+    pruning) returns identical results to the in-memory path."""
+    from alp_ray.pipelines.ann import ivf_topk_from_store
+
+    rows = emb.take(3)
+    Q = np.array([r["embedding"] for r in rows], np.float64)
+    path = str(tmp_path / "ivf_store")
+    C, bucketed = build_ivf(emb, n_centroids=8, persist_path=path)
+    bucketed = bucketed.materialize()
+    full = ivf_topk(bucketed, C, Q, k=5, nprobe=8).to_pandas()
+    brute = cosine_topk(emb, Q, k=5).to_pandas()
+    assert full.round(9).equals(brute.round(9))
+    mem4 = ivf_topk(bucketed, C, Q, k=5, nprobe=3).to_pandas()
+    store4 = ivf_topk_from_store(path, C, Q, k=5, nprobe=3).to_pandas()
+    assert mem4.round(9).equals(store4.round(9))
