@@ -776,6 +776,241 @@ def _q_quality(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_spmv_input_masked(sf_dir: str):
+    from alp_ray.functions.semiring import PLUS_FIRST
+    from alp_ray.stages.graph import spmv
+
+    edges = _dense_edges(sf_dir)
+    in_mask = np.arange(0, MOD_DENSE, 5, dtype=np.int64)
+    y = spmv(
+        edges, _x_tuple(edges), PLUS_FIRST, weight_col=None,
+        input_mask=in_mask,
+    )
+    return _cast(y, {"vertex": pa.int64(), "val": pa.float64()})
+
+
+def _q_matrix_zip(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.matrix import matrix_zip
+
+    v = np.arange(MOD_DENSE, dtype=np.int64)
+
+    def vec(vals):
+        return ray.data.from_arrow(
+            pa.table({"vertex": v, "val": vals.astype(np.float64)})
+        )
+
+    out = matrix_zip(
+        vec((v * 7) % MOD_DENSE), vec((v * 13) % MOD_DENSE),
+        vec(v % 10 + 1),
+    )
+    return _cast(
+        out,
+        {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
+    )
+
+
+def _q_matrix_ewise_union(sf_dir: str):
+    from alp_ray.pipelines.matrix import matrix_ewise
+
+    A = _dense_edges(sf_dir, weighted=True)
+    B = _swapped_weighted(sf_dir)
+    out = matrix_ewise(A, B, monoid_agg="sum", intersect=False)
+    return _cast(
+        out,
+        {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
+    )
+
+
+def _q_matrix_ewise_intersect(sf_dir: str):
+    from alp_ray.pipelines.matrix import matrix_ewise
+
+    A = _dense_edges(sf_dir, weighted=True)
+    B = _swapped_weighted(sf_dir)
+    out = matrix_ewise(A, B, monoid_agg="sum", intersect=True)
+    return _cast(
+        out,
+        {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
+    )
+
+
+def _swapped_weighted(sf_dir: str):
+    """Bᵀ of the weighted dense graph — the weight formula is symmetric
+    in (src, dst), so the SQL twin derives it identically."""
+    base = _dense_edges(sf_dir, weighted=True)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("dst"),
+                "dst": batch.column("src"),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    return base.map_batches(swap, batch_format="pyarrow")
+
+
+def _q_outer(sf_dir: str):
+    from alp_ray.pipelines.matrix import outer
+
+    ui = np.arange(0, MOD_DENSE, 50, dtype=np.int64)
+    vi = np.arange(0, MOD_DENSE, 77, dtype=np.int64)
+    uv = (ui // 10 + 1).astype(np.float64)
+    vv = (vi % 5 + 1).astype(np.float64)
+    out = outer((uv, ui), (vv, vi))
+    return _cast(
+        out,
+        {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()},
+    )
+
+
+def _q_dot_degrees(sf_dir: str):
+    from alp_ray.stages.graph import degrees, ewise_inner, fold
+
+    e = _dense_edges(sf_dir)
+    out_d = degrees(e, key="src", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    in_d = degrees(e, key="dst", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    prod = ewise_inner(out_d, in_d, np.multiply)
+    return pa.table(
+        {"dot": pa.array([int(fold(prod, "sum"))], pa.int64())}
+    )
+
+
+def _q_zip_unzip(sf_dir: str):
+    from alp_ray.stages.graph import degrees, unzip_vectors, zip_vectors
+
+    e = _dense_edges(sf_dir)
+    out_d = degrees(e, key="src", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    in_d = degrees(e, key="dst", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    z = unzip_vectors(zip_vectors(out_d, in_d))
+    return _cast(
+        z,
+        {"vertex": pa.int64(), "first": pa.int64(), "second": pa.int64()},
+    )
+
+
+def _q_sparse_nn(sf_dir: str):
+    from alp_ray.pipelines.linalg import sparse_nn_inference
+
+    W = _dense_edges(sf_dir, weighted=True).materialize()
+    x0 = (
+        ((np.arange(MOD_DENSE) % 7) + 1).astype(np.float64),
+        np.arange(MOD_DENSE, dtype=np.int64),
+    )
+    xv, xi = sparse_nn_inference(
+        [W, W], biases=[0.5, 0.25], x0=x0, threshold=30.0
+    )
+    return pa.table(
+        {
+            "vertex": pa.array(xi),
+            "val": pa.array(_round_half_away(xv, 6)),
+        }
+    )
+
+
+def _q_bicgstab(sf_dir: str):
+    """Nonsymmetric diagonally-dominant system A = W + diag(1 + row
+    sums), built Dataset-natively and solved with the engine in
+    ``for_linear_system`` orientation (superstep applies A, not Aᵀ)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from alp_ray.pipelines.linalg import bicgstab
+    from alp_ray.state.engine import GraphEngine
+
+    e = _dense_edges(sf_dir, weighted=True).materialize()
+    ar = np.arange(MOD_DENSE, dtype=np.int64)
+    base_diag = ray.data.from_arrow(
+        pa.table({"src": ar, "dst": ar, "weight": np.ones(MOD_DENSE)})
+    )
+
+    def row_diag(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        return pa.table(
+            {"src": s, "dst": s, "weight": batch.column("weight")}
+        )
+
+    entries = (
+        e.union(base_diag)
+        .union(e.map_batches(row_diag, batch_format="pyarrow"))
+        .groupby(["src", "dst"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+
+    def swap(batch: pa.Table) -> pa.Table:
+        # for_linear_system orientation: store entry (row, col) as
+        # src=col → dst=row so the superstep computes y = A·x.
+        return pa.table(
+            {
+                "src": batch.column("dst"),
+                "dst": batch.column("src"),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    engine = GraphEngine.from_dataset(
+        entries.map_batches(swap, batch_format="pyarrow"),
+        n=MOD_DENSE, P=4, weighted=True,
+    )
+    b = ((np.arange(MOD_DENSE) % 7) + 1).astype(np.float64) / MOD_DENSE
+    x, iters, res = bicgstab(engine, b, tol=1e-10, max_iters=500)
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "x": pa.array(np.round(x, 6)),
+        }
+    )
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").cast(pa.int64()),
+                "id_b": batch.column("id_b").cast(pa.int64()),
+                "jaccard": pa.array(
+                    np.round(
+                        np.asarray(batch.column("jaccard"), np.float64), 6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_minhash_keep(sf_dir: str):
+    import ray.data
+
+    from alp_ray.pipelines.dedup import minhash_dedup_keep
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    kept = minhash_dedup_keep(docs, threshold=0.9)
+    return _cast(
+        kept.select_columns(["doc_id"]), {"doc_id": pa.int64()}
+    )
+
+
 # ------------------------------------------------- unrolled SQL twins --
 #
 # Iterative algorithms get DuckDB oracles by unrolling a FIXED number of
@@ -987,6 +1222,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "ann_ivf_top10": _q_ann_ivf,
         "community_lpa": _q_community_lpa,
+        # Round 2: BLAS variants, solvers, dedup tails
+        "spmv_input_masked": _q_spmv_input_masked,
+        "matrix_zip": _q_matrix_zip,
+        "matrix_ewise_union": _q_matrix_ewise_union,
+        "matrix_ewise_intersect": _q_matrix_ewise_intersect,
+        "outer_product": _q_outer,
+        "dot_degrees": _q_dot_degrees,
+        "zip_unzip_degrees": _q_zip_unzip,
+        "sparse_nn": _q_sparse_nn,
+        "bicgstab": _q_bicgstab,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_keep": _q_minhash_keep,
     }
 
 
@@ -1147,4 +1394,65 @@ def oracle_sql() -> dict[str, str]:
         "community_lpa": _community_lpa_sql(_LPA_K),
         "quality_scores": _quality_sql(),
         "fingerprints": _FINGERPRINT_SQL,
+        "spmv_input_masked": (
+            "SELECT dst AS vertex, CAST(SUM((src % 7) + 1) AS DOUBLE) "
+            f"AS val FROM ({_E_DENSE}) WHERE src % 5 = 0 GROUP BY dst"
+        ),
+        "matrix_zip": (
+            "SELECT (v * 7) % 601 AS src, (v * 13) % 601 AS dst, "
+            "CAST(v % 10 + 1 AS DOUBLE) AS weight "
+            "FROM (SELECT range::BIGINT AS v FROM range(601))"
+        ),
+        "matrix_ewise_union": (
+            "SELECT src, dst, CAST(SUM(weight) AS DOUBLE) AS weight "
+            f"FROM (SELECT * FROM ({_E_WEIGHTED}) UNION ALL "
+            f"SELECT dst AS src, src AS dst, weight FROM ({_E_WEIGHTED})"
+            ") GROUP BY 1, 2"
+        ),
+        "matrix_ewise_intersect": (
+            "SELECT src, dst, CAST(SUM(weight) AS DOUBLE) AS weight "
+            f"FROM (SELECT * FROM ({_E_WEIGHTED}) UNION ALL "
+            f"SELECT dst AS src, src AS dst, weight FROM ({_E_WEIGHTED})"
+            ") GROUP BY 1, 2 HAVING COUNT(*) = 2"
+        ),
+        "outer_product": (
+            "SELECT u.v AS src, w.v AS dst, u.x * w.x AS weight "
+            "FROM (SELECT range::BIGINT * 50 AS v, "
+            "CAST(range * 50 // 10 + 1 AS DOUBLE) AS x FROM range(13)) u "
+            "CROSS JOIN (SELECT range::BIGINT * 77 AS v, "
+            "CAST((range * 77) % 5 + 1 AS DOUBLE) AS x FROM range(8)) w"
+        ),
+        "dot_degrees": (
+            "WITH o AS (SELECT src AS vertex, COUNT(*) AS d "
+            f"FROM ({_E_DENSE}) GROUP BY src), "
+            "i AS (SELECT dst AS vertex, COUNT(*) AS d "
+            f"FROM ({_E_DENSE}) GROUP BY dst) "
+            "SELECT CAST(SUM(o.d * i.d) AS BIGINT) AS dot "
+            "FROM o JOIN i ON i.vertex = o.vertex"
+        ),
+        "zip_unzip_degrees": (
+            "WITH o AS (SELECT src AS vertex, COUNT(*) AS d "
+            f"FROM ({_E_DENSE}) GROUP BY src), "
+            "i AS (SELECT dst AS vertex, COUNT(*) AS d "
+            f"FROM ({_E_DENSE}) GROUP BY dst) "
+            "SELECT o.vertex, o.d AS \"first\", i.d AS \"second\" "
+            "FROM o JOIN i ON i.vertex = o.vertex"
+        ),
+        "sparse_nn": (
+            f"WITH e AS MATERIALIZED ({_E_WEIGHTED}), "
+            "x0 AS (SELECT range::BIGINT AS v, "
+            "CAST((range % 7) + 1 AS DOUBLE) AS x FROM range(601)), "
+            "y1 AS MATERIALIZED (SELECT e.dst AS v, "
+            "SUM(x0.x * e.weight) + 0.5 AS s "
+            "FROM x0 JOIN e ON e.src = x0.v GROUP BY e.dst), "
+            "l1 AS MATERIALIZED (SELECT v, "
+            "LEAST(GREATEST(s, 0.0), 30.0) AS x FROM y1 "
+            "WHERE GREATEST(s, 0.0) > 0), "
+            "y2 AS MATERIALIZED (SELECT e.dst AS v, "
+            "SUM(l1.x * e.weight) + 0.25 AS s "
+            "FROM l1 JOIN e ON e.src = l1.v GROUP BY e.dst), "
+            "l2 AS (SELECT v, LEAST(GREATEST(s, 0.0), 30.0) AS x "
+            "FROM y2 WHERE GREATEST(s, 0.0) > 0) "
+            "SELECT v AS vertex, ROUND(x, 6) AS val FROM l2"
+        ),
     }

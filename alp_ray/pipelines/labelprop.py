@@ -55,84 +55,62 @@ def community_lpa(
     edges: "ray.data.Dataset",
     n: int,
     max_iters: int = 20,
+    P: int = 4,
 ) -> np.ndarray:
     """Synchronous community label propagation (Raghavan et al. 2007) —
-    the generic LPA promised by SURVEY §7.6, built on the Pregel layer's
-    vocabulary but with a NON-monoid combine (per-label frequency +
-    argmax), so it runs as a Dataset pipeline: scatter labels along
-    edges, count per (vertex, label) with an in-batch combiner, pick the
-    most frequent label (ties → smallest label; deterministic).
+    the generic LPA promised by SURVEY §7.6, with the NON-monoid
+    per-(vertex, label) frequency + argmax combine running ON the
+    GraphShard engine: each superstep scatters pre-reduced
+    (dst, label, count) triples shard→shard and the owning shard picks
+    the most frequent label (ties → smallest; no-in-neighbour keeps its
+    label). No per-iteration driver label broadcast — the only
+    per-iteration driver traffic is the P changed-count scalars.
 
     ``edges``: SYMMETRIC (src, dst) Dataset with dense vertex ids < n.
     Returns the final label array.
     """
-    import pyarrow as pa
-
     import ray
-    from ray.data.aggregate import Sum
 
-    # Pin the edge table once: a lazy plan (extraction/symmetrize
-    # groupbys upstream) would otherwise re-execute EVERY iteration.
-    edges = edges.materialize()
-    labels = np.arange(n, dtype=np.int64)
-    for _ in range(max_iters):
-        lref = ray.put(labels)
+    from alp_ray.state.engine import GraphEngine
 
-        def scatter(batch: pa.Table) -> pa.Table:
-            lab = ray.get(lref)
-            src = np.asarray(batch.column("src"), np.int64)
-            dst = np.asarray(batch.column("dst"), np.int64)
-            t = pa.table({"vertex": dst, "label": lab[src]})
-            g = t.group_by(["vertex", "label"]).aggregate(
-                [("vertex", "count")]
-            )
-            return g.rename_columns(["vertex", "label", "c"])
-
-        counts = (
-            edges.map_batches(scatter, batch_format="pyarrow")
-            .groupby(["vertex", "label"])
-            .aggregate(Sum("c", alias_name="cnt"))
-        )
-
-        if n <= 1_000_000:
-            # Small-n fast path: the (vertex,label,cnt) table is O(edges
-            # touched) but the argmax itself is a driver-side lexsort —
-            # groupby().map_groups costs ~1 Ray task per vertex group,
-            # which dominates at small scale.
-            cdf = counts.to_pandas()
-            vv = cdf["vertex"].to_numpy(np.int64)
-            ll = cdf["label"].to_numpy(np.int64)
-            cc = cdf["cnt"].to_numpy(np.int64)
-            order = np.lexsort((ll, -cc, vv))  # by vertex, max cnt, min lab
-            vv, ll = vv[order], ll[order]
-            firsts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
-            picked_v, picked_l = vv[firsts], ll[firsts]
-        else:
-            def pick(group: pa.Table) -> pa.Table:
-                v = group.column("vertex")[0].as_py()
-                lab = np.asarray(group.column("label"), np.int64)
-                cnt = np.asarray(group.column("cnt"), np.int64)
-                order = np.lexsort((lab, -cnt))  # max count, min label
-                return pa.table(
-                    {
-                        "vertex": pa.array([v], pa.int64()),
-                        "new_label": pa.array(
-                            [int(lab[order[0]])], pa.int64()
-                        ),
-                    }
-                )
-
-            picked = counts.groupby("vertex").map_groups(
-                pick, batch_format="pyarrow"
-            ).to_pandas()
-            picked_v = picked["vertex"].to_numpy()
-            picked_l = picked["new_label"].to_numpy()
-        new_labels = labels.copy()
-        new_labels[picked_v] = picked_l
-        if np.array_equal(new_labels, labels):
-            break
-        labels = new_labels
+    engine = GraphEngine.from_dataset(edges, n=n, P=P)
+    labels = community_lpa_engine(engine, max_iters=max_iters)
+    engine.shutdown()
     return labels
+
+
+def community_lpa_engine(
+    engine: GraphEngine, max_iters: int = 20,
+    label_state: str = "lab",
+) -> np.ndarray:
+    """Engine-resident LPA loop (graph + labels live on shards)."""
+    import ray
+
+    engine.set_state_use_index(label_state)
+
+    def to_int(state, ctx, name=label_state):
+        state[name] = state[name].astype(np.int64)
+        return {}
+
+    engine.map_local(to_int)
+    for _ in range(max_iters):
+        bundle_refs = [
+            s.scatter_label_counts.remote(label_state)
+            for s in engine.shards
+        ]
+        changed = sum(
+            ray.get(
+                [
+                    s.gather_label_argmax.remote(
+                        q, *bundle_refs, label_state=label_state
+                    )
+                    for q, s in enumerate(engine.shards)
+                ]
+            )
+        )
+        if changed == 0:
+            break
+    return engine.get_state_by_vertex(label_state).astype(np.int64)
 
 
 def label_propagation(

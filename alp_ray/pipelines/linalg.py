@@ -89,7 +89,13 @@ def bicgstab(
     (x, A, b, max_iterations, tol; workspace r, rhat, p, v, s, t; residual
     measured as the 2-norm of r = b − Ax). Same engine layout as CG: one
     spmv superstep per matrix product, shard-local axpy/dot partials
-    reduced driver-side (the collectives)."""
+    reduced driver-side (the collectives).
+
+    ``engine`` must apply A (not Aᵀ) in its superstep — build it with
+    ``GraphEngine.for_linear_system(rows, cols, vals)``, which stores
+    entries col→row so the native y[dst] = Σ x[src]·w product IS A·x.
+    (An engine built from raw (src=row, dst=col) edges would silently
+    solve Aᵀx = b for nonsymmetric A.)"""
     engine.set_state_by_vertex("b", b.astype(np.float64))
     engine.set_state("x", 0.0)
 

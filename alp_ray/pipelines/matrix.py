@@ -138,6 +138,60 @@ def matrix_ewise(
     return u.drop_columns(["ta", "tb"])
 
 
+def matrix_zip(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    z: "ray.data.Dataset | None" = None,
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Build a matrix from index/value vectors — ≙ grb::zip(A, x, y[, z])
+    (base/blas3.hpp:181-223; matrix_zip_generic reference/blas3.hpp:464):
+    for every shared index i, emit entry ``A[x[i], y[i]] = z[i]`` (or a
+    pattern entry when z is omitted). Inputs must produce no duplicate
+    coordinates (the no_duplicates ingestion contract) — like the
+    reference, duplicates are the caller's error.
+
+    Implemented as inner joins on the index (``vertex``) column +
+    projection; the Ray join IS the zip."""
+    a = x.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "__row"]
+    )
+    b = y.select_columns(["vertex", value_col]).rename_columns(
+        ["vertex", "__col"]
+    )
+    joined = a.join(
+        b, join_type="inner", num_partitions=2, on=("vertex",)
+    ).materialize()
+    if z is not None:
+        c = z.select_columns(["vertex", value_col]).rename_columns(
+            ["vertex", "__val"]
+        )
+        joined = joined.join(
+            c, join_type="inner", num_partitions=2, on=("vertex",)
+        )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cols = {
+            "src": pa.array(
+                np.asarray(batch.column("__row"), np.float64).astype(
+                    np.int64
+                )
+            ),
+            "dst": pa.array(
+                np.asarray(batch.column("__col"), np.float64).astype(
+                    np.int64
+                )
+            ),
+        }
+        if "__val" in batch.column_names:
+            cols["weight"] = pa.array(
+                np.asarray(batch.column("__val"), np.float64)
+            )
+        return pa.table(cols)
+
+    return joined.map_batches(emit, batch_format="pyarrow")
+
+
 def outer(
     u: tuple[np.ndarray, np.ndarray],
     v: tuple[np.ndarray, np.ndarray],

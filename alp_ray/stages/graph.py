@@ -108,6 +108,8 @@ class _ScatterStage:
         weight_col: str | None,
         mask_ref=None,
         invert_mask: bool = False,
+        input_mask_ref=None,
+        invert_input_mask: bool = False,
     ) -> None:
         # x is broadcast once via ray.put and read zero-copy per actor —
         # NOT re-shipped per batch.
@@ -118,6 +120,10 @@ class _ScatterStage:
         self.weight_col = weight_col
         self.mask = ray.get(mask_ref) if mask_ref is not None else None
         self.invert_mask = invert_mask
+        self.input_mask = (
+            ray.get(input_mask_ref) if input_mask_ref is not None else None
+        )
+        self.invert_input_mask = invert_input_mask
 
     @staticmethod
     def _empty() -> pa.Table:
@@ -147,6 +153,20 @@ class _ScatterStage:
             in_mask = self.mask[pos_c] == dst
             keep = ~in_mask if self.invert_mask else in_mask
             src, dst, w = src[keep], dst[keep], w[keep]
+        if self.input_mask is not None:
+            # INPUT mask (≙ the output+input-masked vxm/mxv overloads,
+            # base/blas2.hpp:480-936): only sources in the mask
+            # contribute — applied as a pre-filter on the src column so
+            # masked-out contributions never shuffle.
+            if self.input_mask.size == 0:
+                if not self.invert_input_mask:
+                    return self._empty()
+            else:
+                pos = np.searchsorted(self.input_mask, src)
+                pos_c = np.clip(pos, 0, self.input_mask.size - 1)
+                hit_in = self.input_mask[pos_c] == src
+                keep = ~hit_in if self.invert_input_mask else hit_in
+                src, dst, w = src[keep], dst[keep], w[keep]
         # Gather x[src] via binary search on the sorted broadcast vector;
         # rows whose src has no entry (sparse x) contribute nothing.
         pos = np.searchsorted(self.xi, src)
@@ -176,6 +196,8 @@ def spmv(
     value_col: str = "val",
     mask: np.ndarray | None = None,
     invert_mask: bool = False,
+    input_mask: np.ndarray | None = None,
+    invert_input_mask: bool = False,
 ) -> "ray.data.Dataset":
     """y = A^T·x (or A·x with transpose=True… matching vxm/mxv duality —
     ``transpose`` swaps which endpoint is "input", ≙
@@ -192,6 +214,11 @@ def spmv(
     overloads, base/blas2.hpp:307; ``invert_mask`` ≙
     descriptors::invert_mask:66). Applied as a pre-filter on the
     destination column so masked-out contributions never shuffle.
+
+    ``input_mask``: array of INPUT vertex ids — only sources in the
+    mask contribute (≙ the output+input-masked overloads,
+    base/blas2.hpp:480-936, the general input-mask the engine's sparse
+    ``active`` frontier specializes).
     """
     if isinstance(x, tuple):
         xv, xi = x
@@ -206,13 +233,19 @@ def spmv(
         if mask is not None
         else None
     )
+    input_mask_ref = (
+        ray.put(np.sort(np.asarray(input_mask, np.int64)))
+        if input_mask is not None
+        else None
+    )
 
     agg_cls = _AGG[semiring.add.arrow_agg]
     out = (
         edges.map_batches(
             _ScatterStage,
             fn_constructor_args=(
-                xref, semiring, transpose, weight_col, mask_ref, invert_mask
+                xref, semiring, transpose, weight_col, mask_ref,
+                invert_mask, input_mask_ref, invert_input_mask,
             ),
             batch_format="pyarrow",
             concurrency=(1, 8),

@@ -416,6 +416,73 @@ class GraphShard:
             pre_scalars,
         )
 
+    # ---- keyed (non-monoid) exchange: per-(dst,label) counts ----------
+    def scatter_label_counts(self, label_state: str = "lab") -> tuple:
+        """Community-LPA scatter: every edge sends its source's label to
+        its destination; counts are PRE-REDUCED per (dst, label) before
+        leaving the shard (the non-monoid analogue of scatter_packed's
+        per-dst combine). Returns one packed bundle
+        ``(dst_local, label, count, qbounds)``."""
+        lab = self.state[label_state]
+        if self.m_local == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z, np.zeros(self.P + 1, np.int64)
+        le = lab[self.src_local].astype(np.int64)
+        # (dest shard, dst, label) sort so per-shard slices are
+        # contiguous AND identical (dst, label) pairs are adjacent.
+        dpart = _part_of(self.dst, self.P)
+        order = np.lexsort((le, self.dst, dpart))
+        d_s, l_s = self.dst[order], le[order]
+        starts = np.flatnonzero(
+            np.r_[True, (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        )
+        counts = np.diff(np.r_[starts, d_s.size])
+        u_dst = d_s[starts]
+        u_lab = l_s[starts]
+        u_part = _part_of(u_dst, self.P)
+        qb = np.searchsorted(u_part, np.arange(self.P + 1))
+        return _local_of(u_dst, self.P), u_lab, counts, qb
+
+    def gather_label_argmax(
+        self, q: int, *bundles, label_state: str = "lab"
+    ) -> float:
+        """Merge incoming (dst_local, label, count) triples, pick the
+        most frequent label per vertex (ties → smallest label), keep the
+        old label for vertices with no in-neighbours. Returns the
+        number of changed labels (the convergence scalar)."""
+        ids_l, lab_l, cnt_l = [], [], []
+        for b in bundles:
+            ids, labs, cnts, off = b
+            lo, hi = off[q], off[q + 1]
+            if hi > lo:
+                ids_l.append(ids[lo:hi])
+                lab_l.append(labs[lo:hi])
+                cnt_l.append(cnts[lo:hi])
+        lab = self.state[label_state]
+        if not ids_l:
+            return 0.0
+        ids = np.concatenate(ids_l)
+        labs = np.concatenate(lab_l)
+        cnts = np.concatenate(cnt_l)
+        key = ids * np.int64(self.n) + labs
+        order = np.argsort(key, kind="stable")
+        key_s, cnt_s = key[order], cnts[order]
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        tot = np.add.reduceat(cnt_s, starts)
+        u_ids = key_s[starts] // self.n
+        u_lab = key_s[starts] % self.n
+        # argmax per vertex, ties → smallest label: lexsort by
+        # (vertex, -count, label) then take the first row per vertex.
+        o2 = np.lexsort((u_lab, -tot, u_ids))
+        v_s, l_s = u_ids[o2], u_lab[o2]
+        firsts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
+        picked_v, picked_l = v_s[firsts], l_s[firsts]
+        new = lab.copy()
+        new[picked_v] = picked_l.astype(lab.dtype)
+        changed = float(np.sum(new != lab))
+        self.state[label_state] = new
+        return changed
+
     def _ones(self) -> np.ndarray:
         if getattr(self, "_ones_cache", None) is None or \
                 self._ones_cache.size != self.m_local:
@@ -620,6 +687,33 @@ class GraphEngine:
                 )
             )
         return cls(shards, P, n, int(src.size))
+
+    @classmethod
+    def for_linear_system(
+        cls,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        n: int | None = None,
+        P: int = 8,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Engine whose superstep computes ``y = A·x`` for the matrix
+        ``A[rows[i], cols[i]] = vals[i]`` (general, nonsymmetric).
+
+        The superstep natively computes y[dst] = Σ_src x[src]·w (i.e.
+        Aᵀx for edge-oriented storage), so this builder stores each
+        entry as src=col → dst=row — the orientation iterative SOLVERS
+        need (bicgstab on nonsymmetric A; for SPD systems, e.g. CG,
+        either orientation is equivalent)."""
+        return cls.from_arrays(
+            np.asarray(cols, np.int64),
+            np.asarray(rows, np.int64),
+            np.asarray(vals, np.float64),
+            n=n,
+            P=P,
+            num_cpus_per_shard=num_cpus_per_shard,
+        )
 
     @classmethod
     def synth_zipf(

@@ -117,12 +117,13 @@ def test_bicgstab_nonsymmetric():
     src, dst = np.nonzero(A)
     w = A[src, dst]
     b = rng.rand(n)
-    engine = GraphEngine.from_arrays(
+    engine = GraphEngine.for_linear_system(
         src.astype(np.int64), dst.astype(np.int64), w, n=n, P=3
     )
     x, iters, res = bicgstab(engine, b, tol=1e-10, max_iters=400)
     engine.shutdown()
-    # Engine computes y[dst] = sum_src A[src,dst] x[src] = A^T x,
-    # so bicgstab solved A^T x = b.
-    np.testing.assert_allclose(A.T @ x, b, atol=1e-7)
+    # for_linear_system orients entries col->row, so the superstep
+    # applies A itself: bicgstab solves A x = b for nonsymmetric A.
+    np.testing.assert_allclose(A @ x, b, atol=1e-7)
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-7)
     assert res <= 1e-10
