@@ -211,9 +211,14 @@ def _q_components(sf_dir: str):
     from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
-    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
-    # Dataset-native build: blocks stream worker→shard, never the driver.
-    engine = GraphEngine.from_dataset(edges, n=MOD_SPARSE, P=4)
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    # Dataset-native build: blocks stream worker→shard, never the
+    # driver; distinct enforced at ingestion (shard-local dedup).
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
     connected_components(engine)
     engine.compute_out_degrees("outdeg")
     labels = engine.get_state_by_vertex("label").astype(np.int64)
@@ -292,8 +297,12 @@ def _q_kcore(sf_dir: str):
     from alp_ray.stages.graph import symmetrize
     from alp_ray.state.engine import GraphEngine
 
-    edges = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
-    engine = GraphEngine.from_dataset(edges, n=MOD_SPARSE, P=4)
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
     engine.compute_out_degrees("outdeg")
     core = kcore_decomposition(engine)
     outdeg = engine.get_state_by_vertex("outdeg")
@@ -312,7 +321,9 @@ def _sym_weighted_sparse(sf_dir: str):
     from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
 
-    sym = symmetrize(derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True))
+    sym = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
 
     def add_w(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch.column("src"), np.int64)
@@ -332,7 +343,8 @@ def _q_labelprop(sf_dir: str):
     from alp_ray.state.engine import GraphEngine
 
     engine = GraphEngine.from_dataset(
-        _sym_weighted_sparse(sf_dir), n=MOD_SPARSE, P=4, weighted=True
+        _sym_weighted_sparse(sf_dir), n=MOD_SPARSE, P=4, weighted=True,
+        dedupe=True,
     )
     seed_mask = np.zeros(MOD_SPARSE, bool)
     seed_mask[:20] = True
@@ -623,7 +635,9 @@ def _q_community_lpa(sf_dir: str):
     from alp_ray.sources.tables import derived_edges
     from alp_ray.stages.graph import symmetrize
 
-    edges = symmetrize(derived_edges(sf_dir, mod=MOD_DENSE, sparse=True))
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_DENSE, sparse=True), dedup=False
+    )
     labels = community_lpa(edges, n=MOD_DENSE, max_iters=5)
     return pa.table(
         {

@@ -54,10 +54,15 @@ def corpus_to_edges(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def corpus_to_edge_ids(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+def corpus_to_edge_ids(
+    corpus: "ray.data.Dataset", dedup: bool = True
+) -> "ray.data.Dataset":
     """corpus → distinct (src, dst) int64 edge table — the cheap path for
     graph builds (int-keyed dedup shuffle; the string name columns are
-    only materialized by ``corpus_to_edges`` when a caller needs them)."""
+    only materialized by ``corpus_to_edges`` when a caller needs them).
+
+    ``dedup=False`` skips the distinct shuffle for consumers that dedup
+    at ingestion (GraphEngine.from_dataset(dedupe=True))."""
     extracted = corpus.map_batches(
         ImportExtractor, batch_format="pyarrow",
         concurrency=_auto_concurrency(),
@@ -65,7 +70,8 @@ def corpus_to_edge_ids(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     with_ids = extracted.map_batches(
         add_vertex_ids, batch_format="pyarrow"
     )
-    return dedup_edges(with_ids.select_columns(["src", "dst"]))
+    ids = with_ids.select_columns(["src", "dst"])
+    return dedup_edges(ids) if dedup else ids
 
 
 def densify(
@@ -140,26 +146,56 @@ def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def remap_edges_dense(
-    edges: "ray.data.Dataset", mapping: "ray.data.Dataset"
+    edges: "ray.data.Dataset",
+    mapping: "ray.data.Dataset",
+    broadcast_threshold: int = 5_000_000,
 ) -> "ray.data.Dataset":
-    """Rewrite (src, dst) hash ids to dense ids via two joins against the
-    mapping — all-Dataset (no driver vertex table)."""
-    # Pin the mapping before fanning it into two joins (re-executing its
-    # lazy plan inside one streaming topology is wasteful), and size the
-    # join partition count to the data: Ray 2.49's hash join breaks on
-    # EMPTY left partitions ("no match or multiple matches for key
-    # field" — empty shuffled blocks lose their schema), so tiny inputs
-    # must not be over-partitioned.
+    """Rewrite (src, dst) hash ids to dense ids.
+
+    Two physical forms, picked by mapping size — the small-side-
+    broadcast-vs-shuffle-join choice:
+    - mapping ≤ ``broadcast_threshold`` vertices: ``ray.put`` the sorted
+      (vertex → dense) arrays ONCE and remap each edge block with a
+      vectorized searchsorted inside map_batches — no shuffle at all.
+    - larger: two hash joins against the mapping (all-Dataset; no
+      driver or broadcast copy of the vertex set)."""
     mapping = mapping.materialize()
     n_vertices = mapping.count()
+    if n_vertices <= broadcast_threshold:
+        tbl = pa.concat_tables(
+            ray.get(mapping.to_arrow_refs())
+        ).combine_chunks()
+        verts = np.asarray(tbl.column("vertex"), np.int64)
+        dense = np.asarray(tbl.column("dense_id"), np.int64)
+        order = np.argsort(verts)
+        mref = ray.put((verts[order], dense[order]))
+
+        def remap(batch: pa.Table) -> pa.Table:
+            v_sorted, d_of = ray.get(mref)
+            s = np.asarray(batch.column("src"), np.int64)
+            d = np.asarray(batch.column("dst"), np.int64)
+            ps = np.clip(
+                np.searchsorted(v_sorted, s), 0, v_sorted.size - 1
+            )
+            pd = np.clip(
+                np.searchsorted(v_sorted, d), 0, v_sorted.size - 1
+            )
+            # Every endpoint must be in the mapping (it was built from
+            # these edges); a miss would silently mis-map.
+            assert (v_sorted[ps] == s).all() and (v_sorted[pd] == d).all()
+            return pa.table({"src": d_of[ps], "dst": d_of[pd]})
+
+        return edges.map_batches(remap, batch_format="pyarrow")
+    # Shuffle-join path. Size the join partition count to the data:
+    # Ray 2.49's hash join breaks on EMPTY partitions, so tiny inputs
+    # must not be over-partitioned; materialize between the chained
+    # joins (two lazy hash-joins in one plan trip the operator).
     parts = int(np.clip(n_vertices // 10_000, 2, 64))
     m_src = mapping.rename_columns(["src", "src_dense"])
     m_dst = mapping.rename_columns(["dst", "dst_dense"])
     first = edges.join(
         m_src, join_type="inner", num_partitions=parts, on=("src",)
     ).materialize()
-    # The materialize() between the two joins is also load-bearing:
-    # chaining two hash-joins in one lazy plan trips the same operator.
     out = first.join(
         m_dst, join_type="inner", num_partitions=parts, on=("dst",)
     )
@@ -182,15 +218,19 @@ def build_engine_from_corpus(
     shard actor). The driver holds handles and counters only — no edge
     or vertex table ever materializes on it, so the same code path runs
     at 10^12-file scale."""
-    edges = corpus_to_edge_ids(corpus)
+    edges = corpus_to_edge_ids(corpus, dedup=False)
     if symmetric:
-        edges = symmetrize(edges)
+        edges = symmetrize(edges, dedup=False)
     edges = edges.materialize()
     mapping = dense_id_mapping_ds(edges).materialize()
     n = mapping.count()
     dense = remap_edges_dense(edges, mapping)
+    # Dedup happens AT ingestion (shard-local distinct == global
+    # distinct under src-partitioning) — no standalone distinct shuffle
+    # anywhere in the build.
     engine = GraphEngine.from_dataset(
-        dense, n=n, P=P, num_cpus_per_shard=num_cpus_per_shard
+        dense, n=n, P=P, num_cpus_per_shard=num_cpus_per_shard,
+        dedupe=True,
     )
     return engine, mapping
 

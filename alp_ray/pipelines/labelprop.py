@@ -73,7 +73,7 @@ def community_lpa(
 
     from alp_ray.state.engine import GraphEngine
 
-    engine = GraphEngine.from_dataset(edges, n=n, P=P)
+    engine = GraphEngine.from_dataset(edges, n=n, P=P, dedupe=True)
     labels = community_lpa_engine(engine, max_iters=max_iters)
     engine.shutdown()
     return labels

@@ -31,7 +31,12 @@ def derived_edges(
     mod: int = 601,
     sparse: bool = False,
     weighted: bool = False,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
+    """``dedup=False`` skips the DISTINCT shuffle — for consumers that
+    dedup at engine ingestion (from_dataset(dedupe=True)); the weight
+    column is a pure function of (src, dst) so duplicates carry
+    identical weights either way."""
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
     if sparse:
         cols.append("l_linenumber")
@@ -50,7 +55,8 @@ def derived_edges(
         keep = src != dst
         return pa.table({"src": src[keep], "dst": dst[keep]})
 
-    edges = dedup_edges(li.map_batches(project, batch_format="pyarrow"))
+    projected = li.map_batches(project, batch_format="pyarrow")
+    edges = dedup_edges(projected) if dedup else projected
     if weighted:
 
         def add_w(batch: pa.Table) -> pa.Table:

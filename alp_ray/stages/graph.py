@@ -46,10 +46,18 @@ def dedup_edges(
     )
 
 
-def symmetrize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def symmetrize(
+    edges: "ray.data.Dataset", dedup: bool = True
+) -> "ray.data.Dataset":
     """Undirected view: union with swapped endpoints, self-loops dropped,
     deduped (needed by CC — pregel_connected_components.hpp expects a
-    symmetric graph)."""
+    symmetric graph).
+
+    ``dedup=False`` skips the distinct groupby — the SHUFFLE-FREE form
+    for consumers that dedup downstream anyway (the GraphShard engine's
+    ``from_dataset(dedupe=True)`` ingestion dedups shard-locally, which
+    equals global dedup under src-partitioning). At 100 TB the
+    difference is an entire all-to-all exchange."""
 
     def swap(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -61,7 +69,7 @@ def symmetrize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     both = fwd.union(rev).filter(
         expr="src != dst"
     )
-    return dedup_edges(both)
+    return dedup_edges(both) if dedup else both
 
 
 def canonicalize(edges: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -114,12 +114,14 @@ class GraphShard:
         parquet_path: str | None = None,
         synth: dict | None = None,
         deferred: bool = False,
+        dedupe: bool = False,
     ) -> None:
         self.part = part
         self.P = P
         self.n = n
         self.n_local = local_size(n, P, part)
         self.state: dict[str, np.ndarray] = {}
+        self._dedupe = dedupe
         if deferred:
             # Streaming ingest (GraphEngine.from_dataset): edge chunks
             # arrive via ingest_block from map_batches workers — through
@@ -183,6 +185,21 @@ class GraphShard:
             dst = np.empty(0, np.int64)
             w = None
         self._pending = []
+        if self._dedupe and src.size:
+            # Shard-local distinct == global distinct (edges are
+            # partitioned by src), so ingestion-time dedup replaces the
+            # upstream groupby shuffle — exactly buildMatrixUnique's
+            # no-duplicates ingestion contract enforced at build.
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            if w is not None:
+                w = w[order]
+            keep = np.r_[
+                True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            ]
+            src, dst = src[keep], dst[keep]
+            if w is not None:
+                w = w[keep]
         self._build(src, dst, w)
         return self.m_local
 
@@ -745,6 +762,7 @@ class GraphEngine:
         P: int = 8,
         weighted: bool = False,
         num_cpus_per_shard: float = 0,
+        dedupe: bool = False,
     ) -> "GraphEngine":
         """Streaming distributed build from an edge Dataset — the
         Dataset-native ingestion path: each map_batches worker routes its
@@ -758,7 +776,7 @@ class GraphEngine:
         P = max(1, min(P, n)) if n > 0 else 1
         shards = [
             GraphShard.options(num_cpus=num_cpus_per_shard).remote(
-                p, P, n, deferred=True
+                p, P, n, deferred=True, dedupe=dedupe
             )
             for p in range(P)
         ]

@@ -66,14 +66,14 @@ def corpus_pagerank_bench(sf: float, P: int, conv: float = 1e-6) -> dict:
     )
     # Dataset-native chain: hash-id edges → dense-id mapping → remap →
     # streaming shard ingest. No edge table ever lands on the driver.
-    edges = corpus_to_edge_ids(corpus).materialize()
+    edges = corpus_to_edge_ids(corpus, dedup=False).materialize()
     m_edges = edges.count()
     P = int(np.clip(m_edges // 50_000, 4, P))
     mapping = dense_id_mapping_ds(edges).materialize()
     n_v = mapping.count()
     dense = remap_edges_dense(edges, mapping)
     engine = GraphEngine.from_dataset(
-        dense, n=n_v, P=P, num_cpus_per_shard=0
+        dense, n=n_v, P=P, num_cpus_per_shard=0, dedupe=True
     )
     build_s = time.perf_counter() - t0
     # Warm the actor pool (cold numpy import etc.), then measure.
@@ -151,9 +151,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from alp_ray.state.engine import GraphEngine
 
     t0 = time.perf_counter()
-    edges = symmetrize(derived_edges(sf_dir, mod=20011, sparse=False))
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=20011, sparse=False, dedup=False),
+        dedup=False,
+    )
     eng = GraphEngine.from_dataset(edges, n=20011, P=P,
-                                   num_cpus_per_shard=0)
+                                   num_cpus_per_shard=0, dedupe=True)
     cc_res = connected_components(eng)
     eng.shutdown()
     queries["connected_components"] = round(time.perf_counter() - t0, 3)

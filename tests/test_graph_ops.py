@@ -168,13 +168,17 @@ def test_dense_id_mapping_dataset_native():
     np.testing.assert_array_equal(
         mapping["dense_id"].to_numpy(), np.arange(len(uniq))
     )
-    remapped = remap_edges_dense(
-        ds, dense_id_mapping_ds(ds)
-    ).to_pandas()
     s_d, d_d, _ = densify(src, dst)
-    got = sorted(map(tuple, remapped[["src", "dst"]].to_numpy()))
     want = sorted(zip(s_d.tolist(), d_d.tolist()))
-    assert got == want
+    # Both physical forms: broadcast-searchsorted (small mapping) and
+    # the shuffle-join path (forced with threshold=0).
+    for thresh in (5_000_000, 0):
+        remapped = remap_edges_dense(
+            ds, dense_id_mapping_ds(ds), broadcast_threshold=thresh
+        ).to_pandas()
+        got = sorted(map(tuple, remapped[["src", "dst"]].to_numpy()))
+        assert got == want, f"threshold={thresh}"
+
 
 
 def test_ewise_inner_op_variant():
