@@ -48,6 +48,7 @@ _E_WEIGHTED = (
 _PR_K = 20       # pagerank power steps
 _LP_K = 12       # thresholded label-propagation steps (fixpoint-safe)
 _LPA_K = 5       # community LPA steps (fixpoint-safe)
+_PPR_ROUNDS = 26  # pregel pagerank rounds (round 0 = init → 25 updates)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -361,19 +362,32 @@ def _q_labelprop(sf_dir: str):
 
 
 def _q_pregel_pagerank(sf_dir: str):
-    from alp_ray.pipelines.pregel_algorithms import pregel_pagerank
+    """Fixed-rounds voteToHalt variant (tolerance=0 disables per-vertex
+    halting, so exactly ``_PPR_ROUNDS − 1`` synchronous updates run) —
+    matching the unrolled DuckDB twin step for step. Semantics per
+    pregel_pagerank.hpp (α=0.15 jump, (plus, 0) combiner, score/outdeg
+    broadcast, NO dangling correction — explicitly not Brin-Page)."""
+    from alp_ray.pipelines.pregel_algorithms import (
+        PregelPageRankData,
+        pregel_pagerank,
+    )
     from alp_ray.state.engine import GraphEngine
 
     engine = GraphEngine.from_dataset(
         _dense_edges(sf_dir), n=MOD_DENSE, P=4
     )
-    pregel_pagerank(engine)
+    pregel_pagerank(
+        engine,
+        data=PregelPageRankData(alpha=0.15, tolerance=0.0),
+        local_converge=False,
+        max_rounds=_PPR_ROUNDS,
+    )
     score = engine.get_state_by_vertex("score")
     engine.shutdown()
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "score": pa.array(np.round(score, 6)),
+            "score": pa.array(_round_half_away(score, 6)),
         }
     )
 
@@ -1111,6 +1125,35 @@ def _labelprop_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _pregel_pagerank_sql(K: int) -> str:
+    """pregel_pagerank (α=0.15, no dangling correction), K unrolled
+    synchronous updates from score ≡ 1."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e "
+        "GROUP BY src), ",
+        "s0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS s "
+        "FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "0.15 + (1.0 - 0.15) * COALESCE(m.s, 0.0) AS s "
+            "FROM verts v LEFT JOIN ("
+            "SELECT e.dst AS v, SUM(p.s / d.c) AS s "
+            f"FROM {p} p JOIN e ON e.src = p.v "
+            "JOIN outdeg d ON d.src = p.v GROUP BY e.dst) m "
+            "ON m.v = v.v)"
+        )
+    parts.append(
+        f" SELECT v AS vertex, ROUND(s, 6) AS score FROM s{K}"
+    )
+    return "".join(parts)
+
+
 def _community_lpa_sql(K: int) -> str:
     """Synchronous community LPA (argmax in-neighbour label count, ties →
     smallest label, no-in-neighbour keeps), K unrolled steps."""
@@ -1140,6 +1183,44 @@ def _community_lpa_sql(K: int) -> str:
         )
     parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
     return "".join(parts)
+
+
+def _langid_sql() -> str:
+    """Character-trigram language ID: same profiles, same scoring
+    (hits/n_trigrams), same alphabetical-first argmax and 0.01
+    threshold as LangIdStage — the divisions are single IEEE ops on
+    identical integers, so values match bit-for-bit."""
+    from alp_ray.stages.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        tri_list = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in _LANG_PROFILES[lang]
+        )
+        score_exprs.append(
+            f"CASE WHEN n_tris > 0 THEN CAST(length(list_filter(tris, "
+            f"x -> x IN ({tri_list}))) AS DOUBLE) / n_tris "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return (
+        "WITH t AS (SELECT doc_id, lower(text) AS s FROM documents), "
+        "tri AS (SELECT doc_id, "
+        "CASE WHEN length(s) >= 3 THEN "
+        "list_transform(range(length(s) - 2), i -> s[i + 1 : i + 3]) "
+        "ELSE [] END AS tris, "
+        "GREATEST(length(s) - 2, 0) AS n_tris FROM t), "
+        f"sc AS (SELECT doc_id, n_tris, {', '.join(score_exprs)} "
+        "FROM tri), "
+        f"b AS (SELECT doc_id, n_tris, {best} AS best, * FROM sc) "
+        "SELECT doc_id, "
+        f"CASE WHEN best > 0.01 THEN {pick} ELSE 'und' END AS lang_pred, "
+        "best AS lang_conf FROM b"
+    )
 
 
 def _quality_sql() -> str:
@@ -1404,10 +1485,12 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT UNNEST(embedding) AS v FROM embeddings)"
         ),
         "pagerank": _pagerank_sql(_PR_K),
+        "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
         "quality_scores": _quality_sql(),
         "fingerprints": _FINGERPRINT_SQL,
+        "langid": _langid_sql(),
         "spmv_input_masked": (
             "SELECT dst AS vertex, CAST(SUM((src % 7) + 1) AS DOUBLE) "
             f"AS val FROM ({_E_DENSE}) WHERE src % 5 = 0 GROUP BY dst"

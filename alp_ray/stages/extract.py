@@ -39,48 +39,87 @@ class Sha256Stage:
 
 class ImportExtractor:
     """Extract per-language import edges: corpus rows → ``(repo, src_path,
-    dst_path)``. Patterns are compiled once per actor.
+    dst_path)``.
 
     Languages: ``py`` (``import a.b.c`` → ``a/b/c.py``), ``js``
     (``require('./<path>')``), ``c`` (``#include "<path>"``). Unknown langs
     yield no edges. Resolution is within-repo by construction.
-    """
 
-    def __init__(self) -> None:
-        self._py = re.compile(r"^import ([\w.]+)\s*$", re.MULTILINE)
-        self._js = re.compile(r"require\('\./([^']+)'\)")
-        self._c = re.compile(r'^#include "([^"]+)"\s*$', re.MULTILINE)
+    Vectorized: the batch's contents are line-split ONCE with Arrow
+    (``pc.split_pattern``), each language pattern runs as a single
+    ``pc.extract_regex`` over the flattened line array masked by the
+    row's language, and the Python-side target rewriting is Arrow
+    string kernels — no per-row regex loop (this stage dominates the
+    corpus ETL phase at bench scale)."""
 
-    def _targets(self, lang: str, content: str) -> list[str]:
-        if lang == "py":
-            return [
-                m.group(1).replace(".", "/") + ".py"
-                for m in self._py.finditer(content)
-            ]
-        if lang == "js":
-            return [m.group(1) for m in self._js.finditer(content)]
-        if lang == "c":
-            return [m.group(1) for m in self._c.finditer(content)]
-        return []
+    # One import per line in all three syntaxes, so per-LINE first-match
+    # extraction is exact.
+    _PATTERNS = {
+        "py": r"^import (?P<t>[\w.]+)\s*$",
+        "js": r"require\('\./(?P<t>[^']+)'\)",
+        "c": r'^#include "(?P<t>[^"]+)"\s*$',
+    }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repos_out: list[str] = []
-        srcs: list[str] = []
-        dsts: list[str] = []
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        contents = batch.column("content").to_pylist()
-        for repo, path, lang, content in zip(repos, paths, langs, contents):
-            for dst in self._targets(lang, content):
-                repos_out.append(repo)
-                srcs.append(path)
-                dsts.append(dst)
+        n = len(batch)
+        empty = pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "src_path": pa.array([], pa.string()),
+                "dst_path": pa.array([], pa.string()),
+            }
+        )
+        if n == 0:
+            return empty
+        lines = pc.split_pattern(
+            batch.column("content"), "\n"
+        ).combine_chunks()
+        flat = lines.flatten()
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        doc_of_line = np.repeat(np.arange(n, dtype=np.int64), counts)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        repos = np.asarray(batch.column("repo").to_pylist(), dtype=object)
+        paths = np.asarray(batch.column("path").to_pylist(), dtype=object)
+        out_r: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_d: list[pa.Array] = []
+        for lang, pattern in self._PATTERNS.items():
+            lang_docs = langs == lang
+            if not lang_docs.any():
+                continue
+            ext = pc.extract_regex(flat, pattern)
+            hit = np.asarray(
+                pc.is_valid(ext), dtype=bool
+            ) & lang_docs[doc_of_line]
+            if not hit.any():
+                continue
+            idx = np.flatnonzero(hit)
+            targets = pc.struct_field(ext.take(pa.array(idx)), "t")
+            if lang == "py":
+                targets = pc.binary_join_element_wise(
+                    pc.replace_substring(targets, ".", "/"),
+                    pa.array([""] * len(targets)),
+                    ".py",
+                )
+            docs = doc_of_line[idx]
+            out_r.append(repos[docs])
+            out_s.append(paths[docs])
+            out_d.append(targets)
+        if not out_r:
+            return empty
         return pa.table(
             {
-                "repo": pa.array(repos_out, pa.string()),
-                "src_path": pa.array(srcs, pa.string()),
-                "dst_path": pa.array(dsts, pa.string()),
+                "repo": pa.array(
+                    np.concatenate(out_r).tolist(), pa.string()
+                ),
+                "src_path": pa.array(
+                    np.concatenate(out_s).tolist(), pa.string()
+                ),
+                "dst_path": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_d]
+                ),
             }
         )
 
