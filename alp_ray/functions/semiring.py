@@ -123,3 +123,41 @@ SEMIRINGS = {
         MIN_FIRST,
     )
 }
+
+
+# The complete 27-operator surface of include/graphblas/ops.hpp as
+# vectorized callables (D1×D2→D3 over NumPy arrays) — usable anywhere a
+# binary op is accepted (eWise ops, BLAS0 apply/fold, dot's mul slot).
+# The *_if variants equal their unconditional forms under GraphBLAS
+# semantics: the mask argument of assign-if is carried by structural
+# masks in this engine, never by the op itself (ops.hpp:85,:141 note
+# the value-level behavior is identical).
+BINARY_OPS: dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
+    "left_assign": lambda x, y: x,                       # ops.hpp:58
+    "left_assign_if": lambda x, y: x,                    # :85
+    "right_assign": lambda x, y: y,                      # :115
+    "right_assign_if": lambda x, y: y,                   # :141
+    "add": np.add,                                       # :175
+    "mul": np.multiply,                                  # :208
+    "max": np.maximum,                                   # :241
+    "min": np.minimum,                                   # :274
+    "subtract": np.subtract,                             # :301
+    "divide": np.divide,                                 # :328
+    "divide_reverse": lambda x, y: np.divide(y, x),      # :353
+    "equal": np.equal,                                   # :379
+    "not_equal": np.not_equal,                           # :405
+    "any_or": lambda x, y: np.where(x != 0, x, y),       # :434
+    "logical_or": np.logical_or,                         # :462
+    "logical_and": np.logical_and,                       # :490
+    "relu": np.maximum,                                  # :514 (max(x, y))
+    "abs_diff": lambda x, y: np.abs(np.subtract(x, y)),  # :541
+    "argmin": lambda x, y: np.where(x <= y, x, y),       # :573 (on values)
+    "argmax": lambda x, y: np.where(x >= y, x, y),       # :600
+    "square_diff": lambda x, y: np.square(np.subtract(x, y)),  # :623
+    "zip": lambda x, y: np.stack([x, y], axis=-1),       # :649 (pair)
+    "equal_first": lambda x, y: x,                       # :678
+    "less_than": np.less,                                # :707
+    "leq": np.less_equal,                                # :736
+    "greater_than": np.greater,                          # :765
+    "geq": np.greater_equal,                             # :794
+}

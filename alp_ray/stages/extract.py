@@ -29,10 +29,11 @@ class Sha256Stage:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        content = batch.column("content")
+        # One bulk to_pylist (C-level) + per-row digest: SHA-256 itself
+        # is inherently per-row; the Arrow-value-object loop is not.
+        texts = batch.column("content").to_pylist()
         digests = [
-            hashlib.sha256(s.as_py().encode("utf-8")).hexdigest()
-            for s in content
+            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts
         ]
         return batch.append_column("sha256", pa.array(digests, pa.string()))
 

@@ -379,6 +379,26 @@ def unzip_vectors(
     return z.map_batches(unpack, batch_format="pyarrow")
 
 
+def ewise_mul_add(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    z: "ray.data.Dataset",
+    mul=np.multiply,
+    add_monoid_agg: str = "sum",
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Fused ``z ⊕= x ⊗ y`` — the named eWiseMulAdd the reference
+    dispatches internally (reference/blas1.hpp's 16 fused overloads):
+    the x∩y product (op/intersection semantics) merged into z under the
+    add monoid (union semantics). One join + one groupby — the fusion
+    means the intermediate product is never materialized as its own
+    Dataset pass."""
+    prod = ewise_inner(x, y, mul, value_col=value_col)
+    return ewise_union(
+        prod, z, monoid_agg=add_monoid_agg, value_col=value_col
+    )
+
+
 def ewise_union(
     x: "ray.data.Dataset",
     y: "ray.data.Dataset",

@@ -255,3 +255,34 @@ def test_spmv_empty_x_and_empty_mask():
         mask=np.array([], np.int64),
     ).to_pandas()
     assert len(y2) == 0
+
+
+def test_ewise_mul_add_and_binary_ops():
+    """Fused z += x.*y (eWiseMulAdd) and the full ops.hpp operator
+    table."""
+    from alp_ray.functions.semiring import BINARY_OPS
+    from alp_ray.stages.graph import ewise_mul_add
+
+    x = ray.data.from_arrow(
+        pa.table({"vertex": [0, 1, 2], "val": [2.0, 3.0, 4.0]})
+    )
+    y = ray.data.from_arrow(
+        pa.table({"vertex": [1, 2, 3], "val": [10.0, 20.0, 30.0]})
+    )
+    z = ray.data.from_arrow(
+        pa.table({"vertex": [2, 3], "val": [100.0, 200.0]})
+    )
+    out = ewise_mul_add(x, y, z).to_pandas()
+    got = dict(zip(out["vertex"], out["val"]))
+    # x∩y = {1: 30, 2: 80}; ⊕ z = {1: 30, 2: 180, 3: 200}
+    assert got == {1: 30.0, 2: 180.0, 3: 200.0}
+
+    assert len(BINARY_OPS) == 27  # the complete ops.hpp surface
+    a = np.array([1.0, 5.0, 0.0])
+    b = np.array([4.0, 2.0, 7.0])
+    assert list(BINARY_OPS["left_assign"](a, b)) == [1.0, 5.0, 0.0]
+    assert list(BINARY_OPS["abs_diff"](a, b)) == [3.0, 3.0, 7.0]
+    assert list(BINARY_OPS["any_or"](a, b)) == [1.0, 5.0, 7.0]
+    assert list(BINARY_OPS["divide_reverse"](a, b)) == [4.0, 0.4, np.inf]
+    assert list(BINARY_OPS["argmin"](a, b)) == [1.0, 2.0, 0.0]
+    assert BINARY_OPS["zip"](a, b).shape == (3, 2)
