@@ -25,7 +25,16 @@ import ray.data
 
 
 def _as_matrix(batch_col) -> np.ndarray:
-    return np.array(batch_col.to_pylist(), dtype=np.float64)
+    """Vector column → (n, d) float64. Fixed-size-list columns reshape
+    ZERO-COPY from the Arrow buffer; anything else (tensor extension,
+    variable list, pandas objects) falls back to to_pylist."""
+    col = batch_col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        return np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+    return np.array(col.to_pylist(), dtype=np.float64)
 
 
 class _BruteTopK:

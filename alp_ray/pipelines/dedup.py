@@ -633,7 +633,9 @@ def embedding_cosine_pairs(
     def to_buckets(batch: pa.Table) -> pa.Table:
         Hm = ray.get(href)
         ids = np.asarray(batch.column(id_col))
-        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from alp_ray.pipelines.ann import _as_matrix
+
+        V = _as_matrix(batch.column(vec_col))
         signs = (V @ Hm) > 0
         base = np.packbits(
             signs, axis=1, bitorder="little"
@@ -692,7 +694,9 @@ def embedding_cosine_pairs(
     # zero-copy in the verify stage.
     def _proj(id_name, vec_name):
         def fn(b: pa.Table) -> pa.Table:
-            V = np.array(b.column(vec_col).to_pylist(), np.float64)
+            from alp_ray.pipelines.ann import _as_matrix
+
+            V = _as_matrix(b.column(vec_col))
             return pa.table(
                 {
                     id_name: b.column(id_col),

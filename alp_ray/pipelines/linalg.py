@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from alp_ray.functions.semiring import PLUS_TIMES
+from alp_ray.pipelines.ann import _as_matrix
 from alp_ray.stages.graph import spmv
 from alp_ray.state.engine import GraphEngine
 
@@ -217,7 +218,7 @@ def kmeans(
 
         def partial_means(batch: pa.Table) -> pa.Table:
             Cm = ray.get(cref)
-            V = np.array(batch.column(vec_col).to_pylist(), np.float64)
+            V = _as_matrix(batch.column(vec_col))
             d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
             a = d.argmin(1)
             # Combiner: per-block sum+count per cluster.
@@ -253,7 +254,7 @@ def kmeans(
 
     def assign(batch: pa.Table) -> pa.Table:
         Cm = ray.get(cref)
-        V = np.array(batch.column(vec_col).to_pylist(), np.float64)
+        V = _as_matrix(batch.column(vec_col))
         d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
         return pa.table(
