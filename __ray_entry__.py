@@ -804,6 +804,36 @@ def _q_quality(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+_PPR_SEEDS = 50  # personalized teleport support: vertices 0..49
+
+
+def _q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (teleport vector uniform over the first
+    _PPR_SEEDS vertices), fixed _PR_K power steps — random jumps AND
+    dangling mass land on the teleport distribution
+    (simple_pagerank.hpp semantics generalized per Jeh & Widom)."""
+    from alp_ray.pipelines.pagerank import pagerank
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    t = np.zeros(MOD_DENSE)
+    t[:_PPR_SEEDS] = 1.0 / _PPR_SEEDS
+    pagerank(
+        engine, conv=0.0, max_iters=_PR_K, sync_every=_PR_K,
+        personalize=t,
+    )
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "pr": pa.array(_round_half_away(pr, 7)),
+        }
+    )
+
+
 def _q_spmv_input_masked(sf_dir: str):
     from alp_ray.functions.semiring import PLUS_FIRST
     from alp_ray.stages.graph import spmv
@@ -1088,6 +1118,41 @@ def _pagerank_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(K: int) -> str:
+    """Personalized PageRank twin: like _pagerank_sql but the teleport /
+    dangling offset is scaled by the per-vertex teleport value instead
+    of the uniform 1/n (pr_new = y + coef·t[v], coef NOT divided by n)."""
+    tv = (
+        f"CASE WHEN v.v < {_PPR_SEEDS} THEN 1.0 / {_PPR_SEEDS} "
+        "ELSE 0.0 END"
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e "
+        "GROUP BY src), ",
+        f"pr0 AS MATERIALIZED (SELECT v, CAST(1.0/{MOD_DENSE} AS DOUBLE) "
+        "AS val FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f", pr{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "COALESCE(y.s, 0.0) + (0.85 * COALESCE((SELECT SUM(p.val) "
+            f"FROM {p} p LEFT JOIN outdeg d ON d.src = p.v "
+            "WHERE d.src IS NULL), 0.0) + (1.0 - 0.85)) "
+            f"* ({tv}) AS val "
+            "FROM verts v LEFT JOIN ("
+            "SELECT e.dst AS v, SUM(p.val * (0.85 / d.c)) AS s "
+            f"FROM {p} p JOIN e ON e.src = p.v "
+            "JOIN outdeg d ON d.src = p.v "
+            "GROUP BY e.dst) y ON y.v = v.v)"
+        )
+    parts.append(f" SELECT v AS vertex, ROUND(val, 7) AS pr FROM pr{K}")
+    return "".join(parts)
+
+
 def _labelprop_sql(K: int) -> str:
     """Kamvar thresholded propagation over the symmetric weighted sparse
     graph, K unrolled steps (fixpoint-idempotent, so K ≥ the Ray side's
@@ -1329,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bicgstab": _q_bicgstab,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_keep": _q_minhash_keep,
+        "personalized_pagerank": _q_personalized_pagerank,
     }
 
 
@@ -1486,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(_PR_K),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
+        "personalized_pagerank": _ppr_sql(_PR_K),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
         "quality_scores": _quality_sql(),
