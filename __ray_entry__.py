@@ -49,6 +49,7 @@ _PR_K = 20       # pagerank power steps
 _LP_K = 12       # thresholded label-propagation steps (fixpoint-safe)
 _LPA_K = 5       # community LPA steps (fixpoint-safe)
 _PPR_ROUNDS = 26  # pregel pagerank rounds (round 0 = init → 25 updates)
+_CG_K = 12       # conjugate-gradient steps (fixed; tol=0 on both sides)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -442,14 +443,17 @@ def _q_conjugate_gradient(sf_dir: str):
     engine = GraphEngine.from_dataset(
         A, n=MOD_DENSE, P=4, weighted=True
     )
-    rng = np.random.RandomState(7)
-    b = rng.rand(MOD_DENSE)
-    x, iters, res = conjugate_gradient(engine, b, tol=1e-10)
+    # Deterministic b + FIXED iteration count (tol=0) so the unrolled
+    # DuckDB CG twin runs the identical 12 steps.
+    b = ((np.arange(MOD_DENSE) % 7) + 1) / 10.0
+    x, iters, res = conjugate_gradient(
+        engine, b, tol=0.0, max_iters=_CG_K
+    )
     engine.shutdown()
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "x": pa.array(np.round(x, 6)),
+            "x": pa.array(_round_half_away(x, 6)),
         }
     )
 
@@ -1069,6 +1073,91 @@ def _q_minhash_keep(sf_dir: str):
     )
 
 
+def _q_asof_purchase(sf_dir: str):
+    """Each click joined to the user's most recent prior-or-equal
+    purchase (the as-of join the prompt lists as a must-have custom
+    operator; DuckDB's native ASOF JOIN is the oracle)."""
+    import ray.data
+
+    from alp_ray.stages.relational import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(
+        clicks, purchases, key="user_id", on="ts",
+        right_value_cols=("value",),
+    )
+    return _cast(
+        out,
+        {"user_id": pa.int64(), "event_id": pa.int64(),
+         "ts": pa.int64(), "value_r": pa.float64()},
+    )
+
+
+def _q_window_hopping(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.window import hopping_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = hopping_window(ev, width_s=3600, hop_s=900)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("window_start").cast(
+                    pa.int64()
+                ),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        np.asarray(
+                            batch.column("sum_value"), np.float64
+                        ),
+                        6,
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_topk_per_user(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.relational import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value", "event_id"],
+    )
+    out = topk_per_group(
+        ev, key="user_id", order_col="value", tie_col="event_id", k=3
+    )
+    return _cast(
+        out,
+        {"user_id": pa.int64(), "value": pa.float64(),
+         "event_id": pa.int64()},
+    )
+
+
+def _q_doc_sample(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.relational import hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return _cast(hash_sample(docs, pct=5), {"doc_id": pa.int64()})
+
+
 # ------------------------------------------------- unrolled SQL twins --
 #
 # Iterative algorithms get DuckDB oracles by unrolling a FIXED number of
@@ -1250,6 +1339,55 @@ def _community_lpa_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _cg_sql(K: int) -> str:
+    """Conjugate gradient on A = W_sym + diag(1 + weighted degree),
+    K unrolled steps with scalar-subquery dots (the allreduce) — every
+    vector update mirrors the engine's exact FP op order; only the dot
+    reduction order differs, absorbed by the final ROUND(…, 6)."""
+    sym = (
+        "SELECT src, dst, CAST((src + dst) % 10 + 1 AS DOUBLE) AS weight "
+        f"FROM (SELECT src, dst FROM ({_E_DENSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_DENSE}))"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        f"sym AS MATERIALIZED ({sym}), ",
+        "A AS MATERIALIZED (SELECT src, dst, "
+        "CAST(SUM(weight) AS DOUBLE) AS weight FROM ("
+        "SELECT src, dst, weight FROM sym "
+        "UNION ALL SELECT v AS src, v AS dst, 1.0 AS weight FROM verts "
+        "UNION ALL SELECT src, src AS dst, weight FROM sym"
+        ") GROUP BY 1, 2), ",
+        "s0 AS MATERIALIZED (SELECT v, 0.0 AS x, "
+        "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS r, "
+        "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS p FROM verts), ",
+        "rr0 AS MATERIALIZED (SELECT SUM(r * r) AS val FROM s0)",
+    ]
+    for k in range(1, K + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f", ap{k} AS MATERIALIZED (SELECT A.dst AS v, "
+            f"SUM(s.p * A.weight) AS ap FROM {p} s "
+            "JOIN A ON A.src = s.v GROUP BY A.dst)"
+            f", al{k} AS MATERIALIZED (SELECT "
+            f"(SELECT val FROM rr{k - 1}) / "
+            f"(SELECT SUM(s.p * a.ap) FROM {p} s "
+            f"JOIN ap{k} a ON a.v = s.v) AS alpha)"
+            f", t{k} AS MATERIALIZED (SELECT s.v, "
+            f"s.x + (SELECT alpha FROM al{k}) * s.p AS x, "
+            f"s.r - (SELECT alpha FROM al{k}) * a.ap AS r, s.p AS p "
+            f"FROM {p} s JOIN ap{k} a ON a.v = s.v)"
+            f", rr{k} AS MATERIALIZED (SELECT SUM(r * r) AS val "
+            f"FROM t{k})"
+            f", s{k} AS MATERIALIZED (SELECT v, x, r, "
+            f"r + ((SELECT val FROM rr{k}) / "
+            f"(SELECT val FROM rr{k - 1})) * p AS p FROM t{k})"
+        )
+    parts.append(f" SELECT v AS vertex, ROUND(x, 6) AS x FROM s{K}")
+    return "".join(parts)
+
+
 def _langid_sql() -> str:
     """Character-trigram language ID: same profiles, same scoring
     (hits/n_trigrams), same alphabetical-first argmax and 0.01
@@ -1395,6 +1533,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
+        # Relational / temporal custom operators
+        "asof_purchase": _q_asof_purchase,
+        "window_hopping": _q_window_hopping,
+        "topk_per_user": _q_topk_per_user,
+        "doc_sample": _q_doc_sample,
     }
 
 
@@ -1553,6 +1696,32 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(_PR_K),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "personalized_pagerank": _ppr_sql(_PR_K),
+        "asof_purchase": (
+            "SELECT l.user_id, l.event_id, "
+            "CAST(epoch_us(l.ts) AS BIGINT) AS ts, r.value AS value_r "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF JOIN (SELECT * FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "window_hopping": (
+            "SELECT (epoch_us(ts) // 900000000 - i) * 900000000 "
+            "AS window_start, event_type, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM events CROSS JOIN "
+            "(SELECT unnest(range(4)) AS i) hops "
+            "GROUP BY 1, 2"
+        ),
+        "topk_per_user": (
+            "SELECT user_id, value, event_id FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) <= 3"
+        ),
+        "doc_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id * 40503) % 65536 < 3276"
+        ),
+        "conjugate_gradient": _cg_sql(_CG_K),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
         "quality_scores": _quality_sql(),

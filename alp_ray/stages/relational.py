@@ -1,0 +1,198 @@
+"""Relational / temporal operators Ray Data lacks natively, built per
+SURVEY §2.10's note: the reference has no joins/sort/top-k as API —
+these exist as *engine-level* tools for training-data pipelines
+(prompt: "as-of join, range join, windowed aggregate" as custom
+operators), expressed as map_batches + coarse-partition map_groups.
+
+Partitioning assumption (documented per the custom-operator contract):
+each stage co-locates whole KEYS via ``key % n_parts``; a single key's
+rows must fit one worker (true for per-user event histories; for
+pathological keys add a salt + two-stage combine like the dedup
+max_bucket guard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _part_tag(ds, key: str, n_parts: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        part = np.asarray(batch.column(key), np.int64) % n_parts
+        return batch.append_column("__part", pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str = "user_id",
+    on: str = "ts",
+    right_value_cols: tuple[str, ...] = ("value",),
+    n_parts: int = 32,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """For every left row, attach the LATEST right row with
+    ``right.on <= left.on`` and equal ``key`` (inner semantics: left
+    rows with no prior right row are dropped) — DuckDB's
+    ``ASOF JOIN ... ON l.key = r.key AND l.on >= r.on``.
+
+    Physical plan: tag side → union → co-locate whole keys by
+    ``key % n_parts`` → ONE vectorized group call per partition that
+    sorts by (key, on) and binary-searches each left row into its key's
+    right history. No per-key dispatch, no driver materialization.
+    """
+    on_t = pa.int64()
+
+    def prep(side: int, cols: tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {
+                key: batch.column(key).cast(pa.int64()),
+                "__on": batch.column(on).cast(on_t),
+                "__side": pa.array(
+                    np.full(len(batch), side, np.int8)
+                ),
+            }
+            for i, c in enumerate(
+                ("event_id",) if side == 0 else right_value_cols
+            ):
+                out[f"__c{side}_{i}"] = batch.column(c)
+            return pa.table(out)
+
+        return fn
+
+    l = left.map_batches(prep(0, ()), batch_format="pyarrow")
+    r = right.map_batches(
+        prep(1, right_value_cols), batch_format="pyarrow"
+    )
+    both = _part_tag(l.union(r), key, n_parts)
+
+    def emit(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side"), np.int8)
+        k = np.asarray(group.column(key), np.int64)
+        t = np.asarray(group.column("__on"), np.int64)
+        is_l = side == 0
+        lk, lt = k[is_l], t[is_l]
+        rk, rt = k[~is_l], t[~is_l]
+        out_cols: dict = {}
+        if lk.size == 0 or rk.size == 0:
+            cols = {key: pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    on: pa.array([], on_t)}
+            for i, c in enumerate(right_value_cols):
+                cols[c + suffix] = pa.array([], pa.float64())
+            return pa.table(cols)
+        l_ids = np.asarray(group.column("__c0_0"))[is_l]
+        r_vals = [
+            np.asarray(group.column(f"__c1_{i}"))[~is_l]
+            for i in range(len(right_value_cols))
+        ]
+        ro = np.lexsort((rt, rk))
+        rk, rt = rk[ro], rt[ro]
+        r_vals = [v[ro] for v in r_vals]
+        # Per-key right segment bounds, then per-left binary search of
+        # its timestamp within the segment. One searchsorted call per
+        # distinct key present on the left (vectorized inside).
+        lo_all = np.searchsorted(rk, lk, side="left")
+        hi_all = np.searchsorted(rk, lk, side="right")
+        match = np.full(lk.size, -1, np.int64)
+        order_l = np.argsort(lk, kind="stable")
+        pos = 0
+        while pos < order_l.size:
+            u = lk[order_l[pos]]
+            end = pos
+            while end < order_l.size and lk[order_l[end]] == u:
+                end += 1
+            sel = order_l[pos:end]
+            lo, hi = lo_all[sel[0]], hi_all[sel[0]]
+            if hi > lo:
+                idx = lo + np.searchsorted(
+                    rt[lo:hi], lt[sel], side="right"
+                ) - 1
+                ok = idx >= lo
+                match[sel[ok]] = idx[ok]
+            pos = end
+        hit = match >= 0
+        cols = {
+            key: pa.array(lk[hit]),
+            "event_id": pa.array(l_ids[hit]),
+            on: pa.array(lt[hit], on_t),
+        }
+        for i, c in enumerate(right_value_cols):
+            cols[c + suffix] = pa.array(r_vals[i][match[hit]])
+        return pa.table(cols)
+
+    return both.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    key: str = "user_id",
+    order_col: str = "value",
+    tie_col: str = "event_id",
+    k: int = 3,
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k rows per key by (order_col DESC, tie_col ASC) — the
+    relational sort/limit-per-key the reference lacks. Two-stage:
+    in-batch partial top-k per key (the combiner — at most k rows per
+    (key, block) ever shuffle), then a coarse-partition final top-k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kk = np.asarray(batch.column(key), np.int64)
+        vv = np.asarray(batch.column(order_col), np.float64)
+        tt = np.asarray(batch.column(tie_col), np.int64)
+        order = np.lexsort((tt, -vv, kk))
+        kk, vv, tt = kk[order], vv[order], tt[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        rank = np.arange(kk.size) - np.repeat(
+            starts, np.diff(np.r_[starts, kk.size])
+        )
+        keep = rank < k
+        return pa.table(
+            {key: kk[keep], order_col: vv[keep], tie_col: tt[keep]}
+        )
+
+    parts = _part_tag(
+        ds.select_columns([key, order_col, tie_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        key,
+        n_parts,
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = partial(group.drop_columns(["__part"]))
+        return t
+
+    return parts.groupby("__part").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def hash_sample(
+    ds: "ray.data.Dataset",
+    key: str = "doc_id",
+    pct: int = 5,
+    mult: int = 40503,
+    mod: int = 65536,
+) -> "ray.data.Dataset":
+    """Deterministic value-based sampling: keep rows where
+    ``(key·mult) % mod < mod·pct/100`` — reproducible across runs and
+    engines (unlike random_shuffle-based sampling), expressible in SQL
+    verbatim. Keep ``key·mult`` within int64 (mult small)."""
+    cut = mod * pct // 100
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kk = np.asarray(batch.column(key), np.int64)
+        keep = (kk * mult) % mod < cut
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

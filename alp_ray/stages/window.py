@@ -47,6 +47,49 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    events: "ray.data.Dataset",
+    ts_col: str = "ts",
+    width_s: int = 3600,
+    hop_s: int = 900,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Hopping (sliding) windows: width_s window every hop_s — each
+    event lands in ``width_s // hop_s`` overlapping windows (flat emit +
+    in-batch replication, then ONE groupby; hop must divide width).
+    Returns (window_start, *keys, n_events, sum_value)."""
+    assert width_s % hop_s == 0
+    reps = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column(ts_col).cast(pa.int64()))
+        base = ts // hop_us  # hop index containing the event
+        n = ts.size
+        # Window starts (base - i) * hop for i in 0..reps-1: the event
+        # lies in [start, start + width) for each, by construction.
+        w = (
+            np.repeat(base, reps)
+            - np.tile(np.arange(reps, dtype=np.int64), n)
+        ) * hop_us
+        cols = {"window_start": pa.array(w)}
+        for c in (*keys, value_col):
+            cols[c] = batch.column(c).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), reps))
+            )
+        return pa.table(cols)
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", *keys])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
 def sessionize(
     events: "ray.data.Dataset",
     user_col: str = "user_id",
