@@ -1339,6 +1339,41 @@ def _community_lpa_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _kcore_sql(K: int) -> str:
+    """Coreness via the h-index fixpoint (Lü et al. 2016): c₀ = degree,
+    c_{t+1}(v) = H-index of neighbours' c_t — converges to the exact
+    peeling coreness (an INTEGER graph invariant, so the engine's peel
+    loop and this iteration agree exactly once both converge; K=40 ≫
+    the ≤25 iterations measured at sf0.1). Restricted to present
+    (degree > 0) vertices like the Ray query."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c FROM es "
+        "GROUP BY src), ",
+        "c0 AS MATERIALIZED (SELECT v, c FROM deg)",
+    ]
+    for k in range(1, K + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT d.v, "
+            "COALESCE(h.h, 0) AS c FROM deg d LEFT JOIN ("
+            "SELECT v, MAX(rnk) AS h FROM ("
+            "SELECT e.dst AS v, p.c AS val, "
+            "ROW_NUMBER() OVER (PARTITION BY e.dst "
+            "ORDER BY p.c DESC) AS rnk "
+            f"FROM {p} p JOIN es e ON e.src = p.v"
+            ") WHERE val >= rnk GROUP BY v) h ON h.v = d.v)"
+        )
+    parts.append(
+        f" SELECT v AS vertex, CAST(c AS BIGINT) AS core FROM c{K}"
+    )
+    return "".join(parts)
+
+
 def _cg_sql(K: int) -> str:
     """Conjugate gradient on A = W_sym + diag(1 + weighted degree),
     K unrolled steps with scalar-subquery dots (the allreduce) — every
@@ -1722,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (doc_id * 40503) % 65536 < 3276"
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
+        "kcore": _kcore_sql(40),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
         "quality_scores": _quality_sql(),
