@@ -50,6 +50,7 @@ _LP_K = 12       # thresholded label-propagation steps (fixpoint-safe)
 _LPA_K = 5       # community LPA steps (fixpoint-safe)
 _PPR_ROUNDS = 26  # pregel pagerank rounds (round 0 = init → 25 updates)
 _CG_K = 12       # conjugate-gradient steps (fixed; tol=0 on both sides)
+_BI_K = 8        # bicgstab steps (fixed; tol=0 on both sides)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -1024,13 +1025,15 @@ def _q_bicgstab(sf_dir: str):
         entries.map_batches(swap, batch_format="pyarrow"),
         n=MOD_DENSE, P=4, weighted=True,
     )
+    # Fixed iteration count (tol=0) so the unrolled DuckDB twin runs
+    # the identical _BI_K steps.
     b = ((np.arange(MOD_DENSE) % 7) + 1).astype(np.float64) / MOD_DENSE
-    x, iters, res = bicgstab(engine, b, tol=1e-10, max_iters=500)
+    x, iters, res = bicgstab(engine, b, tol=0.0, max_iters=_BI_K)
     engine.shutdown()
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "x": pa.array(np.round(x, 6)),
+            "x": pa.array(_round_half_away(x, 6)),
         }
     )
 
@@ -1336,6 +1339,86 @@ def _community_lpa_sql(K: int) -> str:
             f"JOIN {p} p ON p.v = v.v)"
         )
     parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
+    return "".join(parts)
+
+
+def _bicgstab_sql(K: int) -> str:
+    """BiCGstab on the nonsymmetric A = W + diag(1 + row sums), K
+    unrolled steps. Scalars (rho/beta/alpha/omega) live in single-row
+    CTEs (scalar subqueries = the allreduce); every vector update
+    mirrors the engine kernel's FP op order."""
+    parts = [
+        f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        f"ew AS MATERIALIZED ({_E_WEIGHTED}), ",
+        "A AS MATERIALIZED (SELECT src, dst, "
+        "CAST(SUM(weight) AS DOUBLE) AS weight FROM ("
+        "SELECT src, dst, weight FROM ew "
+        "UNION ALL SELECT v AS src, v AS dst, 1.0 AS weight FROM verts "
+        "UNION ALL SELECT src, src AS dst, weight FROM ew"
+        ") GROUP BY 1, 2), ",
+        "b AS MATERIALIZED (SELECT v, "
+        f"CAST((v % 7) + 1 AS DOUBLE) / {MOD_DENSE} AS val FROM verts), ",
+        # state s0: x, r, p, vv (rhat == b throughout)
+        "s0 AS MATERIALIZED (SELECT v, 0.0 AS x, val AS r, 0.0 AS p, "
+        "0.0 AS vv FROM b), ",
+        "sc0 AS MATERIALIZED (SELECT 1.0 AS rho, 1.0 AS alpha, "
+        "1.0 AS omega)",
+    ]
+    for k in range(1, K + 1):
+        p = f"s{k - 1}"
+        sc = f"sc{k - 1}"
+        parts.append(
+            # rho_new = rhat·r ; beta = (rho_new/rho)·(alpha/omega)
+            f", r1_{k} AS MATERIALIZED (SELECT "
+            f"(SELECT SUM(b.val * s.r) FROM {p} s "
+            "JOIN b ON b.v = s.v) AS rho_new)"
+            f", be_{k} AS MATERIALIZED (SELECT "
+            f"((SELECT rho_new FROM r1_{k}) / (SELECT rho FROM {sc})) "
+            f"* ((SELECT alpha FROM {sc}) / (SELECT omega FROM {sc})) "
+            "AS beta)"
+            # p = r + beta*(p - omega*vv)
+            f", p_{k} AS MATERIALIZED (SELECT v, "
+            f"r + (SELECT beta FROM be_{k}) "
+            f"* (p - (SELECT omega FROM {sc}) * vv) AS p "
+            f"FROM {p})"
+            # vv = A p
+            f", v_{k} AS MATERIALIZED (SELECT A.src AS v, "
+            f"SUM(p.p * A.weight) AS vv FROM p_{k} p "
+            "JOIN A ON A.dst = p.v GROUP BY A.src)"
+            # alpha = rho_new / (rhat·vv)
+            f", al_{k} AS MATERIALIZED (SELECT "
+            f"(SELECT rho_new FROM r1_{k}) / "
+            f"(SELECT SUM(b.val * v.vv) FROM v_{k} v "
+            "JOIN b ON b.v = v.v) AS alpha)"
+            # s = r - alpha*vv
+            f", sv_{k} AS MATERIALIZED (SELECT s.v, "
+            f"s.r - (SELECT alpha FROM al_{k}) * v.vv AS s "
+            f"FROM {p} s JOIN v_{k} v ON v.v = s.v)"
+            # t = A s
+            f", t_{k} AS MATERIALIZED (SELECT A.src AS v, "
+            f"SUM(s.s * A.weight) AS t FROM sv_{k} s "
+            "JOIN A ON A.dst = s.v GROUP BY A.src)"
+            # omega = (t·s)/(t·t)
+            f", om_{k} AS MATERIALIZED (SELECT "
+            f"(SELECT SUM(t.t * s.s) FROM t_{k} t "
+            f"JOIN sv_{k} s ON s.v = t.v) / "
+            f"(SELECT SUM(t.t * t.t) FROM t_{k} t) AS omega)"
+            # x = x + alpha*p + omega*s ; r = s - omega*t
+            f", s{k} AS MATERIALIZED (SELECT o.v, "
+            f"o.x + (SELECT alpha FROM al_{k}) * p.p "
+            f"+ (SELECT omega FROM om_{k}) * s.s AS x, "
+            f"s.s - (SELECT omega FROM om_{k}) * t.t AS r, "
+            "p.p AS p, v.vv AS vv "
+            f"FROM {p} o JOIN p_{k} p ON p.v = o.v "
+            f"JOIN sv_{k} s ON s.v = o.v JOIN t_{k} t ON t.v = o.v "
+            f"JOIN v_{k} v ON v.v = o.v)"
+            f", sc{k} AS MATERIALIZED (SELECT "
+            f"(SELECT rho_new FROM r1_{k}) AS rho, "
+            f"(SELECT alpha FROM al_{k}) AS alpha, "
+            f"(SELECT omega FROM om_{k}) AS omega)"
+        )
+    parts.append(f" SELECT v AS vertex, ROUND(x, 6) AS x FROM s{K}")
     return "".join(parts)
 
 
@@ -1757,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (doc_id * 40503) % 65536 < 3276"
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
+        "bicgstab": _bicgstab_sql(_BI_K),
         "kcore": _kcore_sql(40),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
