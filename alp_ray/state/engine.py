@@ -264,10 +264,16 @@ class GraphShard:
     def compute_out_degrees(self, name: str = "outdeg") -> None:
         """Shard-local out-degrees (edges are partitioned by src, so this
         needs no communication) — ≙ the pattern-semiring row-sum vxm
-        (simple_pagerank.hpp:210-222) but free under our partitioning."""
-        self.state[name] = np.bincount(
+        (simple_pagerank.hpp:210-222) but free under our partitioning.
+        Hot-split sources keep their ORIGINAL out-degree (their edges
+        were re-homed, not deleted)."""
+        deg = np.bincount(
             self.src_local, minlength=self.n_local
         ).astype(np.float64)
+        hot = getattr(self, "hot_local", None)
+        if hot is not None and hot.size:
+            deg[hot] += self.hot_outdeg
+        self.state[name] = deg
 
     def map_local(self, fn_bytes: bytes, scalars: dict | None = None) -> Any:
         """≙ eWiseLambda over local slices; fn(state, ctx) -> scalar partials."""
@@ -400,6 +406,10 @@ class GraphShard:
         else:
             x, active, pre_scalars = out, None, {}
         w = self.w
+        hx_ids, hx = self._hot_x_out(x)
+        if active is not None and hx_ids.size:
+            keep = active[self.hot_local]
+            hx_ids, hx = hx_ids[keep], hx[keep]
         if active is None:
             contrib = sr.mul(
                 x[self.src_local],
@@ -409,7 +419,10 @@ class GraphShard:
                 seg_vals = sr.add.segment_reduce(contrib, self.seg_starts)
             else:
                 seg_vals = np.empty(0)
-            return self.out_dst_local, seg_vals, self.qbounds, pre_scalars
+            return (
+                self.out_dst_local, seg_vals, self.qbounds,
+                pre_scalars, hx_ids, hx,
+            )
         # Sparse frontier: mask by active source, re-segment (grouped by
         # (dest shard, dst) so the packed layout holds).
         mask = active[self.src_local]
@@ -425,13 +438,123 @@ class GraphShard:
             vals = sr.add.segment_reduce(contrib, starts)
             u_part = _part_of(u_dst, self.P)
             qb = np.searchsorted(u_part, np.arange(self.P + 1))
-            return _local_of(u_dst, self.P), vals, qb, pre_scalars
+            return (
+                _local_of(u_dst, self.P), vals, qb,
+                pre_scalars, hx_ids, hx,
+            )
         return (
             np.empty(0, np.int64),
             np.empty(0),
             np.zeros(self.P + 1, np.int64),
             pre_scalars,
+            hx_ids,
+            hx,
         )
+
+    # ---- hot-source split (skew guard, SURVEY §7.8) -------------------
+    #
+    # A source with extreme out-degree concentrates scatter work on its
+    # owner shard (edges are partitioned by src). The split re-homes a
+    # hot vertex's edges to their DESTINATION shards at build time;
+    # each superstep the owner ships only the hot x VALUES (O(#hot)
+    # scalars riding the existing bundle), and every gather applies its
+    # local slice of hot contributions — work spreads by dst, semantics
+    # unchanged (FP sum order differs, as with any repartition).
+
+    def extract_hot_sources(self, threshold: int):
+        """Remove local sources with out-degree > threshold from the
+        resident storage; returns P packages (one per destination
+        shard): (hot_src_global, dst_local, w). Call with
+        num_returns=P so packages flow shard→shard."""
+        deg = np.bincount(self.src_local, minlength=self.n_local)
+        hot_local = np.flatnonzero(deg > threshold)
+        self.hot_local = hot_local
+        self.hot_outdeg = deg[hot_local].astype(np.float64)
+        if hot_local.size == 0:
+            z = np.empty(0, np.int64)
+            empty = (z, z, np.empty(0))
+            return tuple(empty for _ in range(self.P)) if self.P > 1 \
+                else (empty,)
+        is_hot = np.zeros(self.n_local, bool)
+        is_hot[hot_local] = True
+        mask = is_hot[self.src_local]
+        # self.src_local/self.dst/self.w are in (dst_part, dst) order.
+        h_src = self.src_local[mask] * self.P + self.part  # global ids
+        h_dst = self.dst[mask]
+        h_w = (
+            self.w[mask] if self.w is not None
+            else np.ones(int(mask.sum()))
+        )
+        keep = ~mask
+        w_keep = self.w[keep] if self.w is not None else None
+        self._build(
+            self.src_local[keep] * self.P + self.part,
+            self.dst[keep],
+            w_keep,
+        )
+        h_part = _part_of(h_dst, self.P)
+        order = np.argsort(h_part, kind="stable")
+        h_src, h_dst, h_w = h_src[order], h_dst[order], h_w[order]
+        qb = np.searchsorted(h_part[order], np.arange(self.P + 1))
+        out = []
+        for q in range(self.P):
+            lo, hi = qb[q], qb[q + 1]
+            out.append(
+                (
+                    h_src[lo:hi],
+                    _local_of(h_dst[lo:hi], self.P),
+                    h_w[lo:hi],
+                )
+            )
+        return tuple(out) if self.P > 1 else (out[0],)
+
+    def install_hot_edges(self, *packages) -> int:
+        """Receive re-homed hot edges (this shard owns their DSTS).
+        Stored as per-hot-source segments sorted by global source id."""
+        srcs = np.concatenate([p[0] for p in packages]) if packages \
+            else np.empty(0, np.int64)
+        dsts = np.concatenate([p[1] for p in packages]) if packages \
+            else np.empty(0, np.int64)
+        ws = np.concatenate([p[2] for p in packages]) if packages \
+            else np.empty(0)
+        order = np.lexsort((dsts, srcs))
+        srcs, dsts, ws = srcs[order], dsts[order], ws[order]
+        starts = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]]) \
+            if srcs.size else np.empty(0, np.int64)
+        self.hot_in_ids = srcs[starts] if srcs.size else srcs
+        self.hot_in_bounds = np.r_[starts, srcs.size] if srcs.size \
+            else np.zeros(1, np.int64)
+        self.hot_in_dst = dsts
+        self.hot_in_w = ws
+        return int(srcs.size)
+
+    def _hot_x_out(self, x: np.ndarray) -> tuple:
+        hot = getattr(self, "hot_local", None)
+        if hot is None or hot.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+        return hot * self.P + self.part, x[hot]
+
+    def _apply_hot(self, sr, y: np.ndarray, bundles) -> None:
+        ids_sorted = getattr(self, "hot_in_ids", None)
+        if ids_sorted is None or ids_sorted.size == 0:
+            return
+        for b in bundles:
+            h_ids, h_x = b[-2], b[-1]
+            if len(h_ids) == 0:
+                continue
+            pos = np.searchsorted(ids_sorted, h_ids)
+            pos_c = np.clip(pos, 0, ids_sorted.size - 1)
+            for j in np.flatnonzero(ids_sorted[pos_c] == h_ids):
+                seg = slice(
+                    self.hot_in_bounds[pos_c[j]],
+                    self.hot_in_bounds[pos_c[j] + 1],
+                )
+                dl = self.hot_in_dst[seg]
+                contrib = sr.mul(
+                    np.full(dl.size, h_x[j]), self.hot_in_w[seg]
+                )
+                # dsts unique within one hot source's local segment.
+                y[dl] = sr.add.ufunc(y[dl], contrib)
 
     # ---- keyed (non-monoid) exchange: per-(dst,label) counts ----------
     def scatter_label_counts(self, label_state: str = "lab") -> tuple:
@@ -528,6 +651,9 @@ class GraphShard:
             if hi > lo:
                 seg_i = ids[lo:hi]
                 y[seg_i] = sr.add.ufunc(y[seg_i], vals[lo:hi])
+        # Hot-split contributions: every bundle ends with (hot_ids,
+        # hot_x); this shard applies the hot edges it re-homed.
+        self._apply_hot(sr, y, bundles)
         return y
 
     def gather_pipelined(
@@ -571,9 +697,10 @@ class GraphShard:
     ) -> tuple:
         """scatter_packed split into (bundle, scalars) as TWO objects
         (call with num_returns=2) so the synchronous superstep driver
-        fetches only the scalar dict, never the partial arrays."""
+        fetches only the scalar dict, never the partial arrays. The
+        bundle ends with (hot_ids, hot_x) like the pipelined layout."""
         out = self.scatter_packed(pre_fn_bytes, semiring_name, scalars)
-        return out[:3], out[3]
+        return (out[0], out[1], out[2], out[4], out[5]), out[3]
 
     def gather_scatter_packed(
         self,
@@ -812,6 +939,33 @@ class GraphEngine:
         return cls(shards, P, n, m)
 
     # -- state -------------------------------------------------------------
+    def enable_hot_source_split(self, threshold: int) -> int:
+        """Re-home the edges of sources with out-degree > threshold to
+        their destination shards (the skew guard of SURVEY §7.8 as an
+        IN-ENGINE mechanism): per superstep the owner ships O(#hot)
+        x-scalars in its bundle instead of scanning a mega-row alone.
+        Fused exchange only. Returns the number of re-homed edges."""
+        assert self.exchange == "fused", "hot split requires fused mode"
+        P = self.P
+        if P == 1:
+            # Single shard: nothing to spread.
+            self._hot_enabled = True
+            return 0
+        per = [
+            s.extract_hot_sources.options(num_returns=P).remote(threshold)
+            for s in self.shards
+        ]
+        moved = ray.get(
+            [
+                self.shards[q].install_hot_edges.remote(
+                    *[per[p][q] for p in range(P)]
+                )
+                for q in range(P)
+            ]
+        )
+        self._hot_enabled = True
+        return int(sum(moved))
+
     def set_state(self, name: str, value) -> None:
         ray.get([s.set_state.remote(name, value) for s in self.shards])
 
@@ -905,6 +1059,9 @@ class GraphEngine:
             return merged
         # "split" exchange: per-destination objects (num_returns=P+1) so a
         # multi-node cluster ships only column q to shard q.
+        assert not getattr(self, "_hot_enabled", False), (
+            "hot-source split rides the fused bundles only"
+        )
         partial_refs: list[list] = []
         scalar_refs = []
         for s in self.shards:

@@ -165,3 +165,70 @@ def test_exchange_modes_agree(exchange):
     y = _run_spmv(engine, x, "plus_times")
     engine.shutdown()
     np.testing.assert_allclose(y, _dense(src, dst, w, n).T @ x, rtol=1e-12)
+
+
+def test_hot_source_split_spmv_and_pagerank():
+    """Re-homing hot sources' edges to destination shards must preserve
+    spmv and PageRank results exactly (up to FP reduction order)."""
+    from alp_ray.pipelines.pagerank import pagerank
+
+    rng = np.random.RandomState(21)
+    n = 80
+    # One mega-hub source (vertex 2 points at almost everyone) + noise.
+    hub_dst = np.setdiff1d(np.arange(n), [2])
+    src = np.concatenate(
+        [np.full(hub_dst.size, 2), rng.randint(0, n, 300)]
+    ).astype(np.int64)
+    dst = np.concatenate([hub_dst, rng.randint(0, n, 300)]).astype(
+        np.int64
+    )
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst = src[idx], dst[idx]
+    w = rng.rand(src.size) + 0.5
+
+    # Same x for both runs.
+    xs = np.random.RandomState(5).rand(n)
+
+    def spmv_of(eng):
+        eng.set_state_by_vertex("x", xs)
+
+        def pre(state, ctx):
+            return state["x"]
+
+        def post(state, y, ctx):
+            state["y"] = y
+            return {}
+
+        eng.superstep(pre, "plus_times", post)
+        return eng.get_state_by_vertex("y")
+
+    e1 = GraphEngine.from_arrays(src, dst, w, n=n, P=4)
+    y1 = spmv_of(e1)
+    r1 = pagerank(e1, conv=1e-10, max_iters=60)
+    pr1 = e1.get_state_by_vertex("pr")
+    e1.shutdown()
+
+    e2 = GraphEngine.from_arrays(src, dst, w, n=n, P=4)
+    moved = e2.enable_hot_source_split(threshold=20)
+    assert moved >= hub_dst.size - 1
+    y2 = spmv_of(e2)
+    # Pipelined loop must carry the hot bundles too.
+    r2 = pagerank(e2, conv=1e-10, max_iters=60, sync_every=8)
+    pr2 = e2.get_state_by_vertex("pr")
+    # Sparse-frontier path (khop) over the split engine.
+    from alp_ray.pipelines.traversal import khop
+
+    mask2, size2 = khop(e2, source=2, k=2)
+    e2.shutdown()
+
+    np.testing.assert_allclose(y2, y1, rtol=1e-12)
+    np.testing.assert_allclose(pr2, pr1, rtol=1e-9)
+    assert r2.iterations == r1.iterations
+
+    e3 = GraphEngine.from_arrays(src, dst, w, n=n, P=4)
+    mask3, size3 = khop(e3, source=2, k=2)
+    e3.shutdown()
+    assert size2 == size3 and (mask2 == mask3).all()
