@@ -51,6 +51,8 @@ _LPA_K = 5       # community LPA steps (fixpoint-safe)
 _PPR_ROUNDS = 26  # pregel pagerank rounds (round 0 = init → 25 updates)
 _CG_K = 12       # conjugate-gradient steps (fixed; tol=0 on both sides)
 _BI_K = 8        # bicgstab steps (fixed; tol=0 on both sides)
+_COLOR_K = 45    # Jones-Plassmann rounds (29 needed at sf0.01; both
+                 # sides run exactly K rounds, unconverged stay -1)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -1076,6 +1078,32 @@ def _q_minhash_keep(sf_dir: str):
     )
 
 
+def _q_coloring(sf_dir: str):
+    """Deterministic Jones-Plassmann coloring on the symmetric sparse
+    graph — priorities are an integer mixed hash, so the whole
+    computation is integer-exact and the unrolled SQL twin matches
+    bit-for-bit. Both sides run exactly _COLOR_K rounds."""
+    from alp_ray.pipelines.coloring import coloring
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    colors = coloring(engine, max_rounds=_COLOR_K)
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "color": pa.array(colors),
+        }
+    )
+
+
 def _q_asof_purchase(sf_dir: str):
     """Each click joined to the user's most recent prior-or-equal
     purchase (the as-of join the prompt lists as a must-have custom
@@ -1339,6 +1367,54 @@ def _community_lpa_sql(K: int) -> str:
             f"JOIN {p} p ON p.v = v.v)"
         )
     parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
+    return "".join(parts)
+
+
+def _coloring_sql(K: int) -> str:
+    """Jones-Plassmann, K unrolled rounds, all-integer (bit-exact):
+    per round a masked max over uncolored neighbours selects the local
+    priority maxima, then each selected vertex takes the mex of its
+    colored neighbours' colors (candidate anti-join)."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_SPARSE})), ",
+        # splitmix-style priority key, packed (prio26, id26) — mirrors
+        # alp_ray.pipelines.coloring._priority_key exactly.
+        "keys AS MATERIALIZED (SELECT v, "
+        "(xor(x1, x1 >> 29) % 67108864) * 67108864 + v AS key FROM ("
+        "SELECT v, CAST(((CAST(v AS HUGEINT) * 11400714819323198485) "
+        "% 18446744073709551616) % 9223372036854775808 AS BIGINT) AS x1 "
+        "FROM verts)), ",
+        "c0 AS MATERIALIZED (SELECT v, CAST(-1 AS BIGINT) AS color "
+        "FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f", mx{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"MAX(kk.key) AS mx FROM es e JOIN {p} cu ON cu.v = e.src "
+            "AND cu.color < 0 JOIN keys kk ON kk.v = e.src "
+            "GROUP BY e.dst)"
+            f", sel{k} AS MATERIALIZED (SELECT c.v FROM {p} c "
+            "JOIN keys kk ON kk.v = c.v "
+            f"LEFT JOIN mx{k} m ON m.v = c.v "
+            "WHERE c.color < 0 AND kk.key > COALESCE(m.mx, -1))"
+            f", nc{k} AS MATERIALIZED (SELECT s.v, MIN(r.c) AS color "
+            f"FROM sel{k} s CROSS JOIN "
+            "(SELECT range::BIGINT AS c FROM range(128)) r "
+            "WHERE NOT EXISTS (SELECT 1 FROM es e "
+            f"JOIN {p} cc ON cc.v = e.src "
+            "WHERE e.dst = s.v AND cc.color = r.c) GROUP BY s.v)"
+            f", c{k} AS MATERIALIZED (SELECT c.v, "
+            f"COALESCE(n.color, c.color) AS color FROM {p} c "
+            f"LEFT JOIN nc{k} n ON n.v = c.v)"
+        )
+    parts.append(f" SELECT v AS vertex, color FROM c{K}")
     return "".join(parts)
 
 
@@ -1651,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
+        "graph_coloring": _q_coloring,
         # Relational / temporal custom operators
         "asof_purchase": _q_asof_purchase,
         "window_hopping": _q_window_hopping,
@@ -1841,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
+        "graph_coloring": _coloring_sql(_COLOR_K),
         "kcore": _kcore_sql(40),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),

@@ -557,17 +557,30 @@ class GraphShard:
                 y[dl] = sr.add.ufunc(y[dl], contrib)
 
     # ---- keyed (non-monoid) exchange: per-(dst,label) counts ----------
-    def scatter_label_counts(self, label_state: str = "lab") -> tuple:
+    def scatter_label_counts(
+        self, label_state: str = "lab", mask_state: str | None = None
+    ) -> tuple:
         """Community-LPA scatter: every edge sends its source's label to
         its destination; counts are PRE-REDUCED per (dst, label) before
         leaving the shard (the non-monoid analogue of scatter_packed's
         per-dst combine). Returns one packed bundle
-        ``(dst_local, label, count, qbounds)``."""
+        ``(dst_local, label, count, qbounds)``.
+
+        ``mask_state``: if given, only edges whose SOURCE has
+        state[mask_state] > 0.5 participate (the sparse active set of
+        the keyed exchange — used by coloring to send only COLORED
+        neighbours' colors)."""
         lab = self.state[label_state]
         if self.m_local == 0:
             z = np.empty(0, np.int64)
             return z, z, z, np.zeros(self.P + 1, np.int64)
         le = lab[self.src_local].astype(np.int64)
+        if mask_state is not None:
+            sel = self.state[mask_state][self.src_local] > 0.5
+            if not sel.any():
+                z = np.empty(0, np.int64)
+                return z, z, z, np.zeros(self.P + 1, np.int64)
+            return self._label_counts_masked(le, sel)
         # (dest shard, dst, label) sort so per-shard slices are
         # contiguous AND identical (dst, label) pairs are adjacent.
         dpart = _part_of(self.dst, self.P)
@@ -582,6 +595,87 @@ class GraphShard:
         u_part = _part_of(u_dst, self.P)
         qb = np.searchsorted(u_part, np.arange(self.P + 1))
         return _local_of(u_dst, self.P), u_lab, counts, qb
+
+    def _label_counts_masked(
+        self, le: np.ndarray, sel: np.ndarray
+    ) -> tuple:
+        dst = self.dst[sel]
+        le = le[sel]
+        dpart = _part_of(dst, self.P)
+        order = np.lexsort((le, dst, dpart))
+        d_s, l_s = dst[order], le[order]
+        starts = np.flatnonzero(
+            np.r_[True, (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        )
+        counts = np.diff(np.r_[starts, d_s.size])
+        u_dst = d_s[starts]
+        u_lab = l_s[starts]
+        u_part = _part_of(u_dst, self.P)
+        qb = np.searchsorted(u_part, np.arange(self.P + 1))
+        return _local_of(u_dst, self.P), u_lab, counts, qb
+
+    def gather_color_mex(
+        self,
+        q: int,
+        *bundles,
+        select_state: str = "selected",
+        color_state: str = "color",
+    ) -> float:
+        """Coloring gather: merge incoming (dst_local, color) pairs from
+        COLORED neighbours and assign each selected vertex the smallest
+        color not present among them (the mex). Returns #colored."""
+        sel = self.state[select_state] > 0.5
+        colors = self.state[color_state]
+        if not sel.any():
+            return 0.0
+        ids_l, col_l = [], []
+        for b in bundles:
+            ids, labs, _cnts, off = b
+            lo, hi = off[q], off[q + 1]
+            if hi > lo:
+                ids_l.append(ids[lo:hi])
+                col_l.append(labs[lo:hi])
+        if ids_l:
+            ids = np.concatenate(ids_l)
+            cols = np.concatenate(col_l)
+            keep = sel[ids]
+            ids, cols = ids[keep], cols[keep]
+        else:
+            ids = np.empty(0, np.int64)
+            cols = np.empty(0, np.int64)
+        # Per selected vertex: mex over its sorted UNIQUE colors —
+        # vectorized: within each vertex's run, rank = position; the
+        # mex is the first rank where color != rank (else run length).
+        out = colors.copy()
+        if ids.size:
+            order = np.lexsort((cols, ids))
+            ids_s, cols_s = ids[order], cols[order]
+            uniq = np.r_[
+                True,
+                (ids_s[1:] != ids_s[:-1]) | (cols_s[1:] != cols_s[:-1]),
+            ]
+            ids_s, cols_s = ids_s[uniq], cols_s[uniq]
+            starts = np.flatnonzero(
+                np.r_[True, ids_s[1:] != ids_s[:-1]]
+            )
+            seg_len = np.diff(np.r_[starts, ids_s.size])
+            rank = np.arange(ids_s.size) - np.repeat(starts, seg_len)
+            big = np.int64(1 << 60)
+            cand = np.where(cols_s != rank, rank, big)
+            mex = np.minimum.reduceat(cand, starts)
+            mex = np.where(mex == big, seg_len, mex)
+            out[ids_s[starts]] = mex
+            got_msg = np.zeros(sel.size, bool)
+            got_msg[ids_s] = True
+        else:
+            got_msg = np.zeros(sel.size, bool)
+        # Selected vertices with NO colored neighbour get color 0.
+        fresh = sel & ~got_msg
+        out[fresh] = 0
+        n_colored = float(sel.sum())
+        self.state[color_state] = out
+        self.state[select_state] = np.zeros(sel.size)
+        return n_colored
 
     def gather_label_argmax(
         self, q: int, *bundles, label_state: str = "lab"
