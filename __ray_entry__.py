@@ -1078,6 +1078,25 @@ def _q_minhash_keep(sf_dir: str):
     )
 
 
+_WALK_STEPS = 4
+
+
+def _q_random_walks(sf_dir: str):
+    """One deterministic walk per vertex over the dense directed graph
+    (integer step hash → bit-exact SQL twin via ROW_NUMBER neighbour
+    ranks)."""
+    from alp_ray.pipelines.walks import random_walks
+
+    out = random_walks(
+        _dense_edges(sf_dir), n=MOD_DENSE, steps=_WALK_STEPS
+    )
+    return _cast(
+        out,
+        {"walk_id": pa.int64(), "step": pa.int64(),
+         "vertex": pa.int64()},
+    )
+
+
 def _q_coloring(sf_dir: str):
     """Deterministic Jones-Plassmann coloring on the symmetric sparse
     graph — priorities are an integer mixed hash, so the whole
@@ -1367,6 +1386,40 @@ def _community_lpa_sql(K: int) -> str:
             f"JOIN {p} p ON p.v = v.v)"
         )
     parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
+    return "".join(parts)
+
+
+def _walks_sql(K: int) -> str:
+    """Deterministic walks: per step a LEFT JOIN on the ROW_NUMBER
+    neighbour rank selected by the same integer hash as the engine
+    (dangling vertices absorb). All-integer ⇒ bit-exact."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn "
+        "FROM e), ",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e "
+        "GROUP BY src), ",
+        "w0 AS MATERIALIZED (SELECT v AS walk_id, v AS cur FROM verts)",
+    ]
+    for t in range(1, K + 1):
+        p = f"w{t - 1}"
+        parts.append(
+            f", w{t} AS MATERIALIZED (SELECT w.walk_id, "
+            "COALESCE(nb.dst, w.cur) AS cur "
+            f"FROM {p} w "
+            "LEFT JOIN deg d ON d.src = w.cur "
+            "LEFT JOIN nbr nb ON nb.src = w.cur AND nb.rn = "
+            f"((w.walk_id * 1000003 + {t} * 10007 + w.cur * 257) "
+            "% 2147483647) % d.c)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(0, K + 1)
+    )
+    parts.append(f" SELECT * FROM ({unions})")
     return "".join(parts)
 
 
@@ -1728,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
+        "random_walks": _q_random_walks,
         # Relational / temporal custom operators
         "asof_purchase": _q_asof_purchase,
         "window_hopping": _q_window_hopping,
@@ -1919,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "conjugate_gradient": _cg_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
         "graph_coloring": _coloring_sql(_COLOR_K),
+        "random_walks": _walks_sql(_WALK_STEPS),
         "kcore": _kcore_sql(40),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
