@@ -628,6 +628,36 @@ def _q_multimodal(sf_dir: str):
     ).select_columns(["media_id", "channel_means"])
 
 
+def _q_multimodal_audio(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.multimodal import AudioFeatureStage, synth_media
+
+    media = ray.data.from_arrow(synth_media(96, seed=42))
+    return media.filter(expr="kind == 'audio'").map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=16,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["media_id", "frame_energy"])
+
+
+def _q_multimodal_frames(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.multimodal import FrameSampleStage, synth_media
+
+    media = ray.data.from_arrow(synth_media(96, seed=42))
+    return media.filter(expr="kind == 'video'").map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_size=8,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["media_id", "frame_index"])
+
+
 def _q_ann_ivf(sf_dir: str):
     import ray.data
 
@@ -1765,6 +1795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_frames": _q_multimodal_frames,
         "ann_ivf_top10": _q_ann_ivf,
         "community_lpa": _q_community_lpa,
         # Round 2: BLAS variants, solvers, dedup tails
