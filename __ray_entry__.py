@@ -1109,6 +1109,35 @@ def _q_minhash_keep(sf_dir: str):
 
 
 _WALK_STEPS = 4
+_BC_SOURCES = (0, 1, 2, 3)  # betweenness sample
+_BC_LEVELS = 12             # BFS level cap (both sides)
+
+
+def _q_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness over the symmetric sparse graph —
+    fixed sources + level cap make the unrolled SQL twin exact
+    (σ/levels are integers; δ rounds at 6)."""
+    from alp_ray.pipelines.betweenness import betweenness
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    bc = betweenness(
+        engine, sources=list(_BC_SOURCES), max_levels=_BC_LEVELS
+    )
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "bc": pa.array(_round_half_away(bc, 6)),
+        }
+    )
 
 
 def _q_random_walks(sf_dir: str):
@@ -1416,6 +1445,62 @@ def _community_lpa_sql(K: int) -> str:
             f"JOIN {p} p ON p.v = v.v)"
         )
     parts.append(f" SELECT v AS vertex, lab AS community FROM l{K}")
+    return "".join(parts)
+
+
+def _betweenness_sql(L: int) -> str:
+    """Keyed (per-source) unrolled Brandes: L forward BFS steps
+    (anti-join discovery, integer σ sums) then L backward dependency
+    steps (the same IEEE δ expression as the engine kernel)."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    src_list = ", ".join(str(s) for s in _BC_SOURCES)
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_SPARSE})), ",
+        f"srcs AS MATERIALIZED (SELECT unnest([{src_list}])::BIGINT "
+        "AS s), ",
+        "v0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS DOUBLE) "
+        "AS sigma, 0 AS lvl FROM srcs), ",
+        "f0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for l in range(1, L + 1):
+        parts.append(
+            f", n{l} AS MATERIALIZED (SELECT f.s, e.dst AS v, "
+            f"SUM(f.sigma) AS sigma, {l} AS lvl "
+            f"FROM f{l - 1} f JOIN es e ON e.src = f.v "
+            f"LEFT JOIN v{l - 1} vi ON vi.s = f.s AND vi.v = e.dst "
+            "WHERE vi.v IS NULL GROUP BY f.s, e.dst)"
+            f", v{l} AS MATERIALIZED (SELECT * FROM v{l - 1} "
+            f"UNION ALL SELECT * FROM n{l})"
+            f", f{l} AS MATERIALIZED (SELECT * FROM n{l})"
+        )
+    parts.append(
+        f", b{L} AS MATERIALIZED (SELECT s, v, sigma, lvl, "
+        f"CAST(0 AS DOUBLE) AS delta FROM v{L})"
+    )
+    for l in range(L, 0, -1):
+        p = f"b{l}"
+        parts.append(
+            f", m{l} AS MATERIALIZED (SELECT w.s, e.dst AS v, "
+            "SUM((1.0 + w.delta) / w.sigma) AS ms "
+            f"FROM {p} w JOIN es e ON e.src = w.v WHERE w.lvl = {l} "
+            "GROUP BY w.s, e.dst)"
+            f", b{l - 1} AS MATERIALIZED (SELECT d.s, d.v, d.sigma, "
+            "d.lvl, CASE WHEN d.lvl = "
+            f"{l - 1} THEN d.delta + d.sigma * COALESCE(m.ms, 0.0) "
+            "ELSE d.delta END AS delta "
+            f"FROM {p} d LEFT JOIN m{l} m ON m.s = d.s AND m.v = d.v)"
+        )
+    parts.append(
+        " SELECT vt.v AS vertex, ROUND(COALESCE(SUM("
+        "CASE WHEN dd.v = dd.s THEN 0.0 ELSE dd.delta END), 0.0), 6) "
+        "AS bc FROM verts vt LEFT JOIN b0 dd ON dd.v = vt.v "
+        "GROUP BY vt.v"
+    )
     return "".join(parts)
 
 
@@ -1814,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
         "random_walks": _q_random_walks,
+        "betweenness": _q_betweenness,
         # Relational / temporal custom operators
         "asof_purchase": _q_asof_purchase,
         "window_hopping": _q_window_hopping,
@@ -2006,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "bicgstab": _bicgstab_sql(_BI_K),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
+        "betweenness": _betweenness_sql(_BC_LEVELS),
         "kcore": _kcore_sql(40),
         "labelprop": _labelprop_sql(_LP_K),
         "community_lpa": _community_lpa_sql(_LPA_K),
