@@ -628,6 +628,21 @@ def _q_multimodal(sf_dir: str):
     ).select_columns(["media_id", "channel_means"])
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL cardinality sketch over the documents (rows-only: the
+    estimate is implementation-defined; accuracy vs exact distinct is
+    pinned by pytest to <5%)."""
+    import ray.data
+
+    from alp_ray.stages.sketch import approx_distinct
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    est = approx_distinct(docs, "text", p=12)
+    return pa.table({"estimate": pa.array([round(est, 2)], pa.float64())})
+
+
 def _q_multimodal_audio(sf_dir: str):
     import ray.data
 
@@ -1882,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frames": _q_multimodal_frames,
+        "approx_distinct_docs": _q_approx_distinct,
         "ann_ivf_top10": _q_ann_ivf,
         "community_lpa": _q_community_lpa,
         # Round 2: BLAS variants, solvers, dedup tails
