@@ -217,7 +217,12 @@ class GraphShard:
         P = self.P
         assert src.size == 0 or np.all(src % P == self.part)
         dst_part = _part_of(dst, P)
-        order = np.lexsort((dst, dst_part))
+        # src is the final tiebreaker: without it, edge order within a dst
+        # segment is ingest-block ARRIVAL order (nondeterministic under
+        # streaming from_dataset ingest), so segment_reduce's FP summation
+        # order — and hence iterative solvers' last-ulp outputs — would
+        # vary run to run.
+        order = np.lexsort((src, dst, dst_part))
         src, dst, dst_part = src[order], dst[order], dst_part[order]
         self.src_local = _local_of(src, P)
         self.w = w[order].astype(np.float64) if w is not None else None

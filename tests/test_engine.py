@@ -232,3 +232,52 @@ def test_hot_source_split_spmv_and_pagerank():
     mask3, size3 = khop(e3, source=2, k=2)
     e3.shutdown()
     assert size2 == size3 and (mask2 == mask3).all()
+
+
+def test_build_order_determinism_bitwise():
+    """Iterative solvers amplify last-ulp differences, so the engine's
+    per-segment FP accumulation order must not depend on edge INGEST
+    order (streaming from_dataset blocks arrive in nondeterministic
+    order). _build's (dst_part, dst, src) lexsort guarantees it: the
+    same edge set fed in two different permutations must produce
+    bitwise-identical spmv and CG results."""
+    from alp_ray.pipelines.linalg import conjugate_gradient
+
+    n = 60
+    src, dst, w = _random_graph(n=n, m=400, seed=11)
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst, w = src[idx], dst[idx], w[idx]
+    # SPD system: A = sym(W) + diag(1 + weighted degree).
+    s2 = np.r_[src, dst]
+    d2 = np.r_[dst, src]
+    w2 = np.r_[w, w]
+    key2 = s2 * n + d2
+    _, idx2 = np.unique(key2, return_index=True)
+    s2, d2, w2 = s2[idx2], d2[idx2], w2[idx2]
+    deg = np.zeros(n)
+    np.add.at(deg, s2, w2)
+    rows = np.r_[s2, np.arange(n)]
+    cols = np.r_[d2, np.arange(n)]
+    vals = np.r_[w2, 1.0 + deg]
+    # Combine duplicate coordinates (self-loop edge + diagonal): the
+    # engine's buildMatrixUnique contract takes distinct (src, dst) —
+    # the real CG query pre-sums via groupby before ingest.
+    ck = rows * n + cols
+    uk, inv = np.unique(ck, return_inverse=True)
+    vsum = np.zeros(uk.size)
+    np.add.at(vsum, inv, vals)
+    rows, cols, vals = uk // n, uk % n, vsum
+    b = ((np.arange(n) % 7) + 1) / 10.0
+
+    results = []
+    for seed in (0, 1):
+        perm = np.random.RandomState(seed).permutation(rows.size)
+        eng = GraphEngine.from_arrays(
+            rows[perm], cols[perm], vals[perm], n=n, P=4
+        )
+        x, _, _ = conjugate_gradient(eng, b, tol=0.0, max_iters=12)
+        eng.shutdown()
+        results.append(x)
+    # Bitwise, not allclose: the driver gate hashes exact rounded values.
+    assert (results[0] == results[1]).all()
