@@ -461,11 +461,59 @@ def _q_conjugate_gradient(sf_dir: str):
     )
 
 
+# Corpus twin inputs: the driver's DuckDB connection only has the ten
+# standard views, so the corpus oracles read the SAME synthetic corpus
+# from a parquet file written here (driver-side, pure function — row-
+# identical to synth_corpus; see corpus_table). 64 PageRank supersteps
+# = the applied count at conv=1e-6 with sync_every=8 (57 to converge,
+# chunked to the next multiple of 8) — a constant: the 6×40/seed-42
+# corpus is sf-independent and the engine is bitwise build-order
+# deterministic.
+_CORPUS_SHAPE = (6, 40, 42)  # (n_repos, files_per_repo, seed)
+_CORPUS_PR_K = 64
+_CORPUS_CC_K = 16  # min-label fixpoint (4 rounds needed; idempotent)
+
+
+def _corpus_oracle_parquet() -> str:
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from alp_ray.sources.corpus import corpus_table
+
+    nr, fpr, seed = _CORPUS_SHAPE
+    path = f"/tmp/alp_ray_oracle_corpus_{nr}x{fpr}_s{seed}.parquet"
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(dir="/tmp", suffix=".parquet")
+        os.close(fd)
+        pq.write_table(corpus_table(nr, fpr, seed), tmp)
+        os.replace(tmp, path)  # atomic: oracle/query may race
+    return path
+
+
+def _corpus_names() -> dict[int, tuple[str, str]]:
+    """stable hash id → (repo, path) for every corpus file (240 rows,
+    driver-side — presentation-only; the pipelines run on hash ids)."""
+    from alp_ray.sources.corpus import corpus_table
+    from alp_ray.stages.extract import _stable_id
+
+    nr, fpr, seed = _CORPUS_SHAPE
+    t = corpus_table(nr, fpr, seed)
+    return {
+        _stable_id(r, p): (r, p)
+        for r, p in zip(
+            t.column("repo").to_pylist(), t.column("path").to_pylist()
+        )
+    }
+
+
 def _q_corpus_extract(sf_dir: str):
     from alp_ray.pipelines.code_graph import corpus_to_edges
     from alp_ray.sources.corpus import synth_corpus
 
-    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
+    nr, fpr, seed = _CORPUS_SHAPE
+    corpus = synth_corpus(n_repos=nr, files_per_repo=fpr, seed=seed)
     return corpus_to_edges(corpus).select_columns(
         ["repo", "src_path", "dst_path"]
     )
@@ -475,17 +523,52 @@ def _q_corpus_pagerank(sf_dir: str):
     from alp_ray.pipelines.code_graph import corpus_pagerank
     from alp_ray.sources.corpus import synth_corpus
 
-    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
-    table, _ = corpus_pagerank(corpus, P=4)
-    return table
+    nr, fpr, seed = _CORPUS_SHAPE
+    corpus = synth_corpus(n_repos=nr, files_per_repo=fpr, seed=seed)
+    table, res = corpus_pagerank(corpus, P=4)
+    assert res.applied_iterations == _CORPUS_PR_K, res
+    names = _corpus_names()
+    ids = table.column("vertex").to_pylist()
+    pr = _round_half_away(
+        np.asarray(table.column("pr"), np.float64), 7
+    )
+    return pa.table(
+        {
+            "repo": pa.array([names[i][0] for i in ids], pa.string()),
+            "path": pa.array([names[i][1] for i in ids], pa.string()),
+            "pr": pa.array(pr),
+        }
+    )
 
 
 def _q_corpus_components(sf_dir: str):
     from alp_ray.pipelines.code_graph import corpus_components
     from alp_ray.sources.corpus import synth_corpus
 
-    corpus = synth_corpus(n_repos=6, files_per_repo=40, seed=42)
-    return corpus_components(corpus, P=4)
+    nr, fpr, seed = _CORPUS_SHAPE
+    corpus = synth_corpus(n_repos=nr, files_per_repo=fpr, seed=seed)
+    tbl = corpus_components(corpus, P=4)
+    # Canonicalize the representative to the component's minimum
+    # "repo:path" string (the engine's min-HASH-id rep is opaque to
+    # SQL): a 212-row presentation step on the collected result.
+    names = _corpus_names()
+    vs = tbl.column("vertex").to_pylist()
+    cs = tbl.column("component").to_pylist()
+    member = np.array([f"{names[v][0]}:{names[v][1]}" for v in vs])
+    comp = np.array([str(c) for c in cs])
+    rep: dict[str, str] = {}
+    for c, m in zip(comp, member):
+        if c not in rep or m < rep[c]:
+            rep[c] = m
+    return pa.table(
+        {
+            "repo": pa.array([names[v][0] for v in vs], pa.string()),
+            "path": pa.array([names[v][1] for v in vs], pa.string()),
+            "component": pa.array(
+                [rep[c] for c in comp], pa.string()
+            ),
+        }
+    )
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1331,6 +1414,114 @@ def _pagerank_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _corpus_edges_cte() -> str:
+    """Shared CTE prefix: parquet corpus → line split → per-language
+    regexp import extraction → DISTINCT string edge table. Mirrors
+    ImportExtractor (stages/extract.py) line for line: one import per
+    line, anchored patterns, py module → path rewrite."""
+    p = _corpus_oracle_parquet()
+    return (
+        "lines AS MATERIALIZED (SELECT repo, path, lang, "
+        "UNNEST(string_split(content, chr(10))) AS line "
+        f"FROM read_parquet('{p}')), "
+        "hits AS MATERIALIZED (SELECT repo, path AS src_path, CASE "
+        "WHEN lang = 'py' AND regexp_matches(line, "
+        "'^import [A-Za-z0-9_.]+\\s*$') THEN "
+        "replace(regexp_extract(line, "
+        "'^import ([A-Za-z0-9_.]+)\\s*$', 1), '.', '/') || '.py' "
+        "WHEN lang = 'js' AND regexp_matches(line, "
+        "'require\\(''\\./[^'']+''\\)') THEN "
+        "regexp_extract(line, 'require\\(''\\./([^'']+)''\\)', 1) "
+        "WHEN lang = 'c' AND regexp_matches(line, "
+        "'^#include \"[^\"]+\"\\s*$') THEN "
+        "regexp_extract(line, '^#include \"([^\"]+)\"\\s*$', 1) "
+        "END AS dst_path FROM lines), "
+        "e AS MATERIALIZED (SELECT DISTINCT repo, src_path, dst_path "
+        "FROM hits WHERE dst_path IS NOT NULL)"
+    )
+
+
+def _corpus_extract_sql() -> str:
+    return (
+        f"WITH {_corpus_edges_cte()} "
+        "SELECT repo, src_path, dst_path FROM e"
+    )
+
+
+def _corpus_pagerank_sql(K: int) -> str:
+    """simple_pagerank over the corpus import graph, string-keyed —
+    exactly _pagerank_sql's unrolled recurrence but with (repo, path)
+    vertices restricted to the edge table's endpoint set (the engine's
+    vertex universe is the dense-id mapping built FROM the edges)."""
+    parts = [
+        f"WITH {_corpus_edges_cte()}, ",
+        "verts AS MATERIALIZED (SELECT repo, p FROM ("
+        "SELECT repo, src_path AS p FROM e "
+        "UNION SELECT repo, dst_path AS p FROM e)), ",
+        "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts), ",
+        "outdeg AS MATERIALIZED (SELECT repo, src_path AS p, "
+        "COUNT(*) AS c FROM e GROUP BY 1, 2), ",
+        "pr0 AS MATERIALIZED (SELECT repo, p, "
+        "1.0 / (SELECT n FROM nv) AS val FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        pp = f"pr{k - 1}"
+        parts.append(
+            f", pr{k} AS MATERIALIZED (SELECT v.repo, v.p, "
+            "COALESCE(y.s, 0.0) + (0.85 * COALESCE((SELECT SUM(pp.val) "
+            f"FROM {pp} pp LEFT JOIN outdeg d "
+            "ON d.repo = pp.repo AND d.p = pp.p "
+            "WHERE d.p IS NULL), 0.0) + (1.0 - 0.85)) "
+            "/ (SELECT CAST(n AS DOUBLE) FROM nv) AS val "
+            "FROM verts v LEFT JOIN ("
+            "SELECT e.repo, e.dst_path AS p, "
+            "SUM(pp.val * (0.85 / d.c)) AS s "
+            f"FROM {pp} pp JOIN e "
+            "ON e.repo = pp.repo AND e.src_path = pp.p "
+            "JOIN outdeg d ON d.repo = pp.repo AND d.p = pp.p "
+            "GROUP BY e.repo, e.dst_path) y "
+            "ON y.repo = v.repo AND y.p = v.p)"
+        )
+    parts.append(
+        f" SELECT repo, p AS path, ROUND(val, 7) AS pr FROM pr{K}"
+    )
+    return "".join(parts)
+
+
+def _corpus_components_sql(K: int) -> str:
+    """Connected components on the symmetrized import graph via
+    min-label propagation over 'repo:path' strings, K ≥ diameter rounds
+    (4 suffice; min-label is idempotent at the fixpoint, so extra
+    rounds are exact no-ops). Labels ARE the canonical representative
+    (component-minimum member string) the Ray query emits."""
+    parts = [
+        f"WITH {_corpus_edges_cte()}, ",
+        "es AS MATERIALIZED (SELECT repo, src_path AS a, dst_path AS b "
+        "FROM e UNION SELECT repo, dst_path, src_path FROM e), ",
+        "verts AS MATERIALIZED (SELECT repo, p FROM ("
+        "SELECT repo, src_path AS p FROM e "
+        "UNION SELECT repo, dst_path AS p FROM e)), ",
+        "c0 AS MATERIALIZED (SELECT repo, p, "
+        "repo || ':' || p AS lbl FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT c.repo, c.p, "
+            "LEAST(c.lbl, COALESCE(m.ml, c.lbl)) AS lbl "
+            f"FROM {p} c LEFT JOIN ("
+            "SELECT es.repo, es.b AS p, MIN(cc.lbl) AS ml "
+            f"FROM {p} cc JOIN es "
+            "ON es.repo = cc.repo AND es.a = cc.p "
+            "GROUP BY es.repo, es.b) m "
+            "ON m.repo = c.repo AND m.p = c.p)"
+        )
+    parts.append(
+        f" SELECT repo, p AS path, lbl AS component FROM c{K}"
+    )
+    return "".join(parts)
+
+
 def _ppr_sql(K: int) -> str:
     """Personalized PageRank twin: like _pagerank_sql but the teleport /
     dangling offset is scaled by the per-vertex teleport value instead
@@ -2106,6 +2297,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
+        "corpus_extract": _corpus_extract_sql(),
+        "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PR_K),
+        "corpus_components": _corpus_components_sql(_CORPUS_CC_K),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

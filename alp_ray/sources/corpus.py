@@ -177,6 +177,28 @@ def synth_corpus(
     return ds.map_batches(gen, batch_format="numpy")
 
 
+def corpus_table(
+    n_repos: int,
+    files_per_repo: int,
+    seed: int = 42,
+    import_factor: int = 1,
+) -> pa.Table:
+    """The same corpus as ``synth_corpus`` but built driver-side as one
+    Arrow table (no Ray) — row-identical to the Dataset (both are the
+    same pure function of the global index). Used to hand the DuckDB
+    oracle twins a parquet copy of exactly what the Ray queries see."""
+    n = corpus_num_files(n_repos, files_per_repo)
+    return pa.table(
+        _make_rows(
+            np.arange(n, dtype=np.int64),
+            n_repos,
+            files_per_repo,
+            seed,
+            import_factor,
+        )
+    )
+
+
 def expected_edges(
     n_repos: int, files_per_repo: int, seed: int = 42,
     import_factor: int = 1,
