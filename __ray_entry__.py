@@ -859,20 +859,60 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs)
 
 
+# Planted near-duplicates: the synthetic embeddings contain NO natural
+# pairs at cosine ≥ 0.95 (max natural cosine is far below — the round-2
+# query returned 0 rows at every sf, proving nothing). Every vec_id
+# divisible by _NEARDUP_EVERY gets a planted copy at id + _NEARDUP_OFF
+# perturbed by an exact-dyadic, SQL-expressible formula, so the LSH
+# pipeline must emit a deterministic nonzero pair set that an exact
+# all-pairs DuckDB twin reproduces hash-for-hash.
+_NEARDUP_EVERY = 25
+_NEARDUP_OFF = 10_000_000
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data
 
+    from alp_ray.pipelines.ann import _as_matrix
     from alp_ray.pipelines.dedup import embedding_cosine_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    df = embedding_cosine_pairs(emb, threshold=0.95).to_pandas()
-    if df.empty:  # keep a stable schema even when no near-dups exist
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        V = _as_matrix(batch.column("embedding"))  # float64 upcast
+        d = V.shape[1]
+        sel = np.flatnonzero(ids % _NEARDUP_EVERY == 0)
+        pid = ids[sel]
+        # w_k = v_k + ((id + k) % 7 - 3) · 2⁻¹⁰ — every term exact in
+        # float64, so the SQL twin computes bit-identical vectors.
+        C = (((pid[:, None] + np.arange(d)[None, :]) % 7) - 3) * 2.0**-10
+        all_ids = np.concatenate([ids, pid + _NEARDUP_OFF])
+        M = np.concatenate([V, V[sel] + C])
         return pa.table(
-            {"id_a": pa.array([], pa.int64()),
-             "id_b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
+            {
+                "vec_id": pa.array(all_ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.reshape(-1), type=pa.float64()), d
+                ),
+            }
         )
-    return pa.Table.from_pandas(df, preserve_index=False)
+
+    aug = emb.map_batches(plant, batch_format="pyarrow")
+    df = embedding_cosine_pairs(aug, threshold=0.95).to_pandas()
+    return pa.table(
+        {
+            "id_a": pa.array(df["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(df["id_b"].to_numpy(np.int64), pa.int64()),
+            "cosine": pa.array(
+                _round_half_away(
+                    df["cosine"].to_numpy(np.float64), 6
+                )
+            ),
+        }
+    )
 
 
 def _q_langid(sf_dir: str):
@@ -2297,6 +2337,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
+        "embedding_near_dup": (
+            "WITH base AS MATERIALIZED (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "pl AS MATERIALIZED (SELECT "
+            f"vec_id + {_NEARDUP_OFF} AS vec_id, "
+            "list(x + (((vec_id + k - 1) % 7) - 3) * 0.0009765625 "
+            "ORDER BY k) AS v FROM ("
+            "SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x, "
+            "generate_subscripts(embedding, 1) AS k FROM embeddings "
+            f"WHERE vec_id % {_NEARDUP_EVERY} = 0) GROUP BY vec_id), "
+            "aug AS MATERIALIZED ("
+            "SELECT * FROM base UNION ALL SELECT * FROM pl) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+            "FROM aug a JOIN aug b ON b.vec_id > a.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.95"
+        ),
         "corpus_extract": _corpus_extract_sql(),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PR_K),
         "corpus_components": _corpus_components_sql(_CORPUS_CC_K),
