@@ -95,32 +95,69 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
+    n_parts: int = 32,
 ) -> "ray.data.Dataset":
     """Split each user's event stream into sessions at gaps > gap_s.
-    Returns (user_id, session_id, session_start, session_end, n_events)."""
+    Returns (user_id, session_id, session_start, session_end, n_events).
 
-    def split(group: pa.Table) -> pa.Table:
-        ts = np.asarray(group.column(ts_col).cast(pa.int64()))
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        user = group.column(user_col)[0].as_py()
-        gaps = np.diff(ts) > gap_s * 1_000_000
-        session_of = np.zeros(ts.size, np.int64)
-        if gaps.size:
-            session_of[1:] = np.cumsum(gaps)
-        n_sessions = int(session_of[-1]) + 1 if ts.size else 0
-        starts = np.empty(n_sessions, np.int64)
-        ends = np.empty(n_sessions, np.int64)
-        counts = np.empty(n_sessions, np.int64)
-        for s in range(n_sessions):
-            mask = session_of == s
-            starts[s] = ts[mask].min()
-            ends[s] = ts[mask].max()
-            counts[s] = mask.sum()
+    Physical plan (the asof_join pattern): co-locate whole users by
+    ``user % n_parts`` → ONE vectorized call per partition that
+    lexsorts by (user, ts) and derives every session's bounds from
+    segment boundaries — no per-user group dispatch, no per-session
+    Python loop. Partitioning assumption: one partition's events fit a
+    worker (users are hash-spread; a pathological single user is one
+    sort run, not a blowup)."""
+    from alp_ray.stages.relational import _part_tag
+
+    gap_us = gap_s * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                user_col: pa.array(np.full(n_sessions, user, np.int64)),
-                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+                user_col: batch.column(user_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        user_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column(user_col), np.int64)
+        t = np.asarray(group.column("__ts"), np.int64)
+        if u.size == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_sess = new_user | np.r_[False, np.diff(t) > gap_us]
+        seg = np.flatnonzero(new_sess)  # first event of each session
+        starts = t[seg]
+        ends = t[np.r_[seg[1:] - 1, u.size - 1]]
+        counts = np.diff(np.r_[seg, u.size])
+        users = u[seg]
+        # session_id = rank within user: own index minus the index of
+        # the user's first session (accumulated max over firsts).
+        s_idx = np.arange(seg.size, dtype=np.int64)
+        first_of_user = np.maximum.accumulate(
+            np.where(new_user[seg], s_idx, -1)
+        )
+        sid = s_idx - first_of_user
+        return pa.table(
+            {
+                user_col: pa.array(users),
+                "session_id": pa.array(sid),
                 "session_start": pa.array(starts, pa.int64()).cast(
                     pa.timestamp("us")
                 ),
@@ -131,6 +168,6 @@ def sessionize(
             }
         )
 
-    return events.groupby(user_col).map_groups(
-        split, batch_format="pyarrow"
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
     )
