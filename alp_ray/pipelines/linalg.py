@@ -281,20 +281,39 @@ def sparse_nn_inference(
     y = relu(W_l^T x + bias_l), optionally clipped at ``threshold``
     (sparse_nn_single_inference.hpp:52+ — vxm, bias fold, ReLU monoid,
     min-threshold). Layers are edge Datasets (src=in, dst=out, weight).
-    x0 = (values, ids) sparse input; returns sparse (values, ids)."""
-    xv, xi = x0
-    for W, bias in zip(layers, biases):
-        y = spmv(W, (xv, xi), PLUS_TIMES, weight_col="weight")
-        df = y.to_pandas()
-        ids = df["vertex"].to_numpy(np.int64)
-        vals = df["val"].to_numpy(np.float64) + bias
+    x0 = (values, ids) sparse input; returns sparse (values, ids).
+
+    The activation vector never touches the driver between layers: each
+    layer's spmv output blocks feed a worker task that applies
+    bias/ReLU/threshold and re-sorts, returning an object-store ref the
+    next spmv broadcasts directly (the ObjectRef form of ``spmv``'s x).
+    The driver holds only the final result."""
+
+    @ray.remote
+    def _layer_post(bias_l: float, thr, *blocks: pa.Table):
+        if blocks:
+            t = pa.concat_tables(blocks)
+            ids = np.asarray(t.column("vertex"), np.int64)
+            vals = np.asarray(t.column("val"), np.float64) + bias_l
+        else:
+            ids = np.empty(0, np.int64)
+            vals = np.empty(0)
         vals = np.maximum(vals, 0.0)  # ReLU (relu op, ops.hpp:514)
-        if threshold is not None:
-            vals = np.minimum(vals, threshold)
+        if thr is not None:
+            vals = np.minimum(vals, thr)
         keep = vals > 0
         order = np.argsort(ids[keep])
-        xi = ids[keep][order]
-        xv = vals[keep][order]
+        return vals[keep][order], ids[keep][order]
+
+    xv, xi = x0
+    order0 = np.argsort(xi)
+    xref = ray.put((np.asarray(xv, np.float64)[order0],
+                    np.asarray(xi, np.int64)[order0]))
+    for W, bias in zip(layers, biases):
+        y = spmv(W, xref, PLUS_TIMES, weight_col="weight")
+        refs = y.materialize().to_arrow_refs()
+        xref = _layer_post.remote(bias, threshold, *refs)
+    xv, xi = ray.get(xref)
     return xv, xi
 
 

@@ -228,14 +228,20 @@ def spmv(
     base/blas2.hpp:480-936, the general input-mask the engine's sparse
     ``active`` frontier specializes).
     """
-    if isinstance(x, tuple):
-        xv, xi = x
+    if isinstance(x, ray.ObjectRef):
+        # Contract: the ref holds a (values, ids) pair ALREADY sorted by
+        # id — lets iterative callers (sparse_nn layer loop) chain spmvs
+        # without ever pulling the vector to the driver.
+        xref = x
     else:
-        tbl = _collect_vertex_table(x, value_col)
-        xi = np.asarray(tbl.column("vertex"), dtype=np.int64)
-        xv = np.asarray(tbl.column(value_col), dtype=np.float64)
-    order = np.argsort(xi)
-    xref = ray.put((xv[order], xi[order]))
+        if isinstance(x, tuple):
+            xv, xi = x
+        else:
+            tbl = _collect_vertex_table(x, value_col)
+            xi = np.asarray(tbl.column("vertex"), dtype=np.int64)
+            xv = np.asarray(tbl.column(value_col), dtype=np.float64)
+        order = np.argsort(xi)
+        xref = ray.put((xv[order], xi[order]))
     mask_ref = (
         ray.put(np.sort(np.asarray(mask, np.int64)))
         if mask is not None
