@@ -21,6 +21,7 @@ from alp_ray.sources.corpus import synth_corpus
 from alp_ray.stages.extract import ImportExtractor, add_vertex_ids, _stable_id
 from alp_ray.stages.graph import dedup_edges, symmetrize
 from alp_ray.state.engine import GraphEngine
+from alp_ray.util import join_partitions
 
 
 def _auto_concurrency() -> tuple[int, int]:
@@ -248,7 +249,7 @@ def _state_with_hash_ids(
     joined = state.join(
         mapping,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=join_partitions(engine.n),
         on=("dense_id",),
     )
     return joined.select_columns(["vertex", state_name])
@@ -294,12 +295,13 @@ def corpus_components(
     # Two joins: dense vertex → hash id, dense component label → hash id
     # of the representative (materialize between — chained lazy joins
     # trip Ray 2.49's hash-join operator).
+    parts = join_partitions(engine.n)
     j1 = labels.join(
-        mapping, join_type="inner", num_partitions=2, on=("dense_id",)
+        mapping, join_type="inner", num_partitions=parts, on=("dense_id",)
     ).materialize()
     m2 = mapping.rename_columns(["component", "label_dense"])
     j2 = j1.select_columns(["vertex", "label_dense"]).join(
-        m2, join_type="inner", num_partitions=2, on=("label_dense",)
+        m2, join_type="inner", num_partitions=parts, on=("label_dense",)
     )
     tbl = pa.concat_tables(
         ray.get(
@@ -338,7 +340,10 @@ def flagship(sf_scale: float = 0.001) -> "ray.data.Dataset":
 
     files = corpus.map_batches(with_id, batch_format="pyarrow")
     joined = files.join(
-        pr_ds, join_type="left_outer", num_partitions=2, on=("vertex",)
+        pr_ds,
+        join_type="left_outer",
+        num_partitions=join_partitions(pr_table.num_rows),
+        on=("vertex",),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from alp_ray.util import coarse_parts, join_partitions
 from ray.data.aggregate import Count, Min
 
 # ---------------------------------------------------------------- exact --
@@ -242,10 +244,10 @@ def minhash_lsh_pairs(
 
     # Coarse partitioning: co-locate whole buckets under ``part =
     # bucket % n_parts`` and process ALL of a partition's buckets in ONE
-    # vectorized call — 32 group invocations instead of one per bucket
+    # vectorized call — ~cluster-core group invocations instead of one per bucket
     # (Ray's per-group dispatch costs ~100 µs; corpora shed millions of
     # buckets). At cluster scale raise ``n_parts`` to ≈ total cores.
-    n_parts = 32
+    n_parts = coarse_parts()
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -365,7 +367,10 @@ def minhash_dedup_keep(
     if losers.count() == 0:
         return docs
     joined = docs.join(
-        losers, join_type="left_outer", num_partitions=2, on=(id_col,)
+        losers,
+        join_type="left_outer",
+        num_partitions=join_partitions(losers.count()),
+        on=(id_col,),
     )
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -567,10 +572,11 @@ def ngram_jaccard_pairs(
         ),
         batch_format="pyarrow",
     )
+    parts = join_partitions(cand.count())
     j1 = cand.join(
-        ta, join_type="inner", num_partitions=2, on=("id_a",)
+        ta, join_type="inner", num_partitions=parts, on=("id_a",)
     ).materialize()
-    j2 = j1.join(tb, join_type="inner", num_partitions=2, on=("id_b",))
+    j2 = j1.join(tb, join_type="inner", num_partitions=parts, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -711,10 +717,11 @@ def embedding_cosine_pairs(
 
     va = vecs.map_batches(_proj("id_a", "__va"), batch_format="pyarrow")
     vb = vecs.map_batches(_proj("id_b", "__vb"), batch_format="pyarrow")
+    parts = join_partitions(cand.count())
     j1 = cand.join(
-        va, join_type="inner", num_partitions=2, on=("id_a",)
+        va, join_type="inner", num_partitions=parts, on=("id_a",)
     ).materialize()
-    j2 = j1.join(vb, join_type="inner", num_partitions=2, on=("id_b",))
+    j2 = j1.join(vb, join_type="inner", num_partitions=parts, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

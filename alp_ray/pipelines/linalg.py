@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from alp_ray.functions.semiring import PLUS_TIMES
+from alp_ray.util import join_partitions
 from alp_ray.pipelines.ann import _as_matrix
 from alp_ray.stages.graph import spmv
 from alp_ray.state.engine import GraphEngine
@@ -331,7 +332,13 @@ def cosine_similarity_vectors(
     bds = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "yv"]
     )
-    joined = a.join(bds, join_type="inner", num_partitions=2, on=("vertex",))
+    a = a.materialize()
+    joined = a.join(
+        bds,
+        join_type="inner",
+        num_partitions=join_partitions(a.count()),
+        on=("vertex",),
+    )
 
     def parts(batch: pa.Table) -> pa.Table:
         xv = np.asarray(batch.column("xv"), np.float64)

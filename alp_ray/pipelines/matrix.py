@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from alp_ray.util import join_partitions
 from ray.data.aggregate import Max, Min, Sum
 
 from alp_ray.functions.semiring import Semiring
@@ -159,15 +161,20 @@ def matrix_zip(
     b = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "__col"]
     )
+    a = a.materialize()
+    parts = join_partitions(a.count())
     joined = a.join(
-        b, join_type="inner", num_partitions=2, on=("vertex",)
+        b, join_type="inner", num_partitions=parts, on=("vertex",)
     ).materialize()
     if z is not None:
         c = z.select_columns(["vertex", value_col]).rename_columns(
             ["vertex", "__val"]
         )
         joined = joined.join(
-            c, join_type="inner", num_partitions=2, on=("vertex",)
+            c,
+            join_type="inner",
+            num_partitions=join_partitions(joined.count()),
+            on=("vertex",),
         )
 
     def emit(batch: pa.Table) -> pa.Table:

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from alp_ray.util import join_partitions
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from alp_ray.functions.semiring import Semiring
@@ -314,11 +316,16 @@ def ewise_inner(
     """
     a = x.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "__xa"]
-    )
+    ).materialize()
     b = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "__xb"]
+    ).materialize()
+    joined = a.join(
+        b,
+        join_type="inner",
+        num_partitions=join_partitions(a.count(), b.count()),
+        on=("vertex",),
     )
-    joined = a.join(b, join_type="inner", num_partitions=2, on=("vertex",))
 
     def apply(batch: pa.Table) -> pa.Table:
         xa = np.asarray(batch.column("__xa"), np.float64)
@@ -340,11 +347,16 @@ def zip_vectors(
     kmeans' Vector<pair>, kmeans.hpp:226). Inner-join semantics."""
     a = x.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "first"]
-    )
+    ).materialize()
     b = y.select_columns(["vertex", value_col]).rename_columns(
         ["vertex", "second"]
+    ).materialize()
+    joined = a.join(
+        b,
+        join_type="inner",
+        num_partitions=join_partitions(a.count(), b.count()),
+        on=("vertex",),
     )
-    joined = a.join(b, join_type="inner", num_partitions=2, on=("vertex",))
 
     def pack(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()

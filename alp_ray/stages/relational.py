@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from alp_ray.util import coarse_parts
+
 
 def _part_tag(ds, key: str, n_parts: int):
     def tag(batch: pa.Table) -> pa.Table:
@@ -34,7 +36,7 @@ def asof_join(
     key: str = "user_id",
     on: str = "ts",
     right_value_cols: tuple[str, ...] = ("value",),
-    n_parts: int = 32,
+    n_parts: int | None = None,
     suffix: str = "_r",
 ) -> "ray.data.Dataset":
     """For every left row, attach the LATEST right row with
@@ -47,6 +49,8 @@ def asof_join(
     sorts by (key, on) and binary-searches each left row into its key's
     right history. No per-key dispatch, no driver materialization.
     """
+    if n_parts is None:
+        n_parts = coarse_parts()
     on_t = pa.int64()
 
     def prep(side: int, cols: tuple[str, ...]):
@@ -138,12 +142,14 @@ def topk_per_group(
     order_col: str = "value",
     tie_col: str = "event_id",
     k: int = 3,
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Top-k rows per key by (order_col DESC, tie_col ASC) — the
     relational sort/limit-per-key the reference lacks. Two-stage:
     in-batch partial top-k per key (the combiner — at most k rows per
     (key, block) ever shuffle), then a coarse-partition final top-k."""
+    if n_parts is None:
+        n_parts = coarse_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         kk = np.asarray(batch.column(key), np.int64)

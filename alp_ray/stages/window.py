@@ -95,7 +95,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Split each user's event stream into sessions at gaps > gap_s.
     Returns (user_id, session_id, session_start, session_end, n_events).
@@ -108,7 +108,10 @@ def sessionize(
     worker (users are hash-spread; a pathological single user is one
     sort run, not a blowup)."""
     from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
 
+    if n_parts is None:
+        n_parts = coarse_parts()
     gap_us = gap_s * 1_000_000
 
     def prep(batch: pa.Table) -> pa.Table:
