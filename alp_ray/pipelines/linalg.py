@@ -42,25 +42,34 @@ def conjugate_gradient(
     engine.set_state_by_vertex("b", b.astype(np.float64))
     engine.set_state("x", 0.0)
 
-    # r = b - A·0 = b ; p = r
+    # r = b - A·0 = b ; p materializes in the first superstep's pre as
+    # r + 0·p (bitwise the classic p₀ = r₀ — ±0 sign aside, which no
+    # later op can observe in magnitude).
     def init_fn(state, ctx):
         state["r"] = state["b"].copy()
-        state["p"] = state["r"].copy()
+        state["p"] = np.zeros_like(state["r"])
         return {"rr": float(state["r"] @ state["r"])}
 
     rr = sum(d["rr"] for d in engine.map_local(init_fn))
 
-    def pre(state, ctx):
-        return state["p"]
-
+    # Collectives fused into the superstep (one spmv round-trip + one
+    # axpy round-trip per iteration, was 2 + 2): the p-update rides the
+    # scatter's pre hook, pAp rides the gather's scalar partials — the
+    # engine reduces them in shard order exactly as the standalone
+    # map_local rounds did, so every iterate is bitwise unchanged.
     def post(state, y, ctx):
         state["Ap"] = y
         return {"pAp": float(state["p"] @ y)}
 
     it = 0
+    beta = 0.0
     while it < max_iters and np.sqrt(rr) > tol:
-        scalars = engine.superstep(pre, "plus_times", post)
-        pAp = scalars["pAp"]
+
+        def pre(state, ctx, beta=beta):
+            state["p"] = state["r"] + beta * state["p"]
+            return state["p"]
+
+        pAp = engine.superstep(pre, "plus_times", post)["pAp"]
         alpha = rr / pAp
 
         def axpy(state, ctx, alpha=alpha):
@@ -70,12 +79,6 @@ def conjugate_gradient(
 
         rr_new = sum(d["rr_new"] for d in engine.map_local(axpy))
         beta = rr_new / rr
-
-        def update_p(state, ctx, beta=beta):
-            state["p"] = state["r"] + beta * state["p"]
-            return {}
-
-        engine.map_local(update_p)
         rr = rr_new
         it += 1
     return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
@@ -101,86 +104,90 @@ def bicgstab(
     engine.set_state_by_vertex("b", b.astype(np.float64))
     engine.set_state("x", 0.0)
 
+    # Collectives fused into the two spmv supersteps (2 supersteps + 1
+    # axpy round per iteration, was 2 + 6): ρ rides the previous
+    # iteration's x/r update (ρ_{k+1} = r̂·r_k over the same freshly
+    # updated r), the p-update and rhat·v ride superstep 1's pre/post
+    # hooks, the s-update (with its ‖s‖² pre-scalar) and the t·s / t·t
+    # dots ride superstep 2. Every dot is the same shard-partial sum in
+    # shard order as the standalone map_local rounds — iterates are
+    # bitwise unchanged.
     def init_fn(state, ctx):
         state["r"] = state["b"].copy()
         state["rhat"] = state["r"].copy()
         state["p"] = np.zeros_like(state["r"])
         state["v"] = np.zeros_like(state["r"])
-        return {"rr": float(state["r"] @ state["r"])}
+        return {
+            "rr": float(state["r"] @ state["r"]),
+            "rho": float(state["rhat"] @ state["r"]),
+        }
 
-    rr = sum(d["rr"] for d in engine.map_local(init_fn))
+    parts = engine.map_local(init_fn)
+    rr = sum(d["rr"] for d in parts)
+    rho_next = sum(d["rho"] for d in parts)
     rho = alpha = omega = 1.0
 
-    def mv(in_name: str, out_name: str) -> dict:
-        def pre(state, ctx, in_name=in_name):
-            return state[in_name]
+    def post1(state, y, ctx):
+        state["v"] = y
+        return {"rhat_v": float(state["rhat"] @ y)}
 
-        def post(state, y, ctx, out_name=out_name):
-            state[out_name] = y
-            return {}
-
-        return engine.superstep(pre, "plus_times", post)
+    def post2(state, y, ctx):
+        state["t"] = y
+        return {
+            "ts": float(y @ state["s"]),
+            "tt": float(y @ y),
+        }
 
     it = 0
     while it < max_iters and np.sqrt(rr) > tol:
-        rho_new = sum(
-            d["d"]
-            for d in engine.map_local(
-                lambda st, c: {"d": float(st["rhat"] @ st["r"])}
-            )
-        )
+        rho_new = rho_next
         beta = (rho_new / rho) * (alpha / omega) if rho != 0 else 0.0
         rho = rho_new
 
-        def upd_p(state, ctx, beta=beta, omega=omega):
+        def pre1(state, ctx, beta=beta, omega=omega):
             state["p"] = state["r"] + beta * (
                 state["p"] - omega * state["v"]
             )
-            return {}
+            return state["p"]
 
-        engine.map_local(upd_p)
-        mv("p", "v")
-        rhat_v = sum(
-            d["d"]
-            for d in engine.map_local(
-                lambda st, c: {"d": float(st["rhat"] @ st["v"])}
-            )
-        )
+        rhat_v = engine.superstep(pre1, "plus_times", post1)["rhat_v"]
         alpha = rho / rhat_v if rhat_v != 0 else 0.0
 
-        def upd_s(state, ctx, alpha=alpha):
+        def pre2(state, ctx, alpha=alpha):
             state["s"] = state["r"] - alpha * state["v"]
-            return {"ss": float(state["s"] @ state["s"])}
+            return (
+                state["s"],
+                None,
+                {"ss": float(state["s"] @ state["s"])},
+            )
 
-        ss = sum(d["ss"] for d in engine.map_local(upd_s))
-        if np.sqrt(ss) <= tol:
+        sc = engine.superstep(pre2, "plus_times", post2)
+        if np.sqrt(sc["ss"]) <= tol:
+            # Early half-step exit (bicgstab.hpp's s-norm check); the
+            # fused t spmv was speculative and is simply unused.
             engine.map_local(
                 lambda st, c, alpha=alpha: (
                     st.__setitem__("x", st["x"] + alpha * st["p"])
                 )
             )
-            rr = ss
+            rr = sc["ss"]
             it += 1
             break
-        mv("s", "t")
-        parts = engine.map_local(
-            lambda st, c: {
-                "ts": float(st["t"] @ st["s"]),
-                "tt": float(st["t"] @ st["t"]),
-            }
-        )
-        ts = sum(d["ts"] for d in parts)
-        tt = sum(d["tt"] for d in parts)
-        omega = ts / tt if tt != 0 else 0.0
+        omega = sc["ts"] / sc["tt"] if sc["tt"] != 0 else 0.0
 
         def upd_xr(state, ctx, alpha=alpha, omega=omega):
             state["x"] = (
                 state["x"] + alpha * state["p"] + omega * state["s"]
             )
             state["r"] = state["s"] - omega * state["t"]
-            return {"rr": float(state["r"] @ state["r"])}
+            return {
+                "rr": float(state["r"] @ state["r"]),
+                "rho": float(state["rhat"] @ state["r"]),
+            }
 
-        rr = sum(d["rr"] for d in engine.map_local(upd_xr))
+        parts = engine.map_local(upd_xr)
+        rr = sum(d["rr"] for d in parts)
+        rho_next = sum(d["rho"] for d in parts)
         it += 1
     return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
 
