@@ -461,6 +461,49 @@ def _q_conjugate_gradient(sf_dir: str):
     )
 
 
+def _q_hpcg_vcycle(sf_dir: str):
+    """One 2-level multigrid V-cycle (8³ → 4³, pre=post=1 smoother
+    steps) applied to a deterministic residual — ≙ multi_grid
+    (multigrid_v_cycle.hpp:180). sf-independent like the corpus
+    queries (the grid is a fixed constant)."""
+    from alp_ray.pipelines.hpcg import build_hpcg_levels, shutdown, v_cycle
+
+    s = _HPCG_FINE
+    levels = build_hpcg_levels((s, s, s), levels=2, P=4)
+    n = levels[0].n
+    r = ((np.arange(n) % 9) + 1) / 10.0
+    levels[0].engine.set_state_by_vertex("r", r)
+    v_cycle(levels, 0, 1, 1)
+    z = levels[0].engine.get_state_by_vertex("z")
+    shutdown(levels)
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(n, dtype=np.int64)),
+            "z": pa.array(_round_half_away(z, 6)),
+        }
+    )
+
+
+def _q_hpcg_pcg(sf_dir: str):
+    """Preconditioned CG with one V-cycle per iteration, fixed
+    _HPCG_PCG_K iterations (tol=0) — ≙ hpcg (hpcg.hpp:97)."""
+    from alp_ray.pipelines.hpcg import build_hpcg_levels, hpcg, shutdown
+
+    s = _HPCG_FINE
+    levels = build_hpcg_levels((s, s, s), levels=2, P=4)
+    n = levels[0].n
+    b = ((np.arange(n) % 7) + 1) / 10.0
+    x, iters, rel = hpcg(levels, b, max_iters=_HPCG_PCG_K, tol=0.0)
+    shutdown(levels)
+    assert iters == _HPCG_PCG_K
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(_round_half_away(x, 6)),
+        }
+    )
+
+
 # Corpus twin inputs: the driver's DuckDB connection only has the ten
 # standard views, so the corpus oracles read the SAME synthetic corpus
 # from a parquet file written here (driver-side, pure function — row-
@@ -1562,6 +1605,161 @@ def _corpus_components_sql(K: int) -> str:
     return "".join(parts)
 
 
+# HPCG twin: 8³ fine / 4³ coarse 27-point grids are sf-independent
+# constants (like the corpus), so the whole V-cycle / preconditioned-CG
+# recurrence unrolls into CTEs mirroring the engine's exact op order.
+_HPCG_FINE = 8
+_HPCG_PCG_K = 4
+
+
+def _hpcg_grid_cte(tag: str, s: int) -> str:
+    """co{tag}: grid coords; e{tag}: 27-point box-halo entries
+    (diag 26, off-diag -1) for an s×s×s grid, index x-fastest."""
+    n = s * s * s
+    return (
+        f"co{tag} AS MATERIALIZED (SELECT range::BIGINT AS i, "
+        f"(range % {s})::BIGINT AS x, "
+        f"((range // {s}) % {s})::BIGINT AS y, "
+        f"(range // {s * s})::BIGINT AS z FROM range({n})), "
+        f"e{tag} AS MATERIALIZED (SELECT a.i AS src, b.i AS dst, "
+        "CASE WHEN a.i = b.i THEN 26.0 ELSE -1.0 END AS w "
+        f"FROM co{tag} a JOIN co{tag} b ON abs(a.x - b.x) <= 1 "
+        "AND abs(a.y - b.y) <= 1 AND abs(a.z - b.z) <= 1)"
+    )
+
+
+def _hpcg_smoother_steps(
+    parts: list[str], z_in: str, prefix: str, tag: str, r_cte: str
+) -> str:
+    """Append one smoother run (forward 0,1 then backward 1,0 — each
+    color step: full y = A·z, then z[i%2==c] = (r−y+z·26)/26)."""
+    cur = z_in
+    for k, c in enumerate((0, 1, 1, 0)):
+        y = f"{prefix}y{k}"
+        nxt = f"{prefix}z{k}"
+        parts.append(
+            f", {y} AS MATERIALIZED (SELECT e{tag}.src AS i, "
+            f"SUM(z.v * e{tag}.w) AS y FROM {cur} z "
+            f"JOIN e{tag} ON e{tag}.dst = z.i GROUP BY e{tag}.src)"
+            f", {nxt} AS MATERIALIZED (SELECT z.i, "
+            f"CASE WHEN z.i % 2 = {c} THEN "
+            f"(r.v - y.y + z.v * 26.0) / 26.0 ELSE z.v END AS v "
+            f"FROM {cur} z JOIN {y} y ON y.i = z.i "
+            f"JOIN {r_cte} r ON r.i = z.i)"
+        )
+        cur = nxt
+    return cur
+
+
+def _hpcg_vcycle_ctes(
+    parts: list[str], prefix: str, rf_cte: str, s: int
+) -> str:
+    """Append one 2-level V-cycle reading fine residual ``rf_cte``;
+    returns the name of the final fine-z CTE. Grid CTEs co/e for tags
+    'f'/'c' must already be in ``parts``."""
+    n = s * s * s
+    cs = s // 2
+    parts.append(
+        f", {prefix}zinit AS MATERIALIZED (SELECT range::BIGINT AS i, "
+        f"0.0 AS v FROM range({n}))"
+    )
+    zpre = _hpcg_smoother_steps(
+        parts, f"{prefix}zinit", f"{prefix}pre", "f", rf_cte
+    )
+    # r_c = R·(r − A·z) at injection points fi = 2x + 2s·y + 2s²·z.
+    parts.append(
+        f", {prefix}axz AS MATERIALIZED (SELECT ef.src AS i, "
+        f"SUM(z.v * ef.w) AS y FROM {zpre} z "
+        "JOIN ef ON ef.dst = z.i GROUP BY ef.src)"
+        f", {prefix}cmap AS MATERIALIZED (SELECT range::BIGINT AS ci, "
+        f"(2 * (range % {cs}) + {2 * s} * ((range // {cs}) % {cs}) "
+        f"+ {2 * s * s} * (range // {cs * cs}))::BIGINT AS fi "
+        f"FROM range({cs * cs * cs}))"
+        f", {prefix}rc AS MATERIALIZED (SELECT c.ci AS i, "
+        f"r.v - a.y AS v FROM {prefix}cmap c "
+        f"JOIN {rf_cte} r ON r.i = c.fi "
+        f"JOIN {prefix}axz a ON a.i = c.fi)"
+        f", {prefix}zcinit AS MATERIALIZED (SELECT range::BIGINT AS i, "
+        f"0.0 AS v FROM range({cs * cs * cs}))"
+    )
+    zc = _hpcg_smoother_steps(
+        parts, f"{prefix}zcinit", f"{prefix}crs", "c", f"{prefix}rc"
+    )
+    parts.append(
+        f", {prefix}zp AS MATERIALIZED (SELECT z.i, "
+        f"CASE WHEN c.ci IS NOT NULL THEN z.v + zc.v ELSE z.v END AS v "
+        f"FROM {zpre} z LEFT JOIN {prefix}cmap c ON c.fi = z.i "
+        f"LEFT JOIN {zc} zc ON zc.i = c.ci)"
+    )
+    return _hpcg_smoother_steps(
+        parts, f"{prefix}zp", f"{prefix}post", "f", rf_cte
+    )
+
+
+def _hpcg_vcycle_sql() -> str:
+    s = _HPCG_FINE
+    n = s * s * s
+    parts = [
+        f"WITH {_hpcg_grid_cte('f', s)}, {_hpcg_grid_cte('c', s // 2)}, ",
+        "rf AS MATERIALIZED (SELECT range::BIGINT AS i, "
+        f"CAST((range % 9) + 1 AS DOUBLE) / 10.0 AS v FROM range({n}))",
+    ]
+    zf = _hpcg_vcycle_ctes(parts, "m", "rf", s)
+    parts.append(f" SELECT i AS vertex, ROUND(v, 6) AS z FROM {zf}")
+    return "".join(parts)
+
+
+def _hpcg_pcg_sql(K: int) -> str:
+    """Full preconditioned CG (hpcg.hpp:97), K iterations, one V-cycle
+    per iteration; scalar collectives as scalar subqueries."""
+    s = _HPCG_FINE
+    n = s * s * s
+    parts = [
+        f"WITH {_hpcg_grid_cte('f', s)}, {_hpcg_grid_cte('c', s // 2)}, ",
+        "b AS MATERIALIZED (SELECT range::BIGINT AS i, "
+        f"CAST((range % 7) + 1 AS DOUBLE) / 10.0 AS v FROM range({n})), ",
+        # x₀ = 0 → r₀ = b.
+        "x0 AS MATERIALIZED (SELECT i, 0.0 AS v FROM b), "
+        "r0 AS MATERIALIZED (SELECT i, v FROM b)",
+    ]
+    for k in range(1, K + 1):
+        zf = _hpcg_vcycle_ctes(parts, f"i{k}", f"r{k - 1}", s)
+        parts.append(
+            f", rz{k} AS MATERIALIZED (SELECT "
+            f"(SELECT SUM(r.v * z.v) FROM r{k - 1} r "
+            f"JOIN {zf} z ON z.i = r.i) AS v)"
+        )
+        if k == 1:
+            parts.append(
+                f", p1 AS MATERIALIZED (SELECT i, v FROM {zf})"
+            )
+        else:
+            parts.append(
+                f", p{k} AS MATERIALIZED (SELECT p.i, "
+                f"((SELECT v FROM rz{k}) / (SELECT v FROM rz{k - 1})) "
+                f"* p.v + z.v AS v FROM p{k - 1} p "
+                f"JOIN {zf} z ON z.i = p.i)"
+            )
+        parts.append(
+            f", ap{k} AS MATERIALIZED (SELECT ef.src AS i, "
+            f"SUM(p.v * ef.w) AS y FROM p{k} p "
+            "JOIN ef ON ef.dst = p.i GROUP BY ef.src)"
+            f", al{k} AS MATERIALIZED (SELECT "
+            f"(SELECT v FROM rz{k}) / (SELECT SUM(p.v * a.y) "
+            f"FROM p{k} p JOIN ap{k} a ON a.i = p.i) AS v)"
+            f", x{k} AS MATERIALIZED (SELECT x.i, "
+            f"x.v + (SELECT v FROM al{k}) * p.v AS v "
+            f"FROM x{k - 1} x JOIN p{k} p ON p.i = x.i)"
+            f", r{k} AS MATERIALIZED (SELECT r.i, "
+            f"r.v + (-(SELECT v FROM al{k})) * a.y AS v "
+            f"FROM r{k - 1} r JOIN ap{k} a ON a.i = r.i)"
+        )
+    parts.append(
+        f" SELECT i AS vertex, ROUND(v, 6) AS x FROM x{K}"
+    )
+    return "".join(parts)
+
+
 def _ppr_sql(K: int) -> str:
     """Personalized PageRank twin: like _pagerank_sql but the teleport /
     dangling offset is scaled by the per-vertex teleport value instead
@@ -2141,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zip_unzip_degrees": _q_zip_unzip,
         "sparse_nn": _q_sparse_nn,
         "bicgstab": _q_bicgstab,
+        "hpcg_vcycle": _q_hpcg_vcycle,
+        "hpcg_pcg": _q_hpcg_pcg,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -2357,6 +2557,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_extract": _corpus_extract_sql(),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PR_K),
         "corpus_components": _corpus_components_sql(_CORPUS_CC_K),
+        "hpcg_vcycle": _hpcg_vcycle_sql(),
+        "hpcg_pcg": _hpcg_pcg_sql(_HPCG_PCG_K),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),
