@@ -461,6 +461,32 @@ def _q_conjugate_gradient(sf_dir: str):
     )
 
 
+def _q_ewise_lambda_matrix(sf_dir: str):
+    """Named eWiseLambda over matrix nonzeroes (base/blas2.hpp:440):
+    rescale every stored weight by 1/(1 + src % 5)."""
+    from alp_ray.stages.graph import ewise_lambda_matrix
+
+    edges = _dense_edges(sf_dir, weighted=True)
+    out = ewise_lambda_matrix(
+        edges, lambda s, d, w: w / (1 + s % 5)
+    )
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "weight": pa.array(
+                    _round_half_away(
+                        np.asarray(batch.column("weight"), np.float64), 6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
 def _q_hpcg_vcycle(sf_dir: str):
     """One 2-level multigrid V-cycle (8³ → 4³, pre=post=1 smoother
     steps) applied to a deterministic residual — ≙ multi_grid
@@ -1265,7 +1291,7 @@ def _q_ngram_jaccard(sf_dir: str):
                 "id_a": batch.column("id_a").cast(pa.int64()),
                 "id_b": batch.column("id_b").cast(pa.int64()),
                 "jaccard": pa.array(
-                    np.round(
+                    _round_half_away(
                         np.asarray(batch.column("jaccard"), np.float64), 6
                     )
                 ),
@@ -2341,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bicgstab": _q_bicgstab,
         "hpcg_vcycle": _q_hpcg_vcycle,
         "hpcg_pcg": _q_hpcg_pcg,
+        "ewise_lambda_matrix": _q_ewise_lambda_matrix,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -2559,6 +2586,44 @@ def oracle_sql() -> dict[str, str]:
         "corpus_components": _corpus_components_sql(_CORPUS_CC_K),
         "hpcg_vcycle": _hpcg_vcycle_sql(),
         "hpcg_pcg": _hpcg_pcg_sql(_HPCG_PCG_K),
+        "ewise_lambda_matrix": (
+            "SELECT src, dst, ROUND(weight / (1 + src % 5), 6) AS weight "
+            f"FROM ({_E_WEIGHTED})"
+        ),
+        # Exact all-pairs 5-gram Jaccard ≥ 0.5 — the same polynomial
+        # shingle hash as _shingles (dedup.py:65: bytes of the
+        # whitespace-normalized lowercased text, Σ c_j·257^j mod 2³¹−1,
+        # per-doc DISTINCT). Valid as the twin of the LSH-candidate-
+        # verified Ray pipeline because MinHash recall at est ≥ 0.3 for
+        # true J ≥ 0.5 is exhaustive on this corpus (checked at sf0.001
+        # / sf0.01; all docs ASCII and ≥ 5 normalized chars, so the
+        # byte windows are substr windows and the short-doc blake2b
+        # fallback never fires).
+        "ngram_jaccard": (
+            "WITH norm AS MATERIALIZED (SELECT doc_id, "
+            "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', "
+            "'g'))) AS t FROM documents), "
+            "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
+            "(ascii(substr(t, i, 1))::BIGINT "
+            "+ ascii(substr(t, i + 1, 1))::BIGINT * 257 "
+            "+ ascii(substr(t, i + 2, 1))::BIGINT * 66049 "
+            "+ ascii(substr(t, i + 3, 1))::BIGINT * 16974593 "
+            "+ ascii(substr(t, i + 4, 1))::BIGINT * 67503107) "
+            "% 2147483647 AS h "
+            "FROM norm, UNNEST(range(1, length(t) - 3)) AS u(i)), "
+            "sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz "
+            "FROM sh GROUP BY doc_id), "
+            "inter AS MATERIALIZED (SELECT a.doc_id AS id_a, "
+            "b.doc_id AS id_b, COUNT(*) AS i FROM sh a "
+            "JOIN sh b ON b.h = a.h AND b.doc_id > a.doc_id "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) "
+            "/ (sa.sz + sb.sz - i) AS jac FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) "
+            "SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j "
+            "WHERE jac >= 0.5"
+        ),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

@@ -433,3 +433,34 @@ def ewise_union(
     return u.groupby("vertex").aggregate(
         agg_cls(value_col, alias_name=value_col)
     )
+
+
+def ewise_lambda_matrix(
+    edges: "ray.data.Dataset",
+    fn,
+    weight_col: str = "weight",
+) -> "ray.data.Dataset":
+    """Named eWiseLambda over matrix nonzeroes — ≙ grb::eWiseLambda(f, A)
+    (base/blas2.hpp:440): apply a VECTORIZED ``fn(src, dst, w) → w'`` to
+    every stored entry (entry positions never change, matching the
+    reference's in-place lambda contract). Pattern matrices (no weight
+    column) see w ≡ 1."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        if weight_col in batch.column_names:
+            w = np.asarray(batch.column(weight_col), np.float64)
+        else:
+            w = np.ones(len(batch))
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                weight_col: pa.array(
+                    np.asarray(fn(s, d, w), np.float64)
+                ),
+            }
+        )
+
+    return edges.map_batches(apply, batch_format="pyarrow")
