@@ -111,3 +111,65 @@ def test_mtx_chunked_parse_exact(tmp_path):
     for g, x in zip(got, want):
         assert g[0] == x[0] and g[1] == x[1]
         assert g[2] == pytest.approx(x[2])
+
+
+def test_knn_neighbourhood_contract_via_mtx(tmp_path):
+    """Replay the reference knn smoke contract ("Neighbourhood size is
+    421 (out of n)" for a 4-hop from source n/2, smoketests.sh:129 /
+    tests/smoke/knn.cpp:89-90,274) end-to-end: deterministic symmetric
+    community graph → .mtx file → parallel reader → engine → khop —
+    size checked against an independent NumPy BFS oracle."""
+    from alp_ray.pipelines.traversal import khop
+    from alp_ray.state.engine import GraphEngine
+
+    # Ring of 20 cliques (8 vertices each) bridged by single edges:
+    # local 4-hop neighbourhoods stay well below n, like facebook's.
+    n_cliq, sz = 20, 8
+    n = n_cliq * sz
+    edges = set()
+    for c in range(n_cliq):
+        base = c * sz
+        for i in range(sz):
+            for j in range(i + 1, sz):
+                edges.add((base + i, base + j))
+        # bridge: last vertex of clique c -> first of clique c+1
+        nxt = ((c + 1) % n_cliq) * sz
+        edges.add((base + sz - 1, nxt))
+    edges = sorted(edges)
+    p = str(tmp_path / "cliques.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write(f"{n} {n} {len(edges)}\n")
+        for s, d in edges:
+            # symmetric MM stores the lower triangle: row >= col
+            f.write(f"{max(s, d) + 1} {min(s, d) + 1}\n")
+
+    ds, info = read_matrix_market(p)
+    assert info.symmetric and info.pattern
+    df = ds.to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    # reader mirrors symmetric entries: both directions present
+    assert len(df) == 2 * len(edges)
+
+    engine = GraphEngine.from_arrays(src, dst, None, n=n, P=4)
+    source, k = n // 2, 4
+    mask, size = khop(engine, source=source, k=k)
+    engine.shutdown()
+
+    # independent BFS oracle
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    seen = {source}
+    frontier = {source}
+    for _ in range(k):
+        frontier = {
+            v for u in frontier for v in adj.get(u, [])
+        } - seen
+        seen |= frontier
+    assert size == len(seen)
+    assert set(np.flatnonzero(mask).tolist()) == seen
+    # the contract shape: a k-hop ball strictly between the clique and
+    # the whole graph ("Neighbourhood size is N (out of n)")
+    assert sz < size < n
