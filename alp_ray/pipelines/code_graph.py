@@ -92,14 +92,16 @@ def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Dataset-native dense-id assignment — the 10^12-vertex path where a
     driver-side np.unique cannot hold the vertex set.
 
-    sorted distinct vertices → per-block prefix offsets (driver holds
-    only O(#blocks) row counts) → contiguous ids per block. Returns a
-    ``(vertex, dense_id)`` mapping Dataset; the only shuffle is the
-    distinct+sort.
+    per-block unique → ONE range-partitioning sort → per-block local
+    unique with block-boundary dedup (a duplicate vertex can only span
+    ADJACENT blocks after the sort, so the driver reconciles with
+    O(#blocks) first/last scalars) → contiguous ids per block. Returns
+    a ``(vertex, dense_id)`` mapping Dataset. The sort is the ONLY
+    shuffle — the round-2 groupby-distinct before it was pure fixed
+    overhead (~3 s at any size on Ray 2.49) since the sort already
+    co-locates equal keys.
     """
     import pyarrow as pa
-
-    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         v = np.concatenate(
@@ -112,36 +114,47 @@ def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
     distinct = (
         edges.map_batches(explode, batch_format="pyarrow")
-        .groupby("vertex")
-        .aggregate(Count(alias_name="c"))
-        .drop_columns(["c"])
         .sort("vertex")
         .materialize()
     )
     refs = distinct.to_arrow_refs()
 
     @ray.remote
-    def _rows(tbl: pa.Table) -> int:
-        return tbl.num_rows
+    def _info(tbl: pa.Table):
+        v = np.asarray(tbl.column("vertex"), np.int64)
+        u = np.unique(v)
+        if u.size == 0:
+            return 0, None, None
+        return int(u.size), int(u[0]), int(u[-1])
 
-    counts = ray.get([_rows.remote(r) for r in refs])
+    infos = ray.get([_info.remote(r) for r in refs])
+    counts, drop_first = [], []
+    prev_last = None
+    for cnt, first, last in infos:
+        drop = cnt > 0 and prev_last is not None and first == prev_last
+        counts.append(cnt - (1 if drop else 0))
+        drop_first.append(drop)
+        if cnt:
+            prev_last = last
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
     @ray.remote
-    def _tag(tbl: pa.Table, offset: int) -> pa.Table:
+    def _tag(tbl: pa.Table, offset: int, drop: bool) -> pa.Table:
+        u = np.unique(np.asarray(tbl.column("vertex"), np.int64))
+        if drop:
+            u = u[1:]
         return pa.table(
             {
-                "vertex": tbl.column("vertex"),
+                "vertex": pa.array(u),
                 "dense_id": pa.array(
-                    np.arange(
-                        offset, offset + tbl.num_rows, dtype=np.int64
-                    )
+                    np.arange(offset, offset + u.size, dtype=np.int64)
                 ),
             }
         )
 
     out_refs = [
-        _tag.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+        _tag.remote(r, int(offsets[i]), drop_first[i])
+        for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(out_refs)
 
