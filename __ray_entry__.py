@@ -848,6 +848,45 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_ivf_recall(sf_dir: str):
+    """Quantifies the IVF index's approximate contract: recall@10 of
+    ivf_topk (8 centroids, nprobe=4) against brute-force cosine top-10
+    for the standard query point. Deliberately rows-only: the operator
+    is approximate by design (it provably misses exact neighbors), so
+    the honest oracle is a measured recall, not an exact twin."""
+    import ray.data
+
+    from alp_ray.pipelines.ann import build_ivf, cosine_topk, ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        emb.filter(expr="vec_id == 0").take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    exact = set(
+        np.asarray(
+            cosine_topk(emb, q, k=10).column("vec_id")
+        ).tolist()
+    )
+    C, bucketed = build_ivf(emb, n_centroids=8)
+    approx = set(
+        np.asarray(
+            ivf_topk(
+                bucketed.materialize(), C, q, k=10, nprobe=4
+            ).column("vec_id")
+        ).tolist()
+    )
+    return pa.table(
+        {
+            "k": pa.array([10], pa.int64()),
+            "nprobe": pa.array([4], pa.int64()),
+            "recall": pa.array(
+                [len(exact & approx) / 10.0], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_community_lpa(sf_dir: str):
     from alp_ray.pipelines.labelprop import community_lpa
     from alp_ray.sources.tables import derived_edges
@@ -2354,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "approx_distinct_docs": _q_approx_distinct,
         "ann_ivf_top10": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "community_lpa": _q_community_lpa,
         # Round 2: BLAS variants, solvers, dedup tails
         "spmv_input_masked": _q_spmv_input_masked,
