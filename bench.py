@@ -205,6 +205,35 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     tumbling_window(ev).count()
     queries["window_hourly"] = round(time.perf_counter() - t0, 3)
 
+    # 5. HPCG probe: one multigrid V-cycle on a 40³ 27-point system
+    # (3 levels, red-black GS smoothing; ~1.6M nnz fine level). The
+    # metric is smoother-applied nonzeros per second — each V-cycle
+    # runs 8 fine + 8 mid + 4 coarse color-step spmvs + 2 transfers.
+    from alp_ray.pipelines.hpcg import (
+        build_hpcg_levels, shutdown as hpcg_shutdown, v_cycle,
+    )
+
+    t0 = time.perf_counter()
+    hl = build_hpcg_levels((40, 40, 40), levels=3, P=min(P, 8))
+    hpcg_build = time.perf_counter() - t0
+    r = ((np.arange(hl[0].n) % 9) + 1) / 10.0
+    hl[0].engine.set_state_by_vertex("r", r)
+    v_cycle(hl, 0, 1, 1)  # warm
+    t0 = time.perf_counter()
+    v_cycle(hl, 0, 1, 1)
+    cycle_sec = time.perf_counter() - t0
+    nnz_applied = 9 * hl[0].engine.m + 9 * hl[1].engine.m + 4 * hl[2].engine.m
+    queries["hpcg_vcycle"] = round(hpcg_build + 2 * cycle_sec, 3)
+    extras["hpcg_vcycle"] = {
+        "n": hl[0].n,
+        "nnz": hl[0].engine.m,
+        "levels": 3,
+        "build_sec": round(hpcg_build, 3),
+        "cycle_sec": round(cycle_sec, 3),
+        "smoother_nnz_per_sec": round(nnz_applied / cycle_sec),
+    }
+    hpcg_shutdown(hl)
+
     return {
         "metric": "PageRank traversed-edges/sec to 1e-6 conv "
                   "(corpus import graph; iteration loop only)",
