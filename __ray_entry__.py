@@ -887,6 +887,34 @@ def _q_ann_ivf_recall(sf_dir: str):
     )
 
 
+def _q_partitioned_sink(sf_dir: str):
+    """Resumable-output round-trip (north rule: partitioned parquet,
+    one directory per key range, _SUCCESS markers): token counts →
+    write_partitioned by doc_id → read_partitioned (marker-pruned
+    paths) → rows. Hash-compared against the plain token-count twin,
+    proving the sink is lossless and duplicate-free."""
+    import tempfile
+
+    import ray.data
+
+    from alp_ray.sources.sink import read_partitioned, write_partitioned
+    from alp_ray.stages.text import TokenCountStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = docs.map_batches(
+        TokenCountStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "n_tokens"])
+    root = tempfile.mkdtemp(prefix="alp_sink_")
+    write_partitioned(out, root, "doc_id", n_parts=8)
+    back = read_partitioned(root)
+    return _cast(
+        back.select_columns(["doc_id", "n_tokens"]),
+        {"doc_id": pa.int64(), "n_tokens": pa.int64()},
+    )
+
+
 def _q_community_lpa(sf_dir: str):
     from alp_ray.pipelines.labelprop import community_lpa
     from alp_ray.sources.tables import derived_edges
@@ -2394,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_docs": _q_approx_distinct,
         "ann_ivf_top10": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "partitioned_sink": _q_partitioned_sink,
         "community_lpa": _q_community_lpa,
         # Round 2: BLAS variants, solvers, dedup tails
         "spmv_input_masked": _q_spmv_input_masked,
@@ -2530,6 +2559,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords "
             "FROM documents"
+        ),
+        "partitioned_sink": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
         ),
         "doc_stats": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
