@@ -2598,8 +2598,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_top10": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings "
             "WHERE vec_id = 0) "
-            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
-            "(SELECT qv FROM q)), 6) AS cosine "
+            "SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, "
+            "(SELECT qv FROM q)) AS DOUBLE), 6) AS cosine "
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) "
             "DESC, vec_id LIMIT 10"
