@@ -1287,6 +1287,56 @@ def _q_sparse_nn(sf_dir: str):
     )
 
 
+_NN_N, _NN_FAN, _NN_L = 601, 8, 3
+
+
+def _nn_layer_arrays(l: int):
+    """Arithmetic layer l: src v emits fan edges dst=(v*(l+3)+j*j+l)%n,
+    weight=((v+j+l)%5)-2, duplicates pre-summed (the engine's
+    no_duplicates FP contract; SQL twin GROUPs BY (src,dst)). All
+    integers — exact in float64, so the driver hash is FP-order-proof."""
+    n, fan = _NN_N, _NN_FAN
+    v = np.repeat(np.arange(n, dtype=np.int64), fan)
+    j = np.tile(np.arange(fan, dtype=np.int64), n)
+    src, dst = v, (v * (l + 3) + j * j + l) % n
+    w = ((v + j + l) % 5 - 2).astype(np.float64)
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    starts = np.flatnonzero(
+        np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+    )
+    return src[starts], dst[starts], np.add.reduceat(w, starts)
+
+
+def _q_sparse_nn_engine(sf_dir: str):
+    """Multi-layer forward pass on the ENGINE path: all layers stashed
+    per shard, one superstep per layer selected via the _edges_key
+    scalar (zero rebuilds / driver round-trips between layers).
+    Ref: sparse_nn_single_inference.hpp:52+."""
+    from alp_ray.pipelines.linalg import sparse_nn_engine
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_arrays(
+        np.array([0], np.int64), np.array([1], np.int64),
+        None, n=_NN_N, P=4,
+    )
+    keys = []
+    for l in range(_NN_L):
+        s, d, w = _nn_layer_arrays(l)
+        engine.add_edge_layer(f"l{l}", s, d, w)
+        keys.append(f"l{l}")
+    x0 = (np.arange(_NN_N, dtype=np.int64) % 7).astype(np.float64)
+    ids0 = np.flatnonzero(x0 > 0)
+    xv, xi = sparse_nn_engine(
+        engine, keys, biases=[-1.0, -2.0, -3.0],
+        x0=(x0[ids0], ids0), threshold=40.0,
+    )
+    engine.shutdown()
+    return pa.table(
+        {"vertex": pa.array(xi), "val": pa.array(xv)}
+    )
+
+
 def _q_bicgstab(sf_dir: str):
     """Nonsymmetric diagonally-dominant system A = W + diag(1 + row
     sums), built Dataset-natively and solved with the engine in
@@ -2433,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dot_degrees": _q_dot_degrees,
         "zip_unzip_degrees": _q_zip_unzip,
         "sparse_nn": _q_sparse_nn,
+        "sparse_nn_engine": _q_sparse_nn_engine,
         "bicgstab": _q_bicgstab,
         "hpcg_vcycle": _q_hpcg_vcycle,
         "hpcg_pcg": _q_hpcg_pcg,
@@ -2767,5 +2818,43 @@ def oracle_sql() -> dict[str, str]:
             "l2 AS (SELECT v, LEAST(GREATEST(s, 0.0), 30.0) AS x "
             "FROM y2 WHERE GREATEST(s, 0.0) > 0) "
             "SELECT v AS vertex, ROUND(x, 6) AS val FROM l2"
+        ),
+        # Engine path: 3 arithmetic integer-weight layers (exact in
+        # float64 ⇒ no ROUND needed), sparse frontier == the WHERE x>0
+        # filters. Layer l: dst=(v*(l+3)+j*j+l)%601, w=((v+j+l)%5)-2,
+        # duplicate (src,dst) pre-summed via GROUP BY.
+        "sparse_nn_engine": (
+            "WITH verts AS (SELECT range::BIGINT AS v FROM range(601)), "
+            "js AS (SELECT range::BIGINT AS j FROM range(8)), "
+            "e0 AS MATERIALIZED (SELECT v AS src, "
+            "(v * 3 + j * j) % 601 AS dst, "
+            "SUM(CAST((v + j) % 5 - 2 AS DOUBLE)) AS w "
+            "FROM verts, js GROUP BY 1, 2), "
+            "e1 AS MATERIALIZED (SELECT v AS src, "
+            "(v * 4 + j * j + 1) % 601 AS dst, "
+            "SUM(CAST((v + j + 1) % 5 - 2 AS DOUBLE)) AS w "
+            "FROM verts, js GROUP BY 1, 2), "
+            "e2 AS MATERIALIZED (SELECT v AS src, "
+            "(v * 5 + j * j + 2) % 601 AS dst, "
+            "SUM(CAST((v + j + 2) % 5 - 2 AS DOUBLE)) AS w "
+            "FROM verts, js GROUP BY 1, 2), "
+            "x0 AS (SELECT v, CAST(v % 7 AS DOUBLE) AS x FROM verts "
+            "WHERE v % 7 > 0), "
+            "y1 AS MATERIALIZED (SELECT e0.dst AS v, "
+            "SUM(x0.x * e0.w) - 1.0 AS s "
+            "FROM x0 JOIN e0 ON e0.src = x0.v GROUP BY e0.dst), "
+            "l1 AS (SELECT v, LEAST(GREATEST(s, 0.0), 40.0) AS x "
+            "FROM y1 WHERE GREATEST(s, 0.0) > 0), "
+            "y2 AS MATERIALIZED (SELECT e1.dst AS v, "
+            "SUM(l1.x * e1.w) - 2.0 AS s "
+            "FROM l1 JOIN e1 ON e1.src = l1.v GROUP BY e1.dst), "
+            "l2 AS (SELECT v, LEAST(GREATEST(s, 0.0), 40.0) AS x "
+            "FROM y2 WHERE GREATEST(s, 0.0) > 0), "
+            "y3 AS MATERIALIZED (SELECT e2.dst AS v, "
+            "SUM(l2.x * e2.w) - 3.0 AS s "
+            "FROM l2 JOIN e2 ON e2.src = l2.v GROUP BY e2.dst), "
+            "l3 AS (SELECT v, LEAST(GREATEST(s, 0.0), 40.0) AS x "
+            "FROM y3 WHERE GREATEST(s, 0.0) > 0) "
+            "SELECT v AS vertex, x AS val FROM l3"
         ),
     }

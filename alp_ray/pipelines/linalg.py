@@ -325,6 +325,56 @@ def sparse_nn_inference(
     return xv, xi
 
 
+def sparse_nn_engine(
+    engine,
+    layer_keys: list[str],
+    biases: list[float],
+    x0: tuple[np.ndarray, np.ndarray],
+    threshold: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-layer GraphChallenge forward pass on a ``GraphEngine`` whose
+    shards hold every layer as a STASHED edge set
+    (``GraphEngine.synth_layer_stack`` / ``add_edge_layer``): per layer,
+    ONE superstep whose ``_edges_key`` scalar swaps the active weight
+    matrix in-actor — no rebuild, no driver materialization, no Dataset
+    groupby overhead per layer (ref semantics:
+    sparse_nn_single_inference.hpp:52+ — vxm, bias fold, ReLU, optional
+    min-threshold clip).
+
+    Biases must be ≤ 0 (the GraphChallenge convention): the superstep
+    runs a SPARSE frontier (active = x > 0), so a vertex reached by no
+    positive activation sees y = 0 and relu(0 + bias) must be 0 for
+    exact equivalence with the sparse-vector reference semantics.
+    Returns sparse (values, ids)."""
+    assert all(b <= 0 for b in biases), (
+        "sparse_nn_engine requires biases <= 0 (GraphChallenge "
+        "convention); use sparse_nn_inference for general biases"
+    )
+    xv, xi = x0
+    dense = np.zeros(engine.n)
+    dense[np.asarray(xi, np.int64)] = np.asarray(xv, np.float64)
+    engine.set_state_by_vertex("x", dense)
+
+    def pre(state, ctx):
+        x = state["x"]
+        return x, x > 0
+
+    for key, b in zip(layer_keys, biases):
+
+        def post(state, y, ctx, b=b, thr=threshold):
+            v = np.maximum(y + b, 0.0)
+            if thr is not None:
+                v = np.minimum(v, thr)
+            state["x"] = v
+            return {"nnz": float(np.count_nonzero(v))}
+
+        engine.superstep(pre, "plus_times", post,
+                         scalars={"_edges_key": key})
+    x = engine.get_state_by_vertex("x")
+    ids = np.flatnonzero(x > 0)
+    return x[ids], ids
+
+
 # ---------------------------------------------------- cosine similarity --
 
 

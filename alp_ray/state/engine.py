@@ -263,6 +263,14 @@ class GraphShard:
     def vertex_ids(self) -> np.ndarray:
         return np.arange(self.part, self.n, self.P, dtype=np.int64)
 
+    def dump_edges(self) -> tuple:
+        """(src, dst, w) of the ACTIVE edge set, global ids — test/debug
+        oracle extraction; O(m_local), never on a hot path."""
+        src = self.src_local * self.P + self.part
+        return src, self.dst.copy(), (
+            self.w.copy() if self.w is not None else None
+        )
+
     def num_edges(self) -> int:
         return self.m_local
 
@@ -303,6 +311,8 @@ class GraphShard:
         scalars: dict | None = None,
     ):
         """Returns P sparse partials + 1 scalar dict (num_returns=P+1)."""
+        if scalars and scalars.get("_edges_key") is not None:
+            self.use_edges(scalars["_edges_key"])
         sr = SEMIRINGS[semiring_name]
         pre = pickle.loads(pre_fn_bytes)
         out = pre(self.state, self._ctx(scalars))
@@ -400,6 +410,8 @@ class GraphShard:
         path emits its precomputed contiguous layout with no extra copy.
         On a multi-node cluster prefer the ``split`` exchange so only
         column q ships to shard q."""
+        if scalars and scalars.get("_edges_key") is not None:
+            self.use_edges(scalars["_edges_key"])
         sr = SEMIRINGS[semiring_name]
         pre = pickle.loads(pre_fn_bytes)
         out = pre(self.state, self._ctx(scalars))
@@ -830,6 +842,75 @@ class GraphShard:
         )
         return bundle, post_scalars
 
+    # ---- multi-edge-set support (layered graphs, sparse NN) -----------
+    #
+    # A shard can hold SEVERAL compressed edge sets keyed by name and
+    # swap the active one in O(1) (pointer swap, no copy) — the
+    # GraphChallenge sparse-DNN shape (sparse_nn_single_inference.hpp:
+    # one vxm per layer over a DIFFERENT weight matrix) without
+    # rebuilding actors between layers. The swap rides the superstep's
+    # ``scalars["_edges_key"]`` so layer selection costs zero extra
+    # actor round-trips.
+
+    def stash_edges(self, key: str) -> int:
+        """Store the currently-built edge arrays under ``key``."""
+        assert getattr(self, "hot_local", None) is None or \
+            not self.hot_local.size, "edge stash incompatible with hot split"
+        if not hasattr(self, "_edge_stash"):
+            self._edge_stash = {}
+        self._edge_stash[key] = (
+            self.src_local, self.w, self.m_local, self.seg_starts,
+            self.out_dst_local, self.qbounds, self.dst,
+        )
+        self._active_edges = key
+        return self.m_local
+
+    def use_edges(self, key: str) -> int:
+        """Swap the active edge set to stash entry ``key`` (no-op if
+        already active)."""
+        if getattr(self, "_active_edges", None) == key:
+            return self.m_local
+        (self.src_local, self.w, self.m_local, self.seg_starts,
+         self.out_dst_local, self.qbounds, self.dst) = self._edge_stash[key]
+        self._active_edges = key
+        return self.m_local
+
+    def build_and_stash(
+        self, key: str,
+        src: np.ndarray, dst: np.ndarray, w: np.ndarray | None,
+    ) -> int:
+        """Build a new edge set from this shard's slice and stash it."""
+        self._build(src, dst, w)
+        return self.stash_edges(key)
+
+    def synth_layer(
+        self, key: str, fan: int, seed: int,
+        wlow: int = -2, whigh: int = 3,
+    ) -> int:
+        """Deterministic in-actor synthesis of one sparse layer: every
+        LOCAL source emits ``fan`` edges to uniform destinations with
+        small-integer weights (exact in float64 — keeps multi-layer
+        accumulation bitwise reproducible). Duplicate (src,dst) pairs
+        are pre-summed (the no_duplicates FP contract: segment sums
+        must see unique keys or tie order leaks into last-ulp)."""
+        rng = np.random.RandomState(
+            (seed * 1_000_003 + self.part * 7919 + 13) % (2**31 - 1)
+        )
+        src = np.repeat(
+            np.arange(self.part, self.n, self.P, dtype=np.int64), fan
+        )
+        dst = rng.randint(0, self.n, src.size).astype(np.int64)
+        w = rng.randint(wlow, whigh, src.size).astype(np.float64)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        if src.size:
+            starts = np.flatnonzero(
+                np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            )
+            w = np.add.reduceat(w, starts)
+            src, dst = src[starts], dst[starts]
+        return self.build_and_stash(key, src, dst, w)
+
 
 class _ShardIngest:
     """map_batches stage routing each edge block's P slices straight to
@@ -1036,6 +1117,81 @@ class GraphEngine:
             for p in range(P)
         ]
         return cls(shards, P, n, m)
+
+    @classmethod
+    def synth_layer_stack(
+        cls,
+        n: int,
+        P: int,
+        keys: list[str],
+        fan: int,
+        seed: int = 1,
+        wlow: int = -2,
+        whigh: int = 3,
+        num_cpus_per_shard: float = 0,
+    ) -> "GraphEngine":
+        """Engine holding ``len(keys)`` stashed edge sets (layers),
+        synthesized deterministically in-actor (GraphChallenge sparse-DNN
+        scale probe: L sparse weight matrices, one vxm each — the
+        ``_edges_key`` scalar selects the active layer per superstep).
+        ``m`` is the total nnz across layers."""
+        shards = [
+            GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                p, P, n, deferred=True
+            )
+            for p in range(P)
+        ]
+        m = 0
+        for li, key in enumerate(keys):
+            m += int(sum(ray.get([
+                s.synth_layer.remote(key, fan, seed + li, wlow, whigh)
+                for s in shards
+            ])))
+        return cls(shards, P, n, m)
+
+    def add_edge_layer(
+        self, key: str,
+        src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = None,
+    ) -> int:
+        """Driver-side build of an additional stashed edge set (small
+        layers / tests; scale builds use ``synth_layer_stack`` or
+        streaming ingest + ``stash_edges``)."""
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        w = np.asarray(w, np.float64) if w is not None else None
+        parts = src % self.P
+        order = np.argsort(parts, kind="stable")
+        src, dst = src[order], dst[order]
+        w = w[order] if w is not None else None
+        bounds = np.searchsorted(parts[order], np.arange(self.P + 1))
+        ms = ray.get([
+            s.build_and_stash.remote(
+                key,
+                src[bounds[p]:bounds[p + 1]],
+                dst[bounds[p]:bounds[p + 1]],
+                w[bounds[p]:bounds[p + 1]] if w is not None else None,
+            )
+            for p, s in enumerate(self.shards)
+        ])
+        return int(sum(ms))
+
+    def stash_edges(self, key: str) -> None:
+        ray.get([s.stash_edges.remote(key) for s in self.shards])
+
+    def use_edges(self, key: str) -> None:
+        ray.get([s.use_edges.remote(key) for s in self.shards])
+
+    def dump_edges(self) -> tuple:
+        """(src, dst, w) of the active edge set, concatenated across
+        shards — tests/debug only (drags all edges to the driver)."""
+        parts = ray.get([s.dump_edges.remote() for s in self.shards])
+        src = np.concatenate([p[0] for p in parts])
+        dst = np.concatenate([p[1] for p in parts])
+        ws = [p[2] for p in parts]
+        w = (
+            np.concatenate(ws) if all(x is not None for x in ws) else None
+        )
+        return src, dst, w
 
     # -- state -------------------------------------------------------------
     def enable_hot_source_split(self, threshold: int) -> int:

@@ -234,6 +234,40 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
     hpcg_shutdown(hl)
 
+    # 6. Sparse-DNN probe (GraphChallenge shape, ref
+    # sparse_nn_single_inference.hpp): L sparse weight matrices stashed
+    # per shard, one superstep per layer (the _edges_key scalar swaps
+    # the active layer in-actor — no rebuilds, no driver round-trips).
+    from alp_ray.pipelines.linalg import sparse_nn_engine
+    from alp_ray.state.engine import GraphEngine
+
+    nn_n, nn_l, nn_fan = 16384, 60, 32
+    keys = [f"w{i}" for i in range(nn_l)]
+    t0 = time.perf_counter()
+    nn_eng = GraphEngine.synth_layer_stack(
+        nn_n, P=min(P, 16), keys=keys, fan=nn_fan, seed=5
+    )
+    nn_build = time.perf_counter() - t0
+    x0 = np.ones(nn_n)
+    t0 = time.perf_counter()
+    xv, _ = sparse_nn_engine(
+        nn_eng, keys, biases=[0.0] * nn_l,
+        x0=(x0, np.arange(nn_n, dtype=np.int64)), threshold=32.0,
+    )
+    nn_infer = time.perf_counter() - t0
+    nn_eng.shutdown()
+    queries["sparse_nn_probe"] = round(nn_build + nn_infer, 3)
+    extras["sparse_nn_probe"] = {
+        "n_neurons": nn_n,
+        "n_layers": nn_l,
+        "total_nnz": nn_eng.m,
+        "final_active": int(xv.size),
+        "build_sec": round(nn_build, 3),
+        "infer_sec": round(nn_infer, 3),
+        "layers_per_sec": round(nn_l / nn_infer, 1),
+        "edges_per_sec": round(nn_eng.m / nn_infer),
+    }
+
     return {
         "metric": "PageRank traversed-edges/sec to 1e-6 conv "
                   "(corpus import graph; iteration loop only)",
