@@ -29,26 +29,41 @@ def betweenness(
     engine: GraphEngine,
     sources: list[int],
     max_levels: int = 12,
+    batch: int = 16,
 ) -> np.ndarray:
     """``engine`` must hold a SYMMETRIC edge set. Returns the bc array
-    accumulated over ``sources`` (unreached vertices contribute 0)."""
-    engine.set_state("bc", 0.0)
-    for s in sources:
+    accumulated over ``sources`` (unreached vertices contribute 0).
 
-        def init(state, ctx, s=s):
+    Sources run in BATCHES of ``batch`` as multi-column supersteps:
+    state is a (n_local, S) matrix, the scatter payload a thin dense
+    matrix (the engine's ``_ncols`` mode), so one BFS sweep serves S
+    sources — S× fewer supersteps than the per-source loop. Bitwise
+    identical to the per-source form: the union-frontier only adds
+    0.0-valued contributions to other columns (x+0.0 is an IEEE
+    identity for the nonnegative values here), edge order inside each
+    segment is unchanged, and bc accumulates column-by-column in
+    source order."""
+    engine.set_state("bc", 0.0)
+    for lo in range(0, len(sources), batch):
+        chunk = [int(s) for s in sources[lo:lo + batch]]
+        S = len(chunk)
+        ncols = {"_ncols": S}
+
+        def init(state, ctx, chunk=chunk, S=S):
             nl = ctx["n_local"]
             ids = np.arange(ctx["part"], ctx["n"], ctx["P"])
-            own = ids == s
+            own = ids[:, None] == np.asarray(chunk)[None, :]
             state["sigma"] = own.astype(np.float64)
             state["level"] = np.where(own, 0.0, -1.0)
-            state["delta"] = np.zeros(nl)
-            state["front"] = own.astype(np.float64)
+            state["delta"] = np.zeros((nl, S))
+            state["front"] = own
             return {}
 
         engine.map_local(init)
 
         def fwd_pre(state, ctx):
-            return state["sigma"], state["front"] > 0.5
+            f = state["front"]
+            return np.where(f, state["sigma"], 0.0), f.any(axis=1)
 
         levels_used = 0
         for l in range(1, max_levels + 1):
@@ -57,10 +72,12 @@ def betweenness(
                 new = (state["level"] < -0.5) & (y > 0)
                 state["sigma"] = np.where(new, y, state["sigma"])
                 state["level"] = np.where(new, float(l), state["level"])
-                state["front"] = new.astype(np.float64)
+                state["front"] = new
                 return {"fsize": float(new.sum())}
 
-            r = engine.superstep(fwd_pre, "plus_first", fwd_post)
+            r = engine.superstep(
+                fwd_pre, "plus_first", fwd_post, scalars=ncols
+            )
             levels_used = l
             if r.get("fsize", 0) == 0:
                 break
@@ -75,7 +92,7 @@ def betweenness(
                     / np.where(at, state["sigma"], 1.0),
                     0.0,
                 )
-                return x, at
+                return x, at.any(axis=1)
 
             def bwd_post(state, y, ctx, l=l):
                 rec = state["level"] == (l - 1)
@@ -85,13 +102,18 @@ def betweenness(
                 )
                 return {}
 
-            engine.superstep(bwd_pre, "plus_first", bwd_post)
-
-        def acc(state, ctx, s=s):
-            ids = np.arange(ctx["part"], ctx["n"], ctx["P"])
-            state["bc"] = state["bc"] + np.where(
-                ids == s, 0.0, state["delta"]
+            engine.superstep(
+                bwd_pre, "plus_first", bwd_post, scalars=ncols
             )
+
+        def acc(state, ctx, chunk=chunk):
+            ids = np.arange(ctx["part"], ctx["n"], ctx["P"])
+            bc = state["bc"]
+            # Column-by-column in source order — the same accumulation
+            # order (and hence bitwise result) as the per-source loop.
+            for c, s in enumerate(chunk):
+                bc = bc + np.where(ids == s, 0.0, state["delta"][:, c])
+            state["bc"] = bc
             return {}
 
         engine.map_local(acc)

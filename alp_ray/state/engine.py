@@ -327,10 +327,9 @@ class GraphShard:
         results: list[tuple[np.ndarray, np.ndarray] | None] = []
         if active is None:
             # Dense frontier: precomputed segments, pure reduceat.
-            contrib = sr.mul(
-                x[self.src_local],
-                w if w is not None else np.ones(self.m_local),
-            )
+            xs = x[self.src_local]
+            wv = w if w is not None else np.ones(self.m_local)
+            contrib = sr.mul(xs, wv if xs.ndim == 1 else wv[:, None])
             if self.m_local:
                 seg_vals = sr.add.segment_reduce(contrib, self.seg_starts)
             else:
@@ -349,8 +348,8 @@ class GraphShard:
             mask = active[self.src_local]
             dst = self.dst[mask]
             xs = x[self.src_local[mask]]
-            ws = w[mask] if w is not None else np.ones(xs.size)
-            contrib = sr.mul(xs, ws)
+            ws = w[mask] if w is not None else np.ones(xs.shape[0])
+            contrib = sr.mul(xs, ws if xs.ndim == 1 else ws[:, None])
             # Group by (dest shard, dst) so per-shard slices are contiguous
             # AND u_part below is sorted for searchsorted.
             order = np.lexsort((dst, _part_of(dst, self.P)))
@@ -383,7 +382,10 @@ class GraphShard:
     ) -> dict:
         sr = SEMIRINGS[semiring_name]
         post = pickle.loads(post_fn_bytes)
-        y = np.full(self.n_local, sr.add.identity, dtype=np.float64)
+        ncols = int(scalars["_ncols"]) if scalars and "_ncols" in scalars \
+            else None
+        shape = self.n_local if ncols is None else (self.n_local, ncols)
+        y = np.full(shape, sr.add.identity, dtype=np.float64)
         # Each partial has unique, per-shard-reduced ids → dense accumulate
         # is a plain gather/ufunc/scatter per partial, O(total nnz), no sort
         # (the SPA merge, vectorized).
@@ -428,10 +430,9 @@ class GraphShard:
             keep = active[self.hot_local]
             hx_ids, hx = hx_ids[keep], hx[keep]
         if active is None:
-            contrib = sr.mul(
-                x[self.src_local],
-                w if w is not None else self._ones(),
-            )
+            xs = x[self.src_local]
+            wv = w if w is not None else self._ones()
+            contrib = sr.mul(xs, wv if xs.ndim == 1 else wv[:, None])
             if self.m_local:
                 seg_vals = sr.add.segment_reduce(contrib, self.seg_starts)
             else:
@@ -445,8 +446,8 @@ class GraphShard:
         mask = active[self.src_local]
         dst = self.dst[mask]
         xs = x[self.src_local[mask]]
-        ws = w[mask] if w is not None else np.ones(xs.size)
-        contrib = sr.mul(xs, ws)
+        ws = w[mask] if w is not None else np.ones(xs.shape[0])
+        contrib = sr.mul(xs, ws if xs.ndim == 1 else ws[:, None])
         order = np.lexsort((dst, _part_of(dst, self.P)))
         dst, contrib = dst[order], contrib[order]
         if dst.size:
@@ -750,12 +751,20 @@ class GraphShard:
     ) -> dict:
         sr = SEMIRINGS[semiring_name]
         post = pickle.loads(post_fn_bytes)
-        y = self._accumulate_packed(sr, q, bundles)
+        ncols = int(scalars["_ncols"]) if scalars and "_ncols" in scalars \
+            else None
+        y = self._accumulate_packed(sr, q, bundles, ncols)
         out = post(self.state, y, self._ctx(scalars))
         return out or {}
 
-    def _accumulate_packed(self, sr, q: int, bundles) -> np.ndarray:
-        y = np.full(self.n_local, sr.add.identity, dtype=np.float64)
+    def _accumulate_packed(
+        self, sr, q: int, bundles, ncols: int | None = None
+    ) -> np.ndarray:
+        # ncols > 1: multi-column superstep (thin dense right-hand
+        # matrix, e.g. multi-source Brandes) — partial vals are
+        # (k, ncols) blocks, the dense accumulate is row-indexed.
+        shape = self.n_local if ncols is None else (self.n_local, ncols)
+        y = np.full(shape, sr.add.identity, dtype=np.float64)
         for b in bundles:
             ids, vals, off = b[0], b[1], b[2]
             lo, hi = off[q], off[q + 1]
