@@ -669,6 +669,72 @@ def _q_token_counts(sf_dir: str):
     )
 
 
+def _q_tfidf_terms(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import tfidf_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    n_docs = docs.count()
+    t = tfidf_terms(docs).to_arrow_refs()
+    tab = pa.concat_tables(ray.get(t))
+    tf = np.asarray(tab.column("tf"), np.float64)
+    df = np.asarray(tab.column("df"), np.float64)
+    tfidf = _round_half_away(tf * np.log(float(n_docs) / df), 6)
+    return pa.table({
+        "term": tab.column("term"),
+        "tf": tab.column("tf"),
+        "df": tab.column("df"),
+        "tfidf": pa.array(tfidf),
+    }).cast(pa.schema([
+        ("term", pa.string()), ("tf", pa.int64()),
+        ("df", pa.int64()), ("tfidf", pa.float64()),
+    ]))
+
+
+def _q_tfidf_top_term(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import TfidfTopTermStage, tfidf_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    n_docs = docs.count()
+    # Vocabulary-sized df table → broadcast once (small-side lookup).
+    stats = pa.concat_tables(ray.get(tfidf_terms(docs).to_arrow_refs()))
+    vocab = np.asarray(stats.column("term"), dtype=object)
+    dfv = np.asarray(stats.column("df"), np.int64)
+    order = np.argsort(vocab, kind="stable")
+    ref = ray.put((vocab[order], dfv[order]))
+    out = docs.map_batches(
+        TfidfTopTermStage,
+        fn_constructor_args=(ref, n_docs),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return _cast(out, {
+        "doc_id": pa.int64(), "term": pa.string(),
+        "tfidf": pa.float64(),
+    })
+
+
+def _q_bigram_counts(sf_dir: str):
+    import ray.data
+
+    from alp_ray.stages.text import bigram_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return _cast(
+        bigram_counts(docs),
+        {"bigram": pa.string(), "cnt": pa.int64()},
+    )
+
+
 def _q_doc_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -2494,6 +2560,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring": _q_coloring,
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
+        # Round 3: corpus statistics operators
+        "tfidf_terms": _q_tfidf_terms,
+        "tfidf_top_term": _q_tfidf_top_term,
+        "bigram_counts": _q_bigram_counts,
         # Relational / temporal custom operators
         "asof_purchase": _q_asof_purchase,
         "window_hopping": _q_window_hopping,
@@ -2856,5 +2926,41 @@ def oracle_sql() -> dict[str, str]:
             "l3 AS (SELECT v, LEAST(GREATEST(s, 0.0), 40.0) AS x "
             "FROM y3 WHERE GREATEST(s, 0.0) > 0) "
             "SELECT v AS vertex, x AS val FROM l3"
+        ),
+        # Corpus statistics: single-space split matches the Ray side's
+        # pc.split_pattern(text, ' ') token-for-token; counts are exact
+        # integers, and tf·ln(N/df) is the same double expression
+        # (libm log) rounded half-away at 6 on both sides.
+        "tfidf_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "g AS (SELECT term, COUNT(*)::BIGINT AS tf, "
+            "COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks "
+            "GROUP BY term) "
+            "SELECT term, tf, df, ROUND(tf * ln("
+            "(SELECT COUNT(*) FROM documents) / CAST(df AS DOUBLE)"
+            "), 6) AS tfidf FROM g"
+        ),
+        "tfidf_top_term": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "g AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf "
+            "FROM toks GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df "
+            "FROM toks GROUP BY term), "
+            "s AS (SELECT g.doc_id, g.term, ROUND(g.tf * ln("
+            "(SELECT COUNT(*) FROM documents) / CAST(df.df AS DOUBLE)"
+            "), 6) AS tfidf FROM g JOIN df USING (term)), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rn FROM s) "
+            "SELECT doc_id, term, tfidf FROM r WHERE rn = 1"
+        ),
+        "bigram_counts": (
+            "WITH t AS (SELECT string_split(text, ' ') AS l "
+            "FROM documents), "
+            "p AS (SELECT unnest(list_zip(l, l[2:])) AS pr FROM t) "
+            "SELECT pr[1] || ' ' || pr[2] AS bigram, "
+            "COUNT(*)::BIGINT AS cnt "
+            "FROM p WHERE pr[2] IS NOT NULL GROUP BY 1"
         ),
     }

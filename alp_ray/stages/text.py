@@ -246,3 +246,182 @@ class FingerprintStage:
             idx = starts[active] + j
             h[active] = (h[active] * self.BASE + flat[idx]) % self.MOD
         return batch.append_column("fingerprint", pa.array(h))
+
+
+# ------------------------------------------------------- TF-IDF / n-grams --
+
+
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """Whitespace-split tokens of a batch: (flat StringArray, doc index
+    per token). Single-space split matches the SQL twin's
+    ``string_split(text, ' ')`` exactly (empties, if any, are kept as
+    tokens on BOTH sides)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.diff(np.asarray(toks.offsets))
+    doc_idx = np.repeat(np.arange(counts.size), counts)
+    return toks.values, doc_idx
+
+
+def _ranked_codes(values: "pa.StringArray"):
+    """Dictionary-encode tokens and remap codes to LEXICOGRAPHIC rank,
+    so integer comparisons order exactly like DuckDB/Python string
+    order (ASCII corpus): per-batch O(V log V) python compares on the
+    vocabulary only, everything per-token stays int64-vectorized."""
+    enc = pc.dictionary_encode(values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dictionary = np.asarray(enc.dictionary, dtype=object)
+    order = np.argsort(dictionary, kind="stable")
+    rank = np.empty(dictionary.size, np.int64)
+    rank[order] = np.arange(dictionary.size)
+    codes = rank[np.asarray(enc.indices, np.int64)]
+    return codes, dictionary[order]
+
+
+def term_stat_partials(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch combiner for corpus TF-IDF: (term, tf, df) partials.
+    df partials SUM exactly because documents never split across
+    batches. Feed into ``groupby('term').aggregate(Sum, Sum)`` — the
+    partial-then-small-shuffle pattern (vocabulary-sized exchange, not
+    token-sized)."""
+    values, doc_idx = _doc_tokens(batch, text_col)
+    if len(values) == 0:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        })
+    codes, vocab = _ranked_codes(values)
+    order = np.lexsort((codes, doc_idx))
+    d, c = doc_idx[order], codes[order]
+    b = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+    starts = np.flatnonzero(b)
+    tf = np.diff(np.r_[starts, d.size])
+    g_code = c[starts]
+    o2 = np.argsort(g_code, kind="stable")
+    g2, tf2 = g_code[o2], tf[o2]
+    b2 = np.r_[True, g2[1:] != g2[:-1]]
+    s2 = np.flatnonzero(b2)
+    return pa.table({
+        "term": pa.array(list(vocab[g2[s2]]), pa.string()),
+        "tf": pa.array(np.add.reduceat(tf2, s2)),
+        "df": pa.array(np.diff(np.r_[s2, g2.size])),
+    })
+
+
+def tfidf_terms(docs, text_col: str = "text"):
+    """Corpus-level (term, tf, df) via per-batch combine + one
+    vocabulary-sized groupby — the idf itself (ln(N/df)) is applied by
+    the caller so N comes from one place."""
+    from ray.data.aggregate import Sum
+
+    parts = docs.map_batches(
+        lambda b: term_stat_partials(b, text_col), batch_format="pyarrow"
+    )
+    agg = parts.groupby("term").aggregate(Sum("tf"), Sum("df"))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": b.column("term"),
+            "tf": b.column("sum(tf)"),
+            "df": b.column("sum(df)"),
+        })
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+class TfidfTopTermStage:
+    """Per-document argmax tf·idf term (ties: lexicographically first
+    term), with the corpus df table BROADCAST once via ``ray.put`` —
+    the small-side-lookup pattern; no per-doc shuffle. Scores are
+    rounded half-away at 6 decimals BEFORE the argmax so the ordering
+    matches the SQL twin's ``ORDER BY ROUND(tf*ln(N/df), 6) DESC,
+    term``."""
+
+    def __init__(self, df_ref, n_docs: int,
+                 text_col: str = "text", doc_col: str = "doc_id") -> None:
+        import ray
+
+        vocab, df = ray.get(df_ref)
+        self.vocab = np.asarray(vocab, dtype=object)   # sorted
+        self.idf = np.log(float(n_docs) / np.asarray(df, np.float64))
+        self.text_col = text_col
+        self.doc_col = doc_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, doc_idx = _doc_tokens(batch, self.text_col)
+        doc_ids = np.asarray(batch.column(self.doc_col))
+        codes, bvocab = _ranked_codes(values)
+        # Map batch-local vocabulary to the global (sorted) vocabulary.
+        gidx = np.searchsorted(self.vocab, bvocab)
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        b = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(b)
+        tf = np.diff(np.r_[starts, d.size]).astype(np.float64)
+        g_doc, g_code = d[starts], c[starts]
+        score = tf * self.idf[gidx[g_code]]
+        score_r = np.floor(score * 1e6 + 0.5) / 1e6  # ROUND half-away
+        # Per doc: best = (score_r desc, global term rank asc).
+        o = np.lexsort((gidx[g_code], -score_r, g_doc))
+        gd = g_doc[o]
+        first = np.flatnonzero(np.r_[True, gd[1:] != gd[:-1]])
+        sel = o[first]
+        return pa.table({
+            self.doc_col: pa.array(doc_ids[g_doc[sel]]),
+            "term": pa.array(
+                list(self.vocab[gidx[g_code[sel]]]), pa.string()
+            ),
+            "tfidf": pa.array(score_r[sel]),
+        })
+
+
+def bigram_count_partials(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch (bigram, cnt) combiner: adjacent same-document token
+    pairs joined with a space — Arrow kernels end-to-end
+    (slice + binary_join_element_wise + value_counts)."""
+    values, doc_idx = _doc_tokens(batch, text_col)
+    n = len(values)
+    if n < 2:
+        return pa.table({
+            "bigram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        })
+    left = values.slice(0, n - 1)
+    right = values.slice(1, n - 1)
+    joined = pc.binary_join_element_wise(left, right, " ")
+    same = pa.array(doc_idx[1:] == doc_idx[:-1])
+    vc = pc.value_counts(joined.filter(same))
+    return pa.table({
+        "bigram": vc.field("values"),
+        "cnt": pc.cast(vc.field("counts"), pa.int64()),
+    })
+
+
+def bigram_counts(docs, text_col: str = "text"):
+    """Corpus bigram counts: per-batch combine + one bigram-keyed
+    groupby sum."""
+    from ray.data.aggregate import Sum
+
+    parts = docs.map_batches(
+        lambda b: bigram_count_partials(b, text_col),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby("bigram").aggregate(Sum("cnt"))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bigram": b.column("bigram"),
+            "cnt": b.column("sum(cnt)"),
+        })
+
+    return agg.map_batches(project, batch_format="pyarrow")

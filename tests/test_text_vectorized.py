@@ -97,3 +97,47 @@ def test_fingerprint_matches_naive_horner():
         for ch in re.sub(r"\s+", " ", s.strip()):
             h = (h * 1000003 + ord(ch)) % ((1 << 31) - 1)
         assert out.column("fingerprint")[i].as_py() == h
+
+
+def test_term_stat_partials_vs_naive():
+    from collections import Counter
+
+    from alp_ray.stages.text import term_stat_partials
+
+    texts = ["a b a c", "b b d", "a", "c c c a"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = term_stat_partials(t)
+    tf = Counter()
+    df = Counter()
+    for s in texts:
+        toks = s.split(" ")
+        tf.update(toks)
+        df.update(set(toks))
+    got = {
+        out.column("term")[i].as_py(): (
+            out.column("tf")[i].as_py(), out.column("df")[i].as_py()
+        )
+        for i in range(out.num_rows)
+    }
+    assert got == {w: (tf[w], df[w]) for w in tf}
+
+
+def test_bigram_count_partials_vs_naive():
+    from collections import Counter
+
+    from alp_ray.stages.text import bigram_count_partials
+
+    texts = ["a b a c", "b b", "x", "c a c a"]
+    t = pa.table({"text": texts})
+    out = bigram_count_partials(t)
+    want = Counter()
+    for s in texts:
+        toks = s.split(" ")
+        want.update(
+            f"{x} {y}" for x, y in zip(toks, toks[1:])
+        )
+    got = {
+        out.column("bigram")[i].as_py(): out.column("cnt")[i].as_py()
+        for i in range(out.num_rows)
+    }
+    assert got == dict(want)
