@@ -359,17 +359,25 @@ def sparse_nn_engine(
         x = state["x"]
         return x, x > 0
 
-    for key, b in zip(layer_keys, biases):
+    def post(state, y, ctx):
+        v = np.maximum(y + ctx["scalars"]["_bias"], 0.0)
+        thr = ctx["scalars"].get("_thr")
+        if thr is not None:
+            v = np.minimum(v, thr)
+        state["x"] = v
+        return {"nnz": float(np.count_nonzero(v))}
 
-        def post(state, y, ctx, b=b, thr=threshold):
-            v = np.maximum(y + b, 0.0)
-            if thr is not None:
-                v = np.minimum(v, thr)
-            state["x"] = v
-            return {"nnz": float(np.count_nonzero(v))}
-
-        engine.superstep(pre, "plus_times", post,
-                         scalars={"_edges_key": key})
+    # All L layers as ONE pipelined task DAG: per-iteration scalars
+    # carry the layer key + bias, so the whole forward pass costs a
+    # single driver ray.get (≙ the reference's nonblocking pipeline).
+    per_iter = [
+        {"_edges_key": key, "_bias": float(b),
+         **({"_thr": float(threshold)} if threshold is not None else {})}
+        for key, b in zip(layer_keys, biases)
+    ]
+    engine.run_supersteps(
+        pre, "plus_times", post, iters=len(per_iter), scalars=per_iter
+    )
     x = engine.get_state_by_vertex("x")
     ids = np.flatnonzero(x > 0)
     return x[ids], ids

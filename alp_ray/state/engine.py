@@ -831,13 +831,17 @@ class GraphShard:
         q: int,
         bundle_refs: list,
         pre_fn_bytes: bytes,
+        next_scalars: dict | None = None,
     ) -> tuple:
         """Fused superstep tail+head: gather iteration k, then immediately
         scatter iteration k+1 — ONE actor task per shard per iteration
         instead of two, which matters because driver-side task submission
         (~0.3-0.6 ms each in this sandbox) is the binding constraint of
-        the pipelined loop at large P. Returns (bundle_{k+1},
-        post_scalars_k) as two objects (num_returns=2)."""
+        the pipelined loop at large P. ``next_scalars`` (if given) are
+        the static scalars of iteration k+1 — per-iteration scalars is
+        how layered runs swap the active edge set / bias inside the
+        pipeline. Returns (bundle_{k+1}, post_scalars_k) as two objects
+        (num_returns=2)."""
         post_scalars = self.gather_pipelined(
             semiring_name,
             post_fn_bytes,
@@ -847,7 +851,8 @@ class GraphShard:
             bundle_refs,
         )
         bundle = self.scatter_packed(
-            pre_fn_bytes, semiring_name, static_scalars
+            pre_fn_bytes, semiring_name,
+            next_scalars if next_scalars is not None else static_scalars,
         )
         return bundle, post_scalars
 
@@ -1372,8 +1377,18 @@ class GraphEngine:
         This removes the 2-barrier-per-iteration driver latency — the
         sandbox's ~5 ms actor RPC floor otherwise dominates every
         iteration of a latency-bound loop.
+
+        ``scalars`` may be a LIST of ``iters`` dicts — iteration k's
+        scatter AND gather then see scalars[k] (how layered runs, e.g.
+        the sparse NN, swap ``_edges_key``/bias per iteration with zero
+        driver round-trips).
         """
         sr_name = semiring if isinstance(semiring, str) else semiring.name
+        if isinstance(scalars, list):
+            assert len(scalars) == iters
+            sc = scalars
+        else:
+            sc = [scalars] * iters
         # Fn bytes go through the object store once — keeps every task
         # spec tiny (driver submission rate bounds the pipelined loop).
         pre_b = ray.put(pickle.dumps(pre_fn))
@@ -1386,7 +1401,7 @@ class GraphEngine:
         P = self.P
         all_out_refs: list[list] = []
         bundle_refs = [
-            s.scatter_packed.remote(pre_b, sr_name, scalars)
+            s.scatter_packed.remote(pre_b, sr_name, sc[0])
             for s in self.shards
         ]
         for k in range(iters):
@@ -1396,8 +1411,8 @@ class GraphEngine:
                     b_ref, o_ref = s.gather_scatter_packed.options(
                         num_returns=2
                     ).remote(
-                        sr_name, post_b, hook_b, scalars, q,
-                        bundle_refs, pre_b,
+                        sr_name, post_b, hook_b, sc[k], q,
+                        bundle_refs, pre_b, sc[k + 1],
                     )
                     nxt.append(b_ref)
                     outs.append(o_ref)
@@ -1406,7 +1421,7 @@ class GraphEngine:
             else:
                 all_out_refs.append([
                     s.gather_pipelined.remote(
-                        sr_name, post_b, hook_b, scalars, q, bundle_refs
+                        sr_name, post_b, hook_b, sc[k], q, bundle_refs
                     )
                     for q, s in enumerate(self.shards)
                 ])
