@@ -53,6 +53,7 @@ _CG_K = 12       # conjugate-gradient steps (fixed; tol=0 on both sides)
 _BI_K = 8        # bicgstab steps (fixed; tol=0 on both sides)
 _COLOR_K = 45    # Jones-Plassmann rounds (29 needed at sf0.01; both
                  # sides run exactly K rounds, unconverged stay -1)
+_HITS_K = 12     # HITS full iterations (2K half-steps on both sides)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -292,6 +293,30 @@ def _q_pagerank(sf_dir: str):
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
             "pr": pa.array(_round_half_away(pr, 7)),
+        }
+    )
+
+
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities, fixed K full iterations so the DuckDB twin
+    (the same 2K half-steps unrolled as CTEs) matches value-for-value.
+    The engine runs both orientations as resident edge sets
+    (build_reversed transpose exchange) in ONE pipelined task graph."""
+    from alp_ray.pipelines.hits import hits
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    hits(engine, iters=_HITS_K)
+    a = engine.get_state_by_vertex("a")
+    h = engine.get_state_by_vertex("h")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "auth": pa.array(_round_half_away(a, 6)),
+            "hub": pa.array(_round_half_away(h, 6)),
         }
     )
 
@@ -1706,6 +1731,45 @@ def _pagerank_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _hits_sql(K: int) -> str:
+    """HITS twin: 2K half-steps unrolled, mirroring the engine's FP
+    shape exactly — scale AFTER the edge sum (one multiply), norm
+    1.0/sqrt(Σval²), final self-normalization of both vectors."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS val "
+        "FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f", a{k} AS MATERIALIZED (SELECT v.v AS v, "
+            f"COALESCE(y.s, 0.0) * (SELECT 1.0/sqrt(SUM(val*val)) "
+            f"FROM h{k - 1}) AS val "
+            "FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.val) AS s FROM h{k - 1} p "
+            "JOIN e ON e.src = p.v GROUP BY e.dst) y ON y.v = v.v)"
+        )
+        parts.append(
+            f", h{k} AS MATERIALIZED (SELECT v.v AS v, "
+            f"COALESCE(y.s, 0.0) * (SELECT 1.0/sqrt(SUM(val*val)) "
+            f"FROM a{k}) AS val "
+            "FROM verts v LEFT JOIN ("
+            f"SELECT e.src AS v, SUM(p.val) AS s FROM a{k} p "
+            "JOIN e ON e.dst = p.v GROUP BY e.src) y ON y.v = v.v)"
+        )
+    parts.append(
+        " SELECT v.v AS vertex, "
+        f"ROUND(a.val * (SELECT 1.0/sqrt(SUM(val*val)) FROM a{K}), 6) "
+        "AS auth, "
+        f"ROUND(h.val * (SELECT 1.0/sqrt(SUM(val*val)) FROM h{K}), 6) "
+        "AS hub "
+        f"FROM verts v JOIN a{K} a ON a.v = v.v JOIN h{K} h ON h.v = v.v"
+    )
+    return "".join(parts)
+
+
 def _corpus_edges_cte() -> str:
     """Shared CTE prefix: parquet corpus → line split → per-language
     regexp import extraction → DISTINCT string edge table. Mirrors
@@ -2512,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop": _q_labelprop,
         "conjugate_gradient": _q_conjugate_gradient,
         "kcore": _q_kcore,
+        "hits": _q_hits,
         # North-star corpus pipeline
         "corpus_extract": _q_corpus_extract,
         "corpus_pagerank": _q_corpus_pagerank,
@@ -2730,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT UNNEST(embedding) AS v FROM embeddings)"
         ),
         "pagerank": _pagerank_sql(_PR_K),
+        "hits": _hits_sql(_HITS_K),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "personalized_pagerank": _ppr_sql(_PR_K),
         "asof_purchase": (

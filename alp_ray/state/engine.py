@@ -925,6 +925,41 @@ class GraphShard:
             src, dst = src[starts], dst[starts]
         return self.build_and_stash(key, src, dst, w)
 
+    # ---- transpose exchange (builds Aᵀ as a second stashed edge set) ---
+
+    def reversed_bundle(self) -> tuple:
+        """``(bounds, dst, src_global, w)`` of the ACTIVE edge set grouped
+        by destination shard: the edge-level slice
+        ``[bounds[q]:bounds[q+1]]`` belongs to shard q. ``dst`` is already
+        sorted by (dst_part, dst, src) from ``_build``, so the slices are
+        contiguous with zero re-sorting — one object per shard, receivers
+        slice it zero-copy (the fused-exchange idiom; on multi-node the
+        split mode would ship column q to shard q only)."""
+        assert not getattr(self, "hot_local", np.empty(0)).size, \
+            "transpose exchange incompatible with hot split"
+        dst_part = _part_of(self.dst, self.P)
+        bounds = np.searchsorted(dst_part, np.arange(self.P + 1))
+        src = self.src_local * self.P + self.part
+        return bounds, self.dst, src, self.w
+
+    def ingest_reversed(self, q: int, *bundles) -> int:
+        """Stage slice q of every shard's reversed bundle into the
+        pending buffers with (src, dst) SWAPPED — the shard-to-shard
+        exchange that builds the transpose without the driver ever
+        touching edge data. Finish with ``finalize_build``."""
+        if not hasattr(self, "_pending"):
+            self._pending = []
+        total = 0
+        for bounds, dst, src, w in bundles:
+            lo, hi = int(bounds[q]), int(bounds[q + 1])
+            if hi > lo:
+                self._pending.append((
+                    dst[lo:hi], src[lo:hi],
+                    w[lo:hi] if w is not None else None,
+                ))
+                total += hi - lo
+        return total
+
 
 class _ShardIngest:
     """map_batches stage routing each edge block's P slices straight to
@@ -1191,6 +1226,27 @@ class GraphEngine:
 
     def stash_edges(self, key: str) -> None:
         ray.get([s.stash_edges.remote(key) for s in self.shards])
+
+    def build_reversed(
+        self, fwd_key: str = "fwd", rev_key: str = "rev"
+    ) -> None:
+        """Build the transpose Aᵀ as a second stashed edge set via a
+        shard-to-shard exchange (each shard's edges are already grouped
+        by destination shard, so the exchange is P zero-copy bundle
+        reads per shard — no driver traffic, no Dataset shuffle). Both
+        orientations end up stashed; the FORWARD set stays active.
+        ≙ descriptors::transpose_matrix (descriptors.hpp:106) made
+        resident: algorithms that alternate A / Aᵀ (HITS) swap per
+        superstep via the ``_edges_key`` scalar."""
+        ray.get([s.stash_edges.remote(fwd_key) for s in self.shards])
+        bundles = [s.reversed_bundle.remote() for s in self.shards]
+        ray.get([
+            s.ingest_reversed.remote(q, *bundles)
+            for q, s in enumerate(self.shards)
+        ])
+        ray.get([s.finalize_build.remote() for s in self.shards])
+        ray.get([s.stash_edges.remote(rev_key) for s in self.shards])
+        ray.get([s.use_edges.remote(fwd_key) for s in self.shards])
 
     def use_edges(self, key: str) -> None:
         ray.get([s.use_edges.remote(key) for s in self.shards])
