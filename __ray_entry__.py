@@ -1682,6 +1682,62 @@ def _q_doc_sample(sf_dir: str):
     return _cast(hash_sample(docs, pct=5), {"doc_id": pa.int64()})
 
 
+def _q_degree_hist(sf_dir: str):
+    """Degree histogram (degree, n_vertices): one exact-degree groupby
+    + per-block partial histograms merged driver-side (bounded by the
+    number of DISTINCT degrees — tiny even at 100 TB)."""
+    from alp_ray.stages.stats import degree_histogram
+
+    return degree_histogram(_dense_edges(sf_dir), key="src")
+
+
+def _q_percentiles(sf_dir: str):
+    """Exact two-pass bracket selection (no global sort): per-block
+    quantile samples bracket each target rank, pass 2 counts below +
+    collects the bracket. Rank convention k=ceil(q·n) = DuckDB
+    quantile_disc."""
+    import ray.data
+
+    from alp_ray.stages.stats import exact_percentiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_percentiles(
+        li, "l_extendedprice", (0.25, 0.5, 0.9, 0.99)
+    )
+
+
+def _q_weighted_sample(sf_dir: str):
+    """A-Res weighted sampling (Efraimidis-Spirakis): k=20 docs by
+    -ln(u)/len(text) with an arithmetic-hash u — deterministic and
+    SQL-verbatim reproducible."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from alp_ray.stages.stats import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def wof(batch: pa.Table) -> np.ndarray:
+        return np.asarray(
+            pc.utf8_length(batch.column("text")), np.float64
+        )
+
+    out = weighted_sample(docs, "doc_id", wof, k=20)
+    return pa.table({
+        "doc_id": out.column("doc_id"),
+        "score": pa.array(
+            _round_half_away(
+                np.asarray(out.column("score"), np.float64), 8
+            )
+        ),
+    })
+
+
 # ------------------------------------------------- unrolled SQL twins --
 #
 # Iterative algorithms get DuckDB oracles by unrolling a FIXED number of
@@ -2634,6 +2690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": _q_window_hopping,
         "topk_per_user": _q_topk_per_user,
         "doc_sample": _q_doc_sample,
+        # Distributed statistics
+        "degree_hist": _q_degree_hist,
+        "percentiles_price": _q_percentiles,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -2822,6 +2882,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 40503) % 65536 < 3276"
+        ),
+        "degree_hist": (
+            "SELECT c AS degree, COUNT(*) AS n_vertices FROM ("
+            f"SELECT src, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY src"
+            ") GROUP BY c"
+        ),
+        "percentiles_price": (
+            "SELECT CAST(q AS DOUBLE) AS q, value FROM ("
+            "SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) "
+            "AS value FROM lineitem UNION ALL "
+            "SELECT 0.5, quantile_disc(l_extendedprice, 0.5) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.9, quantile_disc(l_extendedprice, 0.9) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.99, quantile_disc(l_extendedprice, 0.99) "
+            "FROM lineitem)"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, ROUND(score, 8) AS score FROM ("
+            "SELECT doc_id, -ln((((doc_id * 48271 + 13) % 2147483647) "
+            "+ 1) / 2147483648.0) / length(text) AS score "
+            "FROM documents ORDER BY score, doc_id LIMIT 20)"
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
