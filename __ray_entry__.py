@@ -1682,6 +1682,72 @@ def _q_doc_sample(sf_dir: str):
     return _cast(hash_sample(docs, pct=5), {"doc_id": pa.int64()})
 
 
+_HC_SOURCES = (0, 1, 2, 3, 4, 5, 6, 7)  # harmonic-closeness sample
+_HC_LEVELS = 10                         # BFS level cap (both sides)
+
+
+def _q_harmonic_closeness(sf_dir: str):
+    """Sampled harmonic closeness over the symmetric sparse graph:
+    multi-column BFS supersteps (one sweep serves all sources), then
+    hc(v) = Σ_s 1/d(s,v) for 0 < d ≤ L — integer levels make the
+    unrolled SQL twin exact to 6 decimals."""
+    from alp_ray.pipelines.closeness import harmonic_closeness
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    hc = harmonic_closeness(
+        engine, sources=list(_HC_SOURCES), max_levels=_HC_LEVELS
+    )
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "hc": pa.array(_round_half_away(hc, 6)),
+        }
+    )
+
+
+def _q_clustering(sf_dir: str):
+    """Local clustering coefficient (per-vertex triangles over the
+    degree-ordered oriented CSR, each triangle credited to all three
+    endpoints). Integer T(v)/deg make the SQL twin exact."""
+    from alp_ray.pipelines.clustering import clustering_coefficient
+    from alp_ray.sources.tables import derived_edges
+
+    out = clustering_coefficient(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True)
+    )
+    return _cast(
+        out, {"vertex": pa.int64(), "cc": pa.float64()}, round6=("cc",)
+    )
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the symmetric sparse graph:
+    SpGEMM with the middle vertex's 1/ln(deg) as edge weight, existing
+    edges removed via a native left_anti join."""
+    from alp_ray.pipelines.linkpred import adamic_adar
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    )
+    out = adamic_adar(edges, exclude_edges=True)
+    return _cast(
+        out,
+        {"u": pa.int64(), "v": pa.int64(), "aa": pa.float64()},
+        round6=("aa",),
+    )
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree histogram (degree, n_vertices): one exact-degree groupby
     + per-block partial histograms merged driver-side (bounded by the
@@ -1822,6 +1888,42 @@ def _hits_sql(K: int) -> str:
         f"ROUND(h.val * (SELECT 1.0/sqrt(SUM(val*val)) FROM h{K}), 6) "
         "AS hub "
         f"FROM verts v JOIN a{K} a ON a.v = v.v JOIN h{K} h ON h.v = v.v"
+    )
+    return "".join(parts)
+
+
+def _harmonic_sql(L: int) -> str:
+    """Unrolled multi-source BFS (anti-join discovery, integer levels),
+    then hc(v) = Σ_s 1/lvl — forward half of _betweenness_sql."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    src_list = ", ".join(str(s) for s in _HC_SOURCES)
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_SPARSE})), ",
+        f"srcs AS MATERIALIZED (SELECT unnest([{src_list}])::BIGINT "
+        "AS s), ",
+        "v0 AS MATERIALIZED (SELECT s, s AS v, 0 AS lvl FROM srcs), ",
+        "f0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for l in range(1, L + 1):
+        parts.append(
+            f", n{l} AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v, "
+            f"{l} AS lvl FROM f{l - 1} f JOIN es e ON e.src = f.v "
+            f"LEFT JOIN v{l - 1} vi ON vi.s = f.s AND vi.v = e.dst "
+            "WHERE vi.v IS NULL)"
+            f", v{l} AS MATERIALIZED (SELECT * FROM v{l - 1} "
+            f"UNION ALL SELECT * FROM n{l})"
+            f", f{l} AS MATERIALIZED (SELECT * FROM n{l})"
+        )
+    parts.append(
+        " SELECT vt.v AS vertex, ROUND(COALESCE(h.hsum, 0.0), 6) AS hc "
+        "FROM verts vt LEFT JOIN ("
+        f"SELECT v, SUM(1.0/lvl) AS hsum FROM v{L} WHERE lvl > 0 "
+        "GROUP BY v) h ON h.v = vt.v"
     )
     return "".join(parts)
 
@@ -2690,6 +2792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": _q_window_hopping,
         "topk_per_user": _q_topk_per_user,
         "doc_sample": _q_doc_sample,
+        "adamic_adar": _q_adamic_adar,
+        "harmonic_closeness": _q_harmonic_closeness,
+        "clustering_coeff": _q_clustering,
         # Distributed statistics
         "degree_hist": _q_degree_hist,
         "percentiles_price": _q_percentiles,
@@ -2856,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(_PR_K),
         "hits": _hits_sql(_HITS_K),
+        "harmonic_closeness": _harmonic_sql(_HC_LEVELS),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "personalized_pagerank": _ppr_sql(_PR_K),
         "asof_purchase": (
@@ -2882,6 +2988,37 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id * 40503) % 65536 < 3276"
+        ),
+        "adamic_adar": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "es AS MATERIALIZED (SELECT src, dst FROM ed "
+            "UNION SELECT dst AS src, src AS dst FROM ed), "
+            "deg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS c "
+            "FROM es GROUP BY src) "
+            "SELECT e1.src AS u, e2.dst AS v, "
+            "ROUND(SUM(1.0/ln(d.c)), 6) AS aa "
+            "FROM es e1 JOIN es e2 ON e1.dst = e2.src "
+            "JOIN deg d ON d.w = e1.dst "
+            "WHERE e1.src < e2.dst AND NOT EXISTS ("
+            "SELECT 1 FROM es x WHERE x.src = e1.src "
+            "AND x.dst = e2.dst) "
+            "GROUP BY e1.src, e2.dst"
+        ),
+        "clustering_coeff": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "es AS MATERIALIZED (SELECT src, dst FROM ed "
+            "UNION SELECT dst AS src, src AS dst FROM ed), "
+            "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c "
+            "FROM es GROUP BY src), "
+            "tri AS MATERIALIZED (SELECT e1.src AS v, COUNT(*) AS t "
+            "FROM es e1 JOIN es e2 ON e1.src = e2.src "
+            "AND e1.dst < e2.dst "
+            "JOIN es e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+            "GROUP BY e1.src) "
+            "SELECT d.v AS vertex, ROUND(CASE WHEN d.c >= 2 THEN "
+            "2.0 * COALESCE(t.t, 0) / (d.c * (d.c - 1.0)) "
+            "ELSE 0.0 END, 6) AS cc "
+            "FROM deg d LEFT JOIN tri t ON t.v = d.v"
         ),
         "degree_hist": (
             "SELECT c AS degree, COUNT(*) AS n_vertices FROM ("

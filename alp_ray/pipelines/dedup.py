@@ -534,6 +534,50 @@ def simhash_pairs(
 # ------------------------------------------------------- ngram jaccard --
 
 
+def _batch_shingle_sets(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document UNIQUE shingle keys for a whole batch in one
+    vectorized pass: ``(doc_idx, key)`` arrays, doc-major sorted.
+    Identical per-document values to ``_shingles`` (same normalization,
+    polynomial hash, and short-doc blake2b fallback)."""
+    encs = [" ".join(t.split()).lower().encode("utf-8") for t in texts]
+    lens = np.array([len(e) for e in encs], np.int64)
+    counts = np.maximum(lens - k + 1, 0)
+    total = int(counts.sum())
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    if total:
+        flat = np.frombuffer(b"".join(encs), np.uint8).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        woff = np.concatenate([[0], np.cumsum(counts)])
+        pos = (
+            np.repeat(starts, counts)
+            + np.arange(total)
+            - np.repeat(woff[:-1], counts)
+        )
+        win = np.lib.stride_tricks.sliding_window_view(flat, k)
+        pows = np.power(257, np.arange(k), dtype=np.int64) % _SHINGLE_P
+        keys = (win[pos] * pows[None, :]).sum(axis=1) % _SHINGLE_P
+    else:
+        keys = np.empty(0, np.int64)
+    short = np.flatnonzero(counts == 0)
+    if short.size:
+        doc_of = np.concatenate([doc_of, short])
+        keys = np.concatenate([
+            keys,
+            np.array(
+                [int(_shingles(texts[i], k)[0]) for i in short],
+                np.int64,
+            ),
+        ])
+    order = np.lexsort((keys, doc_of))
+    doc_of, keys = doc_of[order], keys[order]
+    uniq = np.r_[
+        True, (doc_of[1:] != doc_of[:-1]) | (keys[1:] != keys[:-1])
+    ]
+    return doc_of[uniq], keys[uniq]
+
+
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     threshold: float = 0.5,
@@ -583,15 +627,27 @@ def ngram_jaccard_pairs(
             return empty
         a = np.asarray(batch.column("id_a"), np.int64)
         b = np.asarray(batch.column("id_b"), np.int64)
-        tas = batch.column("__text_a").to_pylist()
-        tbs = batch.column("__text_b").to_pylist()
-        jac = np.empty(a.size)
-        for i in range(a.size):
-            sa = _shingles(tas[i], shingle_k)
-            sb = _shingles(tbs[i], shingle_k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[i] = inter / max(union, 1)
+        n = a.size
+        # Batch-wide vectorized shingle sets (one rolling-hash pass per
+        # side — the _batch_signatures concatenation idiom), then all
+        # pair intersections at once: concat both sides' unique keys
+        # tagged by pair, lexsort, count adjacent duplicates per pair.
+        pa_idx, ka = _batch_shingle_sets(
+            batch.column("__text_a").to_pylist(), shingle_k
+        )
+        pb_idx, kb = _batch_shingle_sets(
+            batch.column("__text_b").to_pylist(), shingle_k
+        )
+        size_a = np.bincount(pa_idx, minlength=n)
+        size_b = np.bincount(pb_idx, minlength=n)
+        cp = np.concatenate([pa_idx, pb_idx])
+        ck = np.concatenate([ka, kb])
+        order = np.lexsort((ck, cp))
+        cp, ck = cp[order], ck[order]
+        dup = (cp[1:] == cp[:-1]) & (ck[1:] == ck[:-1])
+        inter = np.bincount(cp[1:][dup], minlength=n)
+        union = size_a + size_b - inter
+        jac = inter / np.maximum(union, 1)
         keep = jac >= threshold
         return pa.table(
             {"id_a": a[keep], "id_b": b[keep], "jaccard": jac[keep]}

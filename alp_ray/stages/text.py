@@ -176,13 +176,16 @@ class LangIdStage:
         n_tris = np.maximum(lens - 2, 0)
         if flat.size >= 3:
             keys_all = _tri_key(flat[:-2], flat[1:-1], flat[2:])
-            # Valid windows: those not crossing a document boundary.
-            tri_starts = starts[:, None]  # per doc
-            idx = [
-                keys_all[s : s + c]
-                for s, c in zip(starts, n_tris)
-            ]
-            keys = np.concatenate(idx) if idx else np.empty(0, np.int64)
+            # Valid windows (not crossing a doc boundary), one gather:
+            # position j of doc d maps to flat index starts[d] + j.
+            total = int(n_tris.sum())
+            woff = np.concatenate([[0], np.cumsum(n_tris)[:-1]])
+            pos = (
+                np.repeat(starts, n_tris)
+                + np.arange(total)
+                - np.repeat(woff, n_tris)
+            )
+            keys = keys_all[pos]
         else:
             keys = np.empty(0, np.int64)
         tri_offs = np.concatenate([[0], np.cumsum(n_tris)])
