@@ -1509,6 +1509,31 @@ def _q_ngram_jaccard(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+_DEDUP_CC_ROUNDS = 8  # unrolled max-prop rounds in the SQL twin
+
+
+def _q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup dedup: exact n-gram Jaccard pairs (the
+    SQL-expressible candidate set) → connected components over the pair
+    graph on the shard engine → keep the MAX doc_id per cluster plus
+    all singletons. Max-propagation is idempotent, so the fixed-round
+    SQL twin is exact as long as it unrolls ≥ the applied superstep
+    count (asserted here)."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import cc_dedup_keep, ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    kept, iters = cc_dedup_keep(docs, pairs)
+    assert iters <= _DEDUP_CC_ROUNDS, iters
+    return _cast(
+        kept.select_columns(["doc_id"]), {"doc_id": pa.int64()}
+    )
+
+
 def _q_minhash_keep(sf_dir: str):
     import ray.data
 
@@ -1924,6 +1949,61 @@ def _harmonic_sql(L: int) -> str:
         "FROM verts vt LEFT JOIN ("
         f"SELECT v, SUM(1.0/lvl) AS hsum FROM v{L} WHERE lvl > 0 "
         "GROUP BY v) h ON h.v = vt.v"
+    )
+    return "".join(parts)
+
+
+def _ngram_pair_ctes() -> str:
+    """CTE chain ending in ``j(id_a, id_b, jac)`` — exact all-pairs
+    5-gram Jaccard reproducing ``_shingles``' polynomial byte-window
+    hash (shared by the ngram_jaccard and dedup_clusters twins)."""
+    return (
+        "norm AS MATERIALIZED (SELECT doc_id, "
+        "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', "
+        "'g'))) AS t FROM documents), "
+        "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        "(ascii(substr(t, i, 1))::BIGINT "
+        "+ ascii(substr(t, i + 1, 1))::BIGINT * 257 "
+        "+ ascii(substr(t, i + 2, 1))::BIGINT * 66049 "
+        "+ ascii(substr(t, i + 3, 1))::BIGINT * 16974593 "
+        "+ ascii(substr(t, i + 4, 1))::BIGINT * 67503107) "
+        "% 2147483647 AS h "
+        "FROM norm, UNNEST(range(1, length(t) - 3)) AS u(i)), "
+        "sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz "
+        "FROM sh GROUP BY doc_id), "
+        "inter AS MATERIALIZED (SELECT a.doc_id AS id_a, "
+        "b.doc_id AS id_b, COUNT(*) AS i FROM sh a "
+        "JOIN sh b ON b.h = a.h AND b.doc_id > a.doc_id "
+        "GROUP BY 1, 2), "
+        "j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) "
+        "/ (sa.sz + sb.sz - i) AS jac FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b)"
+    )
+
+
+def _dedup_clusters_sql(K: int) -> str:
+    """Unrolled max-label propagation over the symmetric exact-Jaccard
+    pair graph (K rounds, idempotent), then keep docs that are not a
+    non-canonical cluster member."""
+    parts = [
+        f"WITH {_ngram_pair_ctes()}, ",
+        "p AS MATERIALIZED (SELECT id_a, id_b FROM j "
+        "WHERE jac >= 0.5), ",
+        "es AS MATERIALIZED (SELECT id_a AS v, id_b AS w FROM p "
+        "UNION SELECT id_b AS v, id_a AS w FROM p), ",
+        "l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM es)",
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT v, MAX(lbl) AS lbl FROM ("
+            f"SELECT v, lbl FROM l{k - 1} "
+            f"UNION ALL SELECT e.v, l.lbl FROM es e "
+            f"JOIN l{k - 1} l ON l.v = e.w) GROUP BY v)"
+        )
+    parts.append(
+        " SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+        f"SELECT v FROM l{K} WHERE lbl <> v)"
     )
     return "".join(parts)
 
@@ -2778,6 +2858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hpcg_pcg": _q_hpcg_pcg,
         "ewise_lambda_matrix": _q_ewise_lambda_matrix,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3080,30 +3161,11 @@ def oracle_sql() -> dict[str, str]:
         # byte windows are substr windows and the short-doc blake2b
         # fallback never fires).
         "ngram_jaccard": (
-            "WITH norm AS MATERIALIZED (SELECT doc_id, "
-            "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', "
-            "'g'))) AS t FROM documents), "
-            "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
-            "(ascii(substr(t, i, 1))::BIGINT "
-            "+ ascii(substr(t, i + 1, 1))::BIGINT * 257 "
-            "+ ascii(substr(t, i + 2, 1))::BIGINT * 66049 "
-            "+ ascii(substr(t, i + 3, 1))::BIGINT * 16974593 "
-            "+ ascii(substr(t, i + 4, 1))::BIGINT * 67503107) "
-            "% 2147483647 AS h "
-            "FROM norm, UNNEST(range(1, length(t) - 3)) AS u(i)), "
-            "sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz "
-            "FROM sh GROUP BY doc_id), "
-            "inter AS MATERIALIZED (SELECT a.doc_id AS id_a, "
-            "b.doc_id AS id_b, COUNT(*) AS i FROM sh a "
-            "JOIN sh b ON b.h = a.h AND b.doc_id > a.doc_id "
-            "GROUP BY 1, 2), "
-            "j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) "
-            "/ (sa.sz + sb.sz - i) AS jac FROM inter "
-            "JOIN sizes sa ON sa.doc_id = id_a "
-            "JOIN sizes sb ON sb.doc_id = id_b) "
+            f"WITH {_ngram_pair_ctes()} "
             "SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j "
             "WHERE jac >= 0.5"
         ),
+        "dedup_clusters": _dedup_clusters_sql(_DEDUP_CC_ROUNDS),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

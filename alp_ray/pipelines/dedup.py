@@ -382,6 +382,116 @@ def minhash_dedup_keep(
     return joined.map_batches(keep, batch_format="pyarrow")
 
 
+# ------------------------------------------------- transitive clustering --
+
+
+def cc_dedup_keep(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    P: int = 4,
+) -> tuple["ray.data.Dataset", int]:
+    """TRANSITIVE near-dup clustering: connected components over the
+    verified dup-pair graph; every cluster keeps exactly ONE canonical
+    document — its MAX id ("keep latest") — and docs in no pair are all
+    kept. This is the union-find closure ``minhash_dedup_keep``'s
+    pairwise loser rule approximates (pairs (1,3),(2,3) keep {1,2}
+    there; one canonical doc, {3}, here).
+
+    Ray-native shape (the corpus_components chain re-used on the pair
+    graph): pairs → symmetric edges → ``dense_id_mapping_ds`` →
+    ``remap_edges_dense`` → GraphShard engine max-label propagation
+    (ref semantics: Pregel CC `pregel/connected_components.hpp`) →
+    dense losers joined back to ids → anti-join against docs. Only the
+    DUP-PAIR vertices ride the engine, so cost scales with the dup
+    count, not the corpus; the anti-join is the only corpus-wide step.
+    The dense mapping is sorted by id, so max-dense == max-id and the
+    canonical choice survives the remap.
+
+    Returns ``(kept_docs, applied_cc_iterations)`` — the iteration
+    count lets hash-gated callers assert a constant for unrolled SQL
+    twins (max-propagation is idempotent, so an SQL twin with more
+    rounds is exact).
+    """
+    from alp_ray.pipelines.code_graph import (
+        dense_id_mapping_ds,
+        remap_edges_dense,
+    )
+    from alp_ray.pipelines.components import connected_components
+    from alp_ray.state.engine import GraphEngine
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), np.int64)
+        b = np.asarray(batch.column("id_b"), np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
+    # Empty pair set: an all-rows-filtered Dataset keeps its pre-map
+    # schema on some blocks, which would break the mapping sort.
+    if edges.count() == 0:
+        return docs, 0
+    mapping = dense_id_mapping_ds(edges).materialize()
+    n = mapping.count()
+    dense = remap_edges_dense(edges, mapping)
+    engine = GraphEngine.from_dataset(dense, n=n, P=P, dedupe=True)
+    res = connected_components(engine)
+
+    def dense_losers(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("vertex"), np.int64)
+        lbl = np.asarray(batch.column("label"), np.float64).astype(
+            np.int64
+        )
+        return pa.table({"dense_id": v[lbl != v]})
+
+    losers = (
+        engine.state_dataset(["label"])
+        .map_batches(dense_losers, batch_format="pyarrow")
+        .join(
+            mapping,
+            join_type="inner",
+            num_partitions=join_partitions(n),
+            on=("dense_id",),
+        )
+        .materialize()
+    )
+    engine.shutdown()
+
+    def to_marker(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column("vertex").cast(pa.int64()),
+                "__loser": np.ones(batch.num_rows, np.int8),
+            }
+        )
+
+    loser_ids = losers.map_batches(
+        to_marker, batch_format="pyarrow"
+    ).materialize()
+    if loser_ids.count() == 0:
+        return docs, res.iterations
+    joined = docs.join(
+        loser_ids,
+        join_type="left_outer",
+        num_partitions=join_partitions(loser_ids.count()),
+        on=(id_col,),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(batch.column("__loser"))
+        return batch.filter(mask).drop_columns(["__loser"])
+
+    return joined.map_batches(keep, batch_format="pyarrow"), res.iterations
+
+
 # -------------------------------------------------------------- simhash --
 
 

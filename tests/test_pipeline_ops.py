@@ -293,6 +293,35 @@ def test_minhash_dedup_keep_antijoin():
     assert minhash_dedup_keep(clean, threshold=0.8).count() == 3
 
 
+def test_cc_dedup_keep_transitive():
+    from alp_ray.pipelines.dedup import cc_dedup_keep
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(1, 7, dtype=np.int64),
+                "text": [f"doc {i}" for i in range(1, 7)],
+            }
+        )
+    )
+    # Chain 1-3-2 (transitive cluster {1,2,3}) + pair {5,6}; 4 single.
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": np.array([1, 2, 5], np.int64),
+                "id_b": np.array([3, 3, 6], np.int64),
+            }
+        )
+    )
+    kept, iters = cc_dedup_keep(docs, pairs)
+    assert set(kept.to_pandas()["doc_id"]) == {3, 4, 6}
+    assert iters >= 1
+    # Empty pair set: all docs pass through.
+    no_pairs = pairs.filter(expr="id_a > 100")
+    kept2, iters2 = cc_dedup_keep(docs, no_pairs)
+    assert kept2.count() == 6 and iters2 == 0
+
+
 def test_simhash_batch_matches_naive():
     from alp_ray.pipelines.dedup import SimHashStage
 
