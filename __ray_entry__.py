@@ -1707,6 +1707,84 @@ def _q_doc_sample(sf_dir: str):
     return _cast(hash_sample(docs, pct=5), {"doc_id": pa.int64()})
 
 
+def _q_nation_revenue(sf_dir: str):
+    """Fact ⋈ dimension enrich without ANY shuffle: orders broadcast-
+    joins customer then nation (small sides ray.put once, joined per
+    batch), per-batch int-cent partials by nationkey, driver merge of
+    the bounded (25 × #blocks) partial rows. Prices are exact 2-decimal
+    floats, so floor(x·100+0.5) cents make sums integer-exact on both
+    sides of the gate."""
+    import ray.data
+
+    from alp_ray.stages.relational import broadcast_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("c_custkey"),
+                "c_nationkey": b.column("c_nationkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    enriched = broadcast_join(orders, cust, on="o_custkey")
+    n_nations = 32  # bound on distinct nationkeys (25 in TPC-H)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), np.int64)
+        cents = np.floor(
+            np.asarray(batch.column("o_totalprice"), np.float64) * 100
+            + 0.5
+        ).astype(np.int64)
+        sums = np.zeros(n_nations, np.int64)
+        np.add.at(sums, nk, cents)
+        cnt = np.bincount(nk, minlength=n_nations)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "c_nationkey": nz.astype(np.int64),
+                "cents": sums[nz],
+                "cnt": cnt[nz].astype(np.int64),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            enriched.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    nk = np.asarray(parts.column("c_nationkey"), np.int64)
+    sums = np.zeros(n_nations, np.int64)
+    cnts = np.zeros(n_nations, np.int64)
+    np.add.at(sums, nk, np.asarray(parts.column("cents"), np.int64))
+    np.add.at(cnts, nk, np.asarray(parts.column("cnt"), np.int64))
+    nation = (
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name"],
+        )
+        .to_pandas()
+        .set_index("n_nationkey")["n_name"]
+    )
+    nz = np.flatnonzero(cnts)
+    return pa.table(
+        {
+            "nation": pa.array([nation[k] for k in nz]),
+            "revenue_cents": pa.array(sums[nz]),
+            "n_orders": pa.array(cnts[nz]),
+        }
+    )
+
+
 _HC_SOURCES = (0, 1, 2, 3, 4, 5, 6, 7)  # harmonic-closeness sample
 _HC_LEVELS = 10                         # BFS level cap (both sides)
 
@@ -2859,6 +2937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewise_lambda_matrix": _q_ewise_lambda_matrix,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "nation_revenue": _q_nation_revenue,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3166,6 +3245,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jac >= 0.5"
         ),
         "dedup_clusters": _dedup_clusters_sql(_DEDUP_CC_ROUNDS),
+        "nation_revenue": (
+            "SELECT n.n_name AS nation, "
+            "SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS revenue_cents, COUNT(*) AS n_orders "
+            "FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "GROUP BY n.n_name"
+        ),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

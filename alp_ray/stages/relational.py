@@ -183,6 +183,49 @@ def topk_per_group(
     )
 
 
+def broadcast_join(
+    large: "ray.data.Dataset",
+    small: "ray.data.Dataset | pa.Table",
+    on: str | tuple[str, ...],
+    how: str = "inner",
+    max_rows: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Map-side join against a SMALL dimension table: the small side is
+    collected once, ``ray.put`` once, and every large-side batch joins
+    against the shared plasma copy (zero-copy reads) — NO shuffle of the
+    large side at all, the canonical 100-TB enrich pattern for
+    fact ⋈ dimension. Refuses loudly (not OOM) above ``max_rows``; use
+    ``Dataset.join`` for genuinely large both-sides joins.
+
+    ``how``: "inner" or "left" (pyarrow join semantics per batch —
+    batch-local is exact because only large-side rows are emitted and
+    each joins the FULL small table).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if isinstance(small, pa.Table):
+        small_tbl = small
+    else:
+        small_tbl = pa.concat_tables(
+            ray.get(small.materialize().to_arrow_refs())
+        )
+    small_tbl = small_tbl.combine_chunks()
+    if small_tbl.num_rows > max_rows:
+        raise ValueError(
+            f"broadcast_join small side has {small_tbl.num_rows} rows "
+            f"> max_rows={max_rows}; use a shuffle join"
+        )
+    sref = ray.put(small_tbl)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        return batch.join(
+            st, keys=keys, join_type=join_type, right_suffix="_r"
+        )
+
+    return large.map_batches(fn, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: "ray.data.Dataset",
     key: str = "doc_id",

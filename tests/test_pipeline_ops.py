@@ -293,6 +293,30 @@ def test_minhash_dedup_keep_antijoin():
     assert minhash_dedup_keep(clean, threshold=0.8).count() == 3
 
 
+def test_broadcast_join_inner_left_and_guard():
+    import pytest
+
+    from alp_ray.stages.relational import broadcast_join
+
+    large = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": np.array([1, 2, 3, 2], np.int64),
+                "x": np.array([10, 20, 30, 40], np.int64),
+            }
+        )
+    )
+    small = pa.table(
+        {"k": np.array([1, 2], np.int64), "name": ["a", "b"]}
+    )
+    inner = broadcast_join(large, small, on="k").to_pandas()
+    assert len(inner) == 3 and set(inner["name"]) == {"a", "b"}
+    left = broadcast_join(large, small, on="k", how="left").to_pandas()
+    assert len(left) == 4 and left["name"].isna().sum() == 1
+    with pytest.raises(ValueError, match="max_rows"):
+        broadcast_join(large, small, on="k", max_rows=1)
+
+
 def test_cc_dedup_keep_transitive():
     from alp_ray.pipelines.dedup import cc_dedup_keep
 
