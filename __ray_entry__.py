@@ -1785,6 +1785,69 @@ def _q_nation_revenue(sf_dir: str):
     )
 
 
+def _q_price_bands(sf_dir: str):
+    """Interval-containment join without a shuffle: an 11-band interval
+    table broadcast once, lineitem prices resolved per batch by
+    searchsorted (range_join), then bounded per-band integer-cent
+    partials merged driver-side."""
+    import ray.data
+
+    from alp_ray.stages.relational import range_join
+
+    n_bands = 11
+    bands = pa.table(
+        {
+            "band": np.arange(n_bands, dtype=np.int64),
+            "lo": np.arange(n_bands) * 10_000.0,
+            "hi": (np.arange(n_bands) + 1) * 10_000.0,
+        }
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    joined = range_join(li, bands, value_col="l_extendedprice")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bd = np.asarray(batch.column("band"), np.int64)
+        cents = np.floor(
+            np.asarray(batch.column("l_extendedprice"), np.float64)
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        sums = np.zeros(n_bands, np.int64)
+        np.add.at(sums, bd, cents)
+        cnt = np.bincount(bd, minlength=n_bands)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "band": nz.astype(np.int64),
+                "cents": sums[nz],
+                "cnt": cnt[nz].astype(np.int64),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            joined.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    bd = np.asarray(parts.column("band"), np.int64)
+    sums = np.zeros(n_bands, np.int64)
+    cnts = np.zeros(n_bands, np.int64)
+    np.add.at(sums, bd, np.asarray(parts.column("cents"), np.int64))
+    np.add.at(cnts, bd, np.asarray(parts.column("cnt"), np.int64))
+    nz = np.flatnonzero(cnts)
+    return pa.table(
+        {
+            "band": pa.array(nz.astype(np.int64)),
+            "n_items": pa.array(cnts[nz]),
+            "cents": pa.array(sums[nz]),
+        }
+    )
+
+
 _HC_SOURCES = (0, 1, 2, 3, 4, 5, 6, 7)  # harmonic-closeness sample
 _HC_LEVELS = 10                         # BFS level cap (both sides)
 
@@ -2938,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "nation_revenue": _q_nation_revenue,
+        "price_bands": _q_price_bands,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3253,6 +3317,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "price_bands": (
+            "WITH bands AS (SELECT range::BIGINT AS band, "
+            "range * 10000.0 AS lo, (range + 1) * 10000.0 AS hi "
+            "FROM range(11)) "
+            "SELECT b.band, COUNT(*) AS n_items, "
+            "SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS cents FROM lineitem l JOIN bands b "
+            "ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi "
+            "GROUP BY b.band"
         ),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),

@@ -226,6 +226,75 @@ def broadcast_join(
     return large.map_batches(fn, batch_format="pyarrow")
 
 
+def range_join(
+    large: "ray.data.Dataset",
+    intervals: "ray.data.Dataset | pa.Table",
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+    max_rows: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Interval containment join: for every large-side row attach the
+    interval with ``lo <= value < hi``. Intervals must be DISJOINT and
+    sorted-able (the common banding/bucketing case: price bands, time
+    epochs, size classes) — each row matches ≤ 1 interval, checked at
+    broadcast time.
+
+    Physical plan mirrors ``broadcast_join``: the interval table is tiny
+    (it describes a partitioning of the value axis), so it rides ONE
+    ``ray.put`` and each batch resolves membership with a vectorized
+    ``searchsorted`` against the sorted ``lo`` bounds — no shuffle, no
+    per-row loop. ``how="left"`` keeps non-matching rows with nulls.
+    """
+    if isinstance(intervals, pa.Table):
+        itbl = intervals
+    else:
+        itbl = pa.concat_tables(
+            ray.get(intervals.materialize().to_arrow_refs())
+        )
+    itbl = itbl.combine_chunks()
+    if itbl.num_rows > max_rows:
+        raise ValueError(
+            f"range_join interval side has {itbl.num_rows} rows "
+            f"> max_rows={max_rows}"
+        )
+    lo = np.asarray(itbl.column(lo_col), np.float64)
+    hi = np.asarray(itbl.column(hi_col), np.float64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if np.any(hi[:-1] > lo[1:]) or np.any(hi <= lo):
+        raise ValueError("range_join intervals must be disjoint, lo < hi")
+    payload = itbl.take(pa.array(order))
+    sref = ray.put((lo, hi, payload))
+    drop_miss = how == "inner"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        slo, shi, pt = ray.get(sref)
+        v = np.asarray(batch.column(value_col), np.float64)
+        idx = np.searchsorted(slo, v, side="right") - 1
+        ok = (idx >= 0) & (v < shi[np.clip(idx, 0, None)])
+        if drop_miss:
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
+            picked = pt.take(pa.array(idx))
+        else:
+            # Null-masked indices: take() emits null rows for misses.
+            mi = pa.array(
+                np.where(ok, idx, 0), type=pa.int64(), mask=~ok
+            )
+            picked = pt.take(mi)
+        for name in pt.column_names:
+            col = picked.column(name)
+            out_name = name if name not in batch.column_names else (
+                name + "_r"
+            )
+            batch = batch.append_column(out_name, col)
+        return batch
+
+    return large.map_batches(fn, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: "ray.data.Dataset",
     key: str = "doc_id",

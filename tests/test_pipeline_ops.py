@@ -317,6 +317,34 @@ def test_broadcast_join_inner_left_and_guard():
         broadcast_join(large, small, on="k", max_rows=1)
 
 
+def test_range_join_bands():
+    import pytest
+
+    from alp_ray.stages.relational import range_join
+
+    large = ray.data.from_arrow(
+        pa.table({"v": np.array([5.0, 15.0, 25.0, 99.0], np.float64)})
+    )
+    bands = pa.table(
+        {
+            "band": np.array([0, 1, 2], np.int64),
+            "lo": np.array([0.0, 10.0, 20.0]),
+            "hi": np.array([10.0, 20.0, 30.0]),
+        }
+    )
+    inner = range_join(large, bands, value_col="v").to_pandas()
+    assert list(inner.sort_values("v")["band"]) == [0, 1, 2]
+    left = range_join(
+        large, bands, value_col="v", how="left"
+    ).to_pandas()
+    assert len(left) == 4 and left["band"].isna().sum() == 1
+    overlapping = pa.table(
+        {"band": [0, 1], "lo": [0.0, 5.0], "hi": [10.0, 15.0]}
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(large, overlapping, value_col="v")
+
+
 def test_cc_dedup_keep_transitive():
     from alp_ray.pipelines.dedup import cc_dedup_keep
 
