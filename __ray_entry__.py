@@ -1848,6 +1848,55 @@ def _q_price_bands(sf_dir: str):
     )
 
 
+_NS_SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
+_NS_FANOUTS = (5, 3)
+
+
+def _q_neighbor_sample(sf_dir: str):
+    """GraphSAGE-style 2-hop minibatch sampling over the sparse graph:
+    deterministic arithmetic-hash neighbor ranking makes the sample
+    reproducible and SQL-expressible (ROW_NUMBER over the same hash)."""
+    from alp_ray.pipelines.sampling import neighbor_sample
+    from alp_ray.sources.tables import derived_edges
+
+    out = neighbor_sample(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True),
+        seeds=list(_NS_SEEDS),
+        fanouts=_NS_FANOUTS,
+    )
+    return _cast(
+        out, {"src": pa.int64(), "dst": pa.int64(), "hop": pa.int64()}
+    )
+
+
+def _neighbor_sample_sql() -> str:
+    """Two ROW_NUMBER hops mirroring neighbor_sample's hash ranking and
+    expand-each-vertex-once frontier rule."""
+    seeds = ", ".join(str(s) for s in _NS_SEEDS)
+    k1, k2 = _NS_FANOUTS
+
+    def hop(name: str, members: str, k: int) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT src, dst FROM ("
+            "SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+            "ORDER BY (src * 1000003 + dst * 7919) % 1000000007, dst"
+            f") AS r FROM e WHERE src IN ({members})) WHERE r <= {k})"
+        )
+
+    return (
+        f"WITH e AS MATERIALIZED ({_E_SPARSE}), "
+        + hop("s1", seeds, k1)
+        + ", "
+        + hop(
+            "s2",
+            f"SELECT DISTINCT dst FROM s1 WHERE dst NOT IN ({seeds})",
+            k2,
+        )
+        + " SELECT src, dst, 1 AS hop FROM s1 "
+        "UNION ALL SELECT src, dst, 2 AS hop FROM s2"
+    )
+
+
 _HC_SOURCES = (0, 1, 2, 3, 4, 5, 6, 7)  # harmonic-closeness sample
 _HC_LEVELS = 10                         # BFS level cap (both sides)
 
@@ -3002,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "nation_revenue": _q_nation_revenue,
         "price_bands": _q_price_bands,
+        "neighbor_sample": _q_neighbor_sample,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3328,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi "
             "GROUP BY b.band"
         ),
+        "neighbor_sample": _neighbor_sample_sql(),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

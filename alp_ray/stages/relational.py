@@ -175,8 +175,17 @@ def topk_per_group(
     )
 
     def final(group: pa.Table) -> pa.Table:
-        t = partial(group.drop_columns(["__part"]))
-        return t
+        if group.num_rows == 0:
+            # Empty coarse partitions arrive WITHOUT columns — emit the
+            # typed empty table so downstream blocks share one schema.
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    order_col: pa.array([], pa.float64()),
+                    tie_col: pa.array([], pa.int64()),
+                }
+            )
+        return partial(group.drop_columns(["__part"]))
 
     return parts.groupby("__part").map_groups(
         final, batch_format="pyarrow"
