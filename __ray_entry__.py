@@ -1848,6 +1848,29 @@ def _q_price_bands(sf_dir: str):
     )
 
 
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the symmetric sparse graph — integer
+    moment partials make the scalar exact; only the final six-term
+    formula is FP (mirrored verbatim in the twin)."""
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.stages.stats import degree_assortativity
+
+    r = degree_assortativity(
+        symmetrize(
+            derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True),
+            dedup=True,
+        )
+    )
+    return pa.table(
+        {
+            "assortativity": pa.array(
+                _round_half_away(np.array([r]), 6)
+            )
+        }
+    )
+
+
 _NS_SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
 _NS_FANOUTS = (5, 3)
 
@@ -3052,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "price_bands": _q_price_bands,
         "neighbor_sample": _q_neighbor_sample,
+        "assortativity": _q_assortativity,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3379,6 +3403,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.band"
         ),
         "neighbor_sample": _neighbor_sample_sql(),
+        "assortativity": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "es AS MATERIALIZED (SELECT src, dst FROM ed "
+            "UNION SELECT dst AS src, src AS dst FROM ed), "
+            "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c "
+            "FROM es GROUP BY src), "
+            "m AS (SELECT COUNT(*) AS n, SUM(du.c) AS sx, "
+            "SUM(dv.c) AS sy, SUM(du.c * du.c) AS sxx, "
+            "SUM(dv.c * dv.c) AS syy, SUM(du.c * dv.c) AS sxy "
+            "FROM es e JOIN deg du ON du.v = e.src "
+            "JOIN deg dv ON dv.v = e.dst) "
+            "SELECT ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy) / "
+            "(sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) * "
+            "sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)), 6) "
+            "AS assortativity FROM m"
+        ),
         "graph_coloring": _coloring_sql(_COLOR_K),
         "random_walks": _walks_sql(_WALK_STEPS),
         "betweenness": _betweenness_sql(_BC_LEVELS),

@@ -51,6 +51,82 @@ def degree_histogram(
     })
 
 
+def degree_assortativity(
+    edges_sym: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> float:
+    """Pearson degree-degree correlation over the edges of a SYMMETRIC
+    graph (Newman, "Assortative mixing in networks", PRL 89, 2002).
+
+    Plan: one degree groupby, two hash joins to attach deg(src)/deg(dst)
+    to every edge (sized by ``join_partitions`` — no broadcast, so the
+    vertex set never needs to fit anywhere), then per-batch INTEGER
+    moment partials (n, Σx, Σy, Σx², Σy², Σxy — exact in int64) merged
+    driver-side. The only FP ops are the final six-term formula, so the
+    scalar is bitwise reproducible and SQL-twinnable."""
+    from alp_ray.stages.graph import degrees
+    from alp_ray.util import join_partitions
+
+    e = edges_sym.select_columns(["src", "dst"]).materialize()
+    if num_partitions is None:
+        num_partitions = join_partitions(e.count())
+    deg = degrees(e, key="src", name="__du").materialize()
+
+    def as_dst(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": batch.column("src").cast(pa.int64()),
+                "__dv": batch.column("__du"),
+            }
+        )
+
+    degd = deg.map_batches(as_dst, batch_format="pyarrow").materialize()
+    j1 = e.join(
+        deg, join_type="inner", num_partitions=num_partitions,
+        on=("src",),
+    ).materialize()
+    j2 = j1.join(
+        degd, join_type="inner", num_partitions=num_partitions,
+        on=("dst",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "__du" not in batch.column_names or batch.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {k: z for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            )
+        x = np.asarray(batch.column("__du"), np.int64)
+        y = np.asarray(batch.column("__dv"), np.int64)
+        return pa.table(
+            {
+                "n": pa.array([x.size]),
+                "sx": pa.array([int(x.sum())]),
+                "sy": pa.array([int(y.sum())]),
+                "sxx": pa.array([int((x * x).sum())]),
+                "syy": pa.array([int((y * y).sum())]),
+                "sxy": pa.array([int((x * y).sum())]),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            j2.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    n = float(sum(np.asarray(parts.column("n"), np.int64)))
+    sx = float(sum(np.asarray(parts.column("sx"), np.int64)))
+    sy = float(sum(np.asarray(parts.column("sy"), np.int64)))
+    sxx = float(sum(np.asarray(parts.column("sxx"), np.int64)))
+    syy = float(sum(np.asarray(parts.column("syy"), np.int64)))
+    sxy = float(sum(np.asarray(parts.column("sxy"), np.int64)))
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    return float(num / den)
+
+
 def exact_percentiles(
     ds: "ray.data.Dataset",
     col: str,

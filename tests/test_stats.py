@@ -75,3 +75,30 @@ def test_weighted_sample_matches_ares_oracle():
     np.testing.assert_array_equal(
         np.asarray(got.column("score")), score[order]
     )
+
+
+def test_degree_assortativity_matches_numpy():
+    import ray.data
+
+    from alp_ray.stages.stats import degree_assortativity
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 40, 300).astype(np.int64)
+    dst = rng.randint(0, 40, 300).astype(np.int64)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    sym = np.unique(
+        np.concatenate([e, e[:, ::-1]], axis=0), axis=0
+    )
+    s, d = sym[:, 0], sym[:, 1]
+    deg = np.bincount(s, minlength=40)
+    x, y = deg[s].astype(np.float64), deg[d].astype(np.float64)
+    n = float(x.size)
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt(n * (x * x).sum() - x.sum() ** 2) * np.sqrt(
+        n * (y * y).sum() - y.sum() ** 2
+    )
+    expected = num / den
+    ds = ray.data.from_arrow(pa.table({"src": s, "dst": d}))
+    got = degree_assortativity(ds)
+    assert abs(got - expected) < 1e-9
