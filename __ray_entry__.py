@@ -1871,6 +1871,22 @@ def _q_assortativity(sf_dir: str):
     )
 
 
+def _q_train_test_split(sf_dir: str):
+    """Exact per-language 20% test split of documents (bracket
+    selection on the key hash — see stratified_split)."""
+    import ray.data
+
+    from alp_ray.stages.relational import stratified_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_split(
+        docs, stratum_col="lang", key_col="doc_id", test_frac=0.2
+    )
+    return _cast(out, {"doc_id": pa.int64(), "lang": pa.string()})
+
+
 _NS_SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
 _NS_FANOUTS = (5, 3)
 
@@ -3076,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands": _q_price_bands,
         "neighbor_sample": _q_neighbor_sample,
         "assortativity": _q_assortativity,
+        "train_test_split": _q_train_test_split,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3403,6 +3420,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.band"
         ),
         "neighbor_sample": _neighbor_sample_sql(),
+        "train_test_split": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "(doc_id * 1000003) % 1000000007 AS hh FROM documents), "
+            "c AS (SELECT lang, COUNT(*) AS cnt FROM documents "
+            "GROUP BY lang), "
+            "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h) "
+            "SELECT r.doc_id, r.lang FROM r JOIN c ON c.lang = r.lang "
+            "WHERE rk <= CAST(floor(cnt * 0.2) AS BIGINT)"
+        ),
         "assortativity": (
             f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
             "es AS MATERIALIZED (SELECT src, dst FROM ed "

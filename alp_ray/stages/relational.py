@@ -304,6 +304,157 @@ def range_join(
     return large.map_batches(fn, batch_format="pyarrow")
 
 
+def stratified_split(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    test_frac: float = 0.2,
+    mult: int = 1_000_003,
+    mod: int = 1_000_000_007,
+    sample_per_block: int = 512,
+) -> "ray.data.Dataset":
+    """EXACT stratified test-set selection: within every stratum the
+    ``floor(count·test_frac)`` rows with the smallest
+    ``(hash(key), key)`` pair form the test split — deterministic,
+    reproducible, and per-stratum proportions exact (not just expected,
+    as a plain hash threshold gives).
+
+    Physical plan is the two-pass BRACKET SELECTION of
+    ``exact_percentiles`` run per stratum (strata are few — languages,
+    sources): pass 1 per-block per-stratum counts + sorted hash
+    samples → driver brackets each stratum's k-th smallest hash; pass 2
+    exact below-bracket counts + the (hash, key) pairs inside the
+    bracket (bounded) → driver picks the exact threshold pair; pass 3
+    is a stateless broadcast filter. No sort, no groupby — three
+    streaming passes whose driver state is O(#strata · bracket).
+    SQL twin: ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY
+    hash, key) <= floor(cnt·frac)``.
+    """
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column(stratum_col))
+        k = np.asarray(batch.column(key_col), np.int64)
+        h = (k * mult) % mod
+        cats, codes = np.unique(s, return_inverse=True)
+        names, ns, samples = [], [], []
+        for ci, cat in enumerate(cats):
+            hh = np.sort(h[codes == ci])
+            if hh.size > sample_per_block:
+                idx = np.linspace(
+                    0, hh.size - 1, sample_per_block
+                ).astype(np.int64)
+                samp = hh[idx]
+            else:
+                samp = hh
+            names.append(str(cat))
+            ns.append(hh.size)
+            samples.append(samp)
+        return pa.table(
+            {
+                "stratum": pa.array(names),
+                "n": pa.array(ns, pa.int64()),
+                "sample": pa.array(
+                    [list(map(int, x)) for x in samples],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    cols = ds.select_columns([stratum_col, key_col]).materialize()
+    p1 = cols.map_batches(pass1, batch_format="pyarrow").take_all()
+    counts: dict[str, int] = {}
+    samples: dict[str, list] = {}
+    for r in p1:
+        counts[r["stratum"]] = counts.get(r["stratum"], 0) + int(r["n"])
+        samples.setdefault(r["stratum"], []).append(
+            np.asarray(r["sample"], np.int64)
+        )
+    ks = {
+        s: int(np.floor(c * test_frac)) for s, c in counts.items()
+    }
+    brackets: dict[str, tuple[int, int]] = {}
+    for s, k in ks.items():
+        if k <= 0:
+            continue
+        merged = np.sort(np.concatenate(samples[s]))
+        pos = (k - 1) / max(1, counts[s] - 1) * (merged.size - 1)
+        pad = max(2, merged.size // 256)
+        lo_i = max(0, int(np.floor(pos)) - pad)
+        hi_i = min(merged.size - 1, int(np.ceil(pos)) + pad)
+        brackets[s] = (int(merged[lo_i]), int(merged[hi_i]))
+    if not brackets:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    stratum_col: pa.array([], pa.string()),
+                }
+            )
+        )
+    bref = ray.put(brackets)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        br = ray.get(bref)
+        s = np.asarray(batch.column(stratum_col))
+        k = np.asarray(batch.column(key_col), np.int64)
+        h = (k * mult) % mod
+        names, below, hs, ids = [], [], [], []
+        for cat, (lo, hi) in br.items():
+            m = s == cat
+            hm, km = h[m], k[m]
+            inside = (hm >= lo) & (hm <= hi)
+            names.append(cat)
+            below.append(int((hm < lo).sum()))
+            hs.append(list(map(int, hm[inside])))
+            ids.append(list(map(int, km[inside])))
+        return pa.table(
+            {
+                "stratum": pa.array(names),
+                "below": pa.array(below, pa.int64()),
+                "hs": pa.array(hs, pa.list_(pa.int64())),
+                "ids": pa.array(ids, pa.list_(pa.int64())),
+            }
+        )
+
+    p2 = cols.map_batches(pass2, batch_format="pyarrow").take_all()
+    below_tot: dict[str, int] = {}
+    pair_h: dict[str, list] = {}
+    pair_i: dict[str, list] = {}
+    for r in p2:
+        st = r["stratum"]
+        below_tot[st] = below_tot.get(st, 0) + int(r["below"])
+        pair_h.setdefault(st, []).append(np.asarray(r["hs"], np.int64))
+        pair_i.setdefault(st, []).append(np.asarray(r["ids"], np.int64))
+    thresholds: dict[str, tuple[int, int]] = {}
+    for st, (lo, hi) in brackets.items():
+        hh = np.concatenate(pair_h[st])
+        ii = np.concatenate(pair_i[st])
+        order = np.lexsort((ii, hh))
+        j = ks[st] - 1 - below_tot[st]
+        assert 0 <= j < hh.size, (
+            f"bracket missed rank {ks[st]} for stratum {st} "
+            f"(below={below_tot[st]}, in-bracket={hh.size}) — "
+            "widen sample_per_block"
+        )
+        thresholds[st] = (int(hh[order][j]), int(ii[order][j]))
+    tref = ray.put(thresholds)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        s = np.asarray(batch.column(stratum_col))
+        k = np.asarray(batch.column(key_col), np.int64)
+        h = (k * mult) % mod
+        keep = np.zeros(k.size, bool)
+        for cat, (hstar, istar) in th.items():
+            m = s == cat
+            keep |= m & ((h < hstar) | ((h == hstar) & (k <= istar)))
+        return pa.table(
+            {key_col: k[keep], stratum_col: pa.array(s[keep])}
+        )
+
+    return cols.map_batches(filt, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: "ray.data.Dataset",
     key: str = "doc_id",

@@ -317,6 +317,30 @@ def test_broadcast_join_inner_left_and_guard():
         broadcast_join(large, small, on="k", max_rows=1)
 
 
+def test_stratified_split_exact_per_stratum():
+    from alp_ray.stages.relational import stratified_split
+
+    rng = np.random.RandomState(5)
+    n = 500
+    keys = rng.permutation(100_000)[:n].astype(np.int64)
+    strata = np.array(["en", "de", "fr"])[rng.randint(0, 3, n)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": keys, "lang": strata})
+    )
+    got = stratified_split(
+        ds, stratum_col="lang", key_col="doc_id", test_frac=0.2
+    ).to_pandas()
+    mult, mod = 1_000_003, 1_000_000_007
+    for lang in ("en", "de", "fr"):
+        kk = keys[strata == lang]
+        k_s = int(np.floor(kk.size * 0.2))
+        h = (kk * mult) % mod
+        order = np.lexsort((kk, h))
+        expect = set(kk[order][:k_s].tolist())
+        have = set(got[got["lang"] == lang]["doc_id"])
+        assert have == expect and len(have) == k_s
+
+
 def test_range_join_bands():
     import pytest
 
