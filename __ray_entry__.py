@@ -1871,6 +1871,19 @@ def _q_assortativity(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 tokens via Misra-Gries candidates + exact verify
+    pass — provably exact (asserted) without any token shuffle."""
+    import ray.data
+
+    from alp_ray.stages.sketch import heavy_hitters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return heavy_hitters(docs, text_col="text", k=20, counters=2048)
+
+
 def _q_train_test_split(sf_dir: str):
     """Exact per-language 20% test split of documents (bracket
     selection on the key hash — see stratified_split)."""
@@ -3093,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": _q_neighbor_sample,
         "assortativity": _q_assortativity,
         "train_test_split": _q_train_test_split,
+        "heavy_hitters": _q_heavy_hitters,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3420,6 +3434,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.band"
         ),
         "neighbor_sample": _neighbor_sample_sql(),
+        "heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all("
+            "text, '\\S+')) AS tok FROM documents), "
+            "c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok) "
+            "SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20"
+        ),
         "train_test_split": (
             "WITH h AS (SELECT doc_id, lang, "
             "(doc_id * 1000003) % 1000000007 AS hh FROM documents), "

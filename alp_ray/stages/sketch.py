@@ -76,3 +76,121 @@ def approx_distinct(
         R = np.asarray(col_arr.flatten(), np.int64).reshape(-1, 1 << p)
         merged = np.maximum(merged, R.max(axis=0))
     return _estimate(merged, p)
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 20,
+    counters: int = 2048,
+) -> pa.Table:
+    """EXACT top-k most frequent whitespace tokens without a token
+    shuffle — the Misra-Gries candidate pass + exact verify pass
+    (mergeable-summaries construction, Agarwal et al., PODS 2012).
+
+    Pass 1 (one map_batches): per-block exact token counts compressed
+    to a Misra-Gries summary of ``counters`` entries (keep top-m,
+    subtract the (m+1)-th count). The driver multi-way-merges the block
+    summaries (sum per token, keep top-m, subtract the (m+1)-th) —
+    total undercount error ≤ n/(m+1), so every token with true count
+    > n/(m+1) is in the merged candidate set. Pass 2 (one
+    map_batches): exact counts of the ≤ m broadcast candidates,
+    summed driver-side. The result is PROVABLY exact top-k iff the
+    exact k-th candidate count exceeds n/(m+1) — asserted, so a
+    too-small ``counters`` fails loudly instead of silently
+    approximating. Ties broken (count DESC, token ASC) to match the
+    SQL ``ORDER BY cnt DESC, tok LIMIT k`` twin.
+
+    At 100 TB the driver merge is O(#blocks · m); cap it with a tree
+    merge (an intermediate map_batches over summary blocks) — same
+    guarantee, documented here as the scale path.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    def _tokens(batch: pa.Table) -> np.ndarray:
+        split = pc.split_pattern_regex(
+            batch.column(text_col), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(split)
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False))
+        return toks[toks != ""]
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        uniq, cnt = np.unique(toks, return_counts=True)
+        n_block = int(cnt.sum())
+        if uniq.size > counters:
+            order = np.lexsort((uniq, -cnt))
+            uniq, cnt = uniq[order], cnt[order]
+            sub = int(cnt[counters])
+            uniq, cnt = uniq[:counters], cnt[:counters] - sub
+            keep = cnt > 0
+            uniq, cnt = uniq[keep], cnt[keep]
+        # n_block rides the first row (0 elsewhere) so the driver can
+        # recover the total token count without a separate pass.
+        nb = np.zeros(uniq.size, np.int64)
+        if uniq.size:
+            nb[0] = n_block
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "n_block": pa.array(nb),
+            }
+        )
+
+    p1 = (
+        ds.select_columns([text_col])
+        .map_batches(pass1, batch_format="pyarrow")
+        .take_all()
+    )
+    merged: dict[str, int] = {}
+    n_total = 0
+    for r in p1:
+        merged[r["tok"]] = merged.get(r["tok"], 0) + int(r["cnt"])
+        n_total += int(r["n_block"])
+    items = sorted(merged.items(), key=lambda t: (-t[1], t[0]))
+    if len(items) > counters:
+        sub = items[counters][1]
+        items = [
+            (t, c - sub) for t, c in items[:counters] if c - sub > 0
+        ]
+    cand = np.array([t for t, _ in items])
+    cref = ray.put(np.sort(cand))
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        toks = _tokens(batch)
+        pos = np.searchsorted(cs, toks)
+        ok = (pos < cs.size) & (cs[np.clip(pos, 0, cs.size - 1)] == toks)
+        cnt = np.bincount(pos[ok], minlength=cs.size)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "tok": pa.array(cs[nz].tolist(), pa.string()),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    p2 = (
+        ds.select_columns([text_col])
+        .map_batches(pass2, batch_format="pyarrow")
+        .take_all()
+    )
+    exact: dict[str, int] = {}
+    for r in p2:
+        exact[r["tok"]] = exact.get(r["tok"], 0) + int(r["cnt"])
+    top = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:k]
+    bound = n_total / (counters + 1)
+    assert top and top[-1][1] > bound, (
+        f"heavy_hitters not provably exact: k-th count {top[-1][1] if top else 0} "
+        f"<= error bound {bound:.1f} — raise counters"
+    )
+    return pa.table(
+        {
+            "tok": pa.array([t for t, _ in top], pa.string()),
+            "cnt": pa.array([c for _, c in top], pa.int64()),
+        }
+    )

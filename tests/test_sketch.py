@@ -29,3 +29,31 @@ def test_hll_matches_docs_exact_scale():
     exact = ds.to_pandas()["text"].nunique()
     est = approx_distinct(ds, "text", p=12)
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_heavy_hitters_exact_topk():
+    import collections
+
+    from alp_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    # Zipf-ish frequencies so the top-k is well separated.
+    docs = []
+    for d in range(40):
+        words = [
+            vocab[min(int(rng.zipf(1.3)) - 1, 299)] for _ in range(200)
+        ]
+        docs.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(40, dtype=np.int64),
+                  "text": docs})
+    )
+    got = heavy_hitters(ds, text_col="text", k=10, counters=64)
+    cnt = collections.Counter(
+        w for t in docs for w in t.split()
+    )
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:10]
+    have = list(zip(got.column("tok").to_pylist(),
+                    got.column("cnt").to_pylist()))
+    assert have == want
