@@ -272,11 +272,24 @@ def spmv(
     return out
 
 
+_BROADCAST_VERTEX_LIMIT = 50_000_000
+
+
 def _collect_vertex_table(
     x: "ray.data.Dataset", value_col: str
 ) -> pa.Table:
     # Vertex-state tables are O(n) and only broadcast when small enough;
-    # callers at cluster scale use the GraphShard engine instead.
+    # callers at cluster scale use the GraphShard engine instead. Fail
+    # LOUDLY past the bound rather than OOM the driver.
+    x = x.materialize()
+    n = x.count()
+    if n > _BROADCAST_VERTEX_LIMIT:
+        raise ValueError(
+            f"Dataset-path spmv broadcasts the vertex state to every "
+            f"task; {n} rows exceeds the {_BROADCAST_VERTEX_LIMIT} "
+            "bound — use GraphEngine (state/engine.py) for graphs "
+            "this size"
+        )
     dfs = x.to_pandas()
     return pa.table(
         {
