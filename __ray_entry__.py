@@ -703,8 +703,14 @@ def _q_tfidf_terms(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).materialize()
     n_docs = docs.count()
-    t = tfidf_terms(docs).to_arrow_refs()
-    tab = pa.concat_tables(ray.get(t))
+    from alp_ray.util import concat_blocks
+
+    tab = concat_blocks(
+        tfidf_terms(docs),
+        columns={
+            "term": pa.string(), "tf": pa.int64(), "df": pa.int64(),
+        },
+    )
     tf = np.asarray(tab.column("tf"), np.float64)
     df = np.asarray(tab.column("df"), np.float64)
     tfidf = _round_half_away(tf * np.log(float(n_docs) / df), 6)
@@ -729,7 +735,14 @@ def _q_tfidf_top_term(sf_dir: str):
     ).materialize()
     n_docs = docs.count()
     # Vocabulary-sized df table → broadcast once (small-side lookup).
-    stats = pa.concat_tables(ray.get(tfidf_terms(docs).to_arrow_refs()))
+    from alp_ray.util import concat_blocks
+
+    stats = concat_blocks(
+        tfidf_terms(docs),
+        columns={
+            "term": pa.string(), "tf": pa.int64(), "df": pa.int64(),
+        },
+    )
     vocab = np.asarray(stats.column("term"), dtype=object)
     dfv = np.asarray(stats.column("df"), np.int64)
     order = np.argsort(vocab, kind="stable")

@@ -32,7 +32,11 @@ from alp_ray.stages.graph import canonicalize
 def _build_oriented_cc(*tables: pa.Table) -> tuple:
     """Like triangles._build_oriented but also returns rank→vertex ids
     and full (undirected simple) degrees for the cc denominator."""
-    t = pa.concat_tables(tables)
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables), columns={"src": pa.int64(), "dst": pa.int64()}
+    )
     a = np.asarray(t.column("src"), np.int64)
     b = np.asarray(t.column("dst"), np.int64)
     both = np.concatenate([a, b])

@@ -121,6 +121,10 @@ def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
     @ray.remote
     def _info(tbl: pa.Table):
+        # Empty range-sort partitions surface as COLUMN-LESS blocks
+        # (they never pass through a UDF) — treat them as empty.
+        if "vertex" not in tbl.column_names or tbl.num_rows == 0:
+            return 0, None, None
         v = np.asarray(tbl.column("vertex"), np.int64)
         u = np.unique(v)
         if u.size == 0:
@@ -140,6 +144,13 @@ def dense_id_mapping_ds(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
     @ray.remote
     def _tag(tbl: pa.Table, offset: int, drop: bool) -> pa.Table:
+        if "vertex" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "vertex": pa.array([], pa.int64()),
+                    "dense_id": pa.array([], pa.int64()),
+                }
+            )
         u = np.unique(np.asarray(tbl.column("vertex"), np.int64))
         if drop:
             u = u[1:]
@@ -281,9 +292,11 @@ def corpus_pagerank(
     out = _state_with_hash_ids(engine, mapping, "pr")
     # Small-result escape hatch (≙ PinnedVector): rankings are O(n) and
     # the caller asked for a table.
-    tbl = pa.concat_tables(
-        ray.get(out.to_arrow_refs())
-    ).combine_chunks()
+    from alp_ray.util import concat_blocks
+
+    tbl = concat_blocks(
+        out, columns={"vertex": pa.int64(), "pr": pa.float64()}
+    )
     engine.shutdown()
     return tbl.select(["vertex", "pr"]), res
 
@@ -316,11 +329,12 @@ def corpus_components(
     j2 = j1.select_columns(["vertex", "label_dense"]).join(
         m2, join_type="inner", num_partitions=parts, on=("label_dense",)
     )
-    tbl = pa.concat_tables(
-        ray.get(
-            j2.select_columns(["vertex", "component"]).to_arrow_refs()
-        )
-    ).combine_chunks()
+    from alp_ray.util import concat_blocks
+
+    tbl = concat_blocks(
+        j2.select_columns(["vertex", "component"]),
+        columns={"vertex": pa.int64(), "component": pa.int64()},
+    )
     engine.shutdown()
     return tbl.select(["vertex", "component"])
 

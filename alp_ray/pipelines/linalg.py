@@ -299,8 +299,13 @@ def sparse_nn_inference(
 
     @ray.remote
     def _layer_post(bias_l: float, thr, *blocks: pa.Table):
-        if blocks:
-            t = pa.concat_tables(blocks)
+        from alp_ray.util import concat_blocks
+
+        t = concat_blocks(
+            list(blocks),
+            columns={"vertex": pa.int64(), "val": pa.float64()},
+        )
+        if t.num_rows:
             ids = np.asarray(t.column("vertex"), np.int64)
             vals = np.asarray(t.column("val"), np.float64) + bias_l
         else:

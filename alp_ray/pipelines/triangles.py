@@ -65,7 +65,11 @@ def _build_oriented(*tables: pa.Table) -> tuple:
     WORKER from the canonical edge blocks (the driver only passes refs).
     Vertices are relabeled to their (degree, id)-lex rank so orientation
     and neighbour ordering are plain integer comparisons."""
-    t = pa.concat_tables(tables)
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables), columns={"src": pa.int64(), "dst": pa.int64()}
+    )
     a = np.asarray(t.column("src"), np.int64)
     b = np.asarray(t.column("dst"), np.int64)
     both = np.concatenate([a, b])
@@ -153,7 +157,11 @@ def _triangle_count_shuffle(canon: "ray.data.Dataset") -> int:
     # Broadcast the degree table once (O(n) ints). At 10^12-vertex scale
     # this becomes a join on src/dst instead; the orientation logic is
     # unchanged.
-    deg_tbl = pa.concat_tables(ray.get(deg_ds.to_arrow_refs()))
+    from alp_ray.util import concat_blocks
+
+    deg_tbl = concat_blocks(
+        deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
+    )
     dv = np.asarray(deg_tbl.column("v"), dtype=np.int64)
     dc = np.asarray(deg_tbl.column("deg"), dtype=np.int64)
     order = np.argsort(dv)

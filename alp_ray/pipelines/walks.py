@@ -33,7 +33,11 @@ def _mix(w: np.ndarray, t: int, c: np.ndarray) -> np.ndarray:
 
 @ray.remote(num_returns=2)
 def _build_csr(n: int, *tables: pa.Table) -> tuple:
-    t = pa.concat_tables(tables)
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables), columns={"src": pa.int64(), "dst": pa.int64()}
+    )
     src = np.asarray(t.column("src"), np.int64)
     dst = np.asarray(t.column("dst"), np.int64)
     order = np.lexsort((dst, src))

@@ -211,13 +211,12 @@ def broadcast_join(
     each joins the FULL small table).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    from alp_ray.util import concat_blocks
+
     if isinstance(small, pa.Table):
-        small_tbl = small
+        small_tbl = small.combine_chunks()
     else:
-        small_tbl = pa.concat_tables(
-            ray.get(small.materialize().to_arrow_refs())
-        )
-    small_tbl = small_tbl.combine_chunks()
+        small_tbl = concat_blocks(small.materialize())
     if small_tbl.num_rows > max_rows:
         raise ValueError(
             f"broadcast_join small side has {small_tbl.num_rows} rows "
@@ -256,13 +255,12 @@ def range_join(
     ``searchsorted`` against the sorted ``lo`` bounds — no shuffle, no
     per-row loop. ``how="left"`` keeps non-matching rows with nulls.
     """
+    from alp_ray.util import concat_blocks
+
     if isinstance(intervals, pa.Table):
-        itbl = intervals
+        itbl = intervals.combine_chunks()
     else:
-        itbl = pa.concat_tables(
-            ray.get(intervals.materialize().to_arrow_refs())
-        )
-    itbl = itbl.combine_chunks()
+        itbl = concat_blocks(intervals.materialize())
     if itbl.num_rows > max_rows:
         raise ValueError(
             f"range_join interval side has {itbl.num_rows} rows "

@@ -40,3 +40,27 @@ def coarse_parts(lo: int = 8, hi: int = 512) -> int:
     except Exception:
         cpus = 32
     return int(np.clip(cpus, lo, hi))
+
+
+def concat_blocks(ds_or_tables, columns=None):
+    """``pa.concat_tables`` over a Dataset's arrow refs (or a table
+    list) that TOLERATES the column-less empty blocks Ray emits for
+    empty shuffle/groupby partitions (they bypass UDFs, so they never
+    get the output schema). ``columns`` gives the typed empty result
+    when every block is empty: a dict name→pa.DataType."""
+    import pyarrow as pa
+
+    import ray
+
+    if isinstance(ds_or_tables, (list, tuple)):
+        tables = list(ds_or_tables)
+    else:
+        tables = ray.get(ds_or_tables.to_arrow_refs())
+    good = [t for t in tables if t.num_columns > 0]
+    if good:
+        return pa.concat_tables(good).combine_chunks()
+    if columns:
+        return pa.table(
+            {n: pa.array([], t) for n, t in columns.items()}
+        )
+    return pa.table({})
