@@ -1962,6 +1962,70 @@ def _neighbor_sample_sql() -> str:
     )
 
 
+_MIS_ROUNDS = 8  # unrolled select/remove rounds in the SQL twin
+
+
+def _q_mis(sf_dir: str):
+    """Deterministic maximal independent set over the symmetric sparse
+    graph (fixed priority keys ⇒ equals the sequential greedy scan in
+    key order, so the fixed-round SQL twin is exact; extra rounds are
+    no-ops on an empty undecided set)."""
+    from alp_ray.pipelines.mis import maximal_independent_set
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    mask, rounds = maximal_independent_set(engine)
+    engine.shutdown()
+    assert rounds <= _MIS_ROUNDS, rounds
+    return pa.table(
+        {"vertex": pa.array(np.flatnonzero(mask).astype(np.int64))}
+    )
+
+
+def _mis_sql(K: int) -> str:
+    """Unrolled parallel-greedy MIS rounds over the priority keys
+    (HUGEINT reproduction of coloring._priority_key)."""
+    parts = [
+        "WITH keys AS MATERIALIZED (SELECT v, (CAST(xor("
+        "CAST(((CAST(v AS HUGEINT) * 11400714819323198485) "
+        "% 9223372036854775808) AS BIGINT), "
+        "CAST(((CAST(v AS HUGEINT) * 11400714819323198485) "
+        "% 9223372036854775808) // 536870912 AS BIGINT)"
+        ") AS BIGINT) % 67108864) * 67108864 + v AS key "
+        f"FROM (SELECT range::BIGINT AS v FROM range({MOD_SPARSE}))), ",
+        f"ed AS MATERIALIZED ({_E_SPARSE}), ",
+        "es AS MATERIALIZED (SELECT src, dst FROM ed "
+        "UNION SELECT dst AS src, src AS dst FROM ed), ",
+        "u0 AS MATERIALIZED (SELECT v FROM keys)",
+    ]
+    for k in range(1, K + 1):
+        p = k - 1
+        parts.append(
+            f", m{k} AS MATERIALIZED (SELECT u.v FROM u{p} u "
+            "JOIN keys kv ON kv.v = u.v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM es e JOIN u{p} w ON w.v = e.src "
+            "JOIN keys kw ON kw.v = e.src "
+            "WHERE e.dst = u.v AND kw.key < kv.key))"
+            f", r{k} AS MATERIALIZED (SELECT DISTINCT u.v FROM u{p} u "
+            f"JOIN es e ON e.dst = u.v JOIN m{k} m ON m.v = e.src)"
+            f", u{k} AS MATERIALIZED (SELECT v FROM u{p} "
+            f"WHERE v NOT IN (SELECT v FROM m{k}) "
+            f"AND v NOT IN (SELECT v FROM r{k}))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v FROM m{k}" for k in range(1, K + 1)
+    )
+    parts.append(f" SELECT v AS vertex FROM ({union})")
+    return "".join(parts)
+
+
 _HC_SOURCES = (0, 1, 2, 3, 4, 5, 6, 7)  # harmonic-closeness sample
 _HC_LEVELS = 10                         # BFS level cap (both sides)
 
@@ -3120,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "train_test_split": _q_train_test_split,
         "heavy_hitters": _q_heavy_hitters,
+        "mis": _q_mis,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3447,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.band"
         ),
         "neighbor_sample": _neighbor_sample_sql(),
+        "mis": _mis_sql(_MIS_ROUNDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
