@@ -2058,6 +2058,35 @@ def _q_harmonic_closeness(sf_dir: str):
     )
 
 
+def _q_eccentricity(sf_dir: str):
+    """Per-source eccentricity + reachable-set size from the same
+    multi-source BFS sweep as harmonic closeness (shared SQL closure)."""
+    from alp_ray.pipelines.closeness import eccentricity
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    ecc, reach = eccentricity(
+        engine, sources=list(_HC_SOURCES), max_levels=_HC_LEVELS
+    )
+    engine.shutdown()
+    return pa.table(
+        {
+            "source": pa.array(
+                np.asarray(_HC_SOURCES, np.int64)
+            ),
+            "ecc": pa.array(ecc),
+            "n_reached": pa.array(reach),
+        }
+    )
+
+
 def _q_clustering(sf_dir: str):
     """Local clustering coefficient (per-vertex triangles over the
     degree-ordered oriented CSR, each triangle credited to all three
@@ -2236,9 +2265,9 @@ def _hits_sql(K: int) -> str:
     return "".join(parts)
 
 
-def _harmonic_sql(L: int) -> str:
-    """Unrolled multi-source BFS (anti-join discovery, integer levels),
-    then hc(v) = Σ_s 1/lvl — forward half of _betweenness_sql."""
+def _bfs_closure_ctes(L: int) -> str:
+    """Shared unrolled multi-source BFS closure (anti-join discovery,
+    integer levels): CTE chain ending in ``v{L}(s, v, lvl)``."""
     es = (
         f"SELECT src, dst FROM ({_E_SPARSE}) "
         f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
@@ -2263,13 +2292,25 @@ def _harmonic_sql(L: int) -> str:
             f"UNION ALL SELECT * FROM n{l})"
             f", f{l} AS MATERIALIZED (SELECT * FROM n{l})"
         )
-    parts.append(
+    return "".join(parts)
+
+
+def _harmonic_sql(L: int) -> str:
+    """BFS closure, then hc(v) = Σ_s 1/lvl."""
+    return _bfs_closure_ctes(L) + (
         " SELECT vt.v AS vertex, ROUND(COALESCE(h.hsum, 0.0), 6) AS hc "
         "FROM verts vt LEFT JOIN ("
         f"SELECT v, SUM(1.0/lvl) AS hsum FROM v{L} WHERE lvl > 0 "
         "GROUP BY v) h ON h.v = vt.v"
     )
-    return "".join(parts)
+
+
+def _ecc_sql(L: int) -> str:
+    """BFS closure, then per-source max level + reachable count."""
+    return _bfs_closure_ctes(L) + (
+        f" SELECT s AS source, MAX(lvl) AS ecc, "
+        f"COUNT(*) AS n_reached FROM v{L} GROUP BY s"
+    )
 
 
 def _ngram_pair_ctes() -> str:
@@ -3201,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "adamic_adar": _q_adamic_adar,
         "harmonic_closeness": _q_harmonic_closeness,
+        "eccentricity": _q_eccentricity,
         "clustering_coeff": _q_clustering,
         # Distributed statistics
         "degree_hist": _q_degree_hist,
@@ -3369,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(_PR_K),
         "hits": _hits_sql(_HITS_K),
         "harmonic_closeness": _harmonic_sql(_HC_LEVELS),
+        "eccentricity": _ecc_sql(_HC_LEVELS),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "personalized_pagerank": _ppr_sql(_PR_K),
         "asof_purchase": (

@@ -20,6 +20,42 @@ import numpy as np
 from alp_ray.state.engine import GraphEngine
 
 
+def _bfs_chunk_levels(
+    engine: GraphEngine, chunk: list[int], max_levels: int
+) -> None:
+    """Multi-source BFS for one source chunk; leaves the (n_local, S)
+    level matrix in state ``"_hc_level"`` (-1 = unreached, 0 = self)."""
+    S = len(chunk)
+    ncols = {"_ncols": S}
+
+    def init(state, ctx, chunk=chunk, S=S):
+        ids = np.arange(ctx["part"], ctx["n"], ctx["P"])
+        own = ids[:, None] == np.asarray(chunk)[None, :]
+        state["_hc_level"] = np.where(own, 0.0, -1.0)
+        state["_hc_front"] = own
+        return {}
+
+    engine.map_local(init)
+
+    def pre(state, ctx):
+        f = state["_hc_front"]
+        return f.astype(np.float64), f.any(axis=1)
+
+    for l in range(1, max_levels + 1):
+
+        def post(state, y, ctx, l=l):
+            new = (state["_hc_level"] < -0.5) & (y > 0)
+            state["_hc_level"] = np.where(
+                new, float(l), state["_hc_level"]
+            )
+            state["_hc_front"] = new
+            return {"fsize": float(new.sum())}
+
+        r = engine.superstep(pre, "plus_first", post, scalars=ncols)
+        if r.get("fsize", 0) == 0:
+            break
+
+
 def harmonic_closeness(
     engine: GraphEngine,
     sources: list[int],
@@ -34,34 +70,7 @@ def harmonic_closeness(
     for lo in range(0, len(sources), batch):
         chunk = [int(s) for s in sources[lo:lo + batch]]
         S = len(chunk)
-        ncols = {"_ncols": S}
-
-        def init(state, ctx, chunk=chunk, S=S):
-            ids = np.arange(ctx["part"], ctx["n"], ctx["P"])
-            own = ids[:, None] == np.asarray(chunk)[None, :]
-            state["_hc_level"] = np.where(own, 0.0, -1.0)
-            state["_hc_front"] = own
-            return {}
-
-        engine.map_local(init)
-
-        def pre(state, ctx):
-            f = state["_hc_front"]
-            return f.astype(np.float64), f.any(axis=1)
-
-        for l in range(1, max_levels + 1):
-
-            def post(state, y, ctx, l=l):
-                new = (state["_hc_level"] < -0.5) & (y > 0)
-                state["_hc_level"] = np.where(
-                    new, float(l), state["_hc_level"]
-                )
-                state["_hc_front"] = new
-                return {"fsize": float(new.sum())}
-
-            r = engine.superstep(pre, "plus_first", post, scalars=ncols)
-            if r.get("fsize", 0) == 0:
-                break
+        _bfs_chunk_levels(engine, chunk, max_levels)
 
         def acc(state, ctx, S=S):
             lv = state["_hc_level"]
@@ -76,6 +85,43 @@ def harmonic_closeness(
 
         engine.map_local(acc)
     return engine.get_state_by_vertex(state_name)
+
+
+def eccentricity(
+    engine: GraphEngine,
+    sources: list[int],
+    max_levels: int = 12,
+    batch: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-source (ecc, n_reached) from the same multi-source BFS sweep:
+    ecc = max BFS level reached within ``max_levels`` (the exact
+    eccentricity when the frontier empties before the cap; a lower
+    bound — identical to the capped SQL twin — otherwise), n_reached
+    counts the source itself. Driver state is O(#sources) scalars from
+    per-shard column maxima/counts."""
+    eccs = np.zeros(len(sources), np.int64)
+    reach = np.zeros(len(sources), np.int64)
+    for lo in range(0, len(sources), batch):
+        chunk = [int(s) for s in sources[lo:lo + batch]]
+        _bfs_chunk_levels(engine, chunk, max_levels)
+
+        def stats(state, ctx):
+            lv = state["_hc_level"]
+            mx = lv.max(axis=0) if lv.size else np.full(
+                lv.shape[1], -1.0
+            )
+            return {
+                "max": [float(x) for x in mx],
+                "cnt": [int(x) for x in (lv >= 0).sum(axis=0)],
+            }
+
+        partials = engine.map_local(stats)
+        for c in range(len(chunk)):
+            eccs[lo + c] = int(
+                max(p["max"][c] for p in partials)
+            )
+            reach[lo + c] = sum(p["cnt"][c] for p in partials)
+    return eccs, reach
 
 
 def harmonic_oracle(

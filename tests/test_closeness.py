@@ -39,3 +39,31 @@ def test_harmonic_closeness_batch_invariant():
     )
     engine.shutdown()
     np.testing.assert_array_equal(full, small)
+
+
+def test_eccentricity_matches_bfs_oracle():
+    from alp_ray.pipelines.closeness import eccentricity
+
+    n = 70
+    src, dst = _digraph(n=n)
+    engine = GraphEngine.from_arrays(src, dst, None, n=n, P=4)
+    ecc, reach = eccentricity(engine, sources=[0, 1, 2], max_levels=10)
+    engine.shutdown()
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    for i, s in enumerate([0, 1, 2]):
+        level = {s: 0}
+        frontier = [s]
+        l = 0
+        while frontier and l < 10:
+            l += 1
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in level:
+                        level[w] = l
+                        nxt.append(w)
+            frontier = nxt
+        assert ecc[i] == max(level.values())
+        assert reach[i] == len(level)
