@@ -2058,6 +2058,28 @@ def _q_harmonic_closeness(sf_dir: str):
     )
 
 
+def _q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the sparse graph — integer counts
+    from one self-join, ratio mirrored verbatim in the twin."""
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.stats import reciprocity
+
+    matched, total = reciprocity(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True, dedup=True)
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([total], pa.int64()),
+            "n_reciprocal": pa.array([matched], pa.int64()),
+            "reciprocity": pa.array(
+                _round_half_away(
+                    np.array([matched / total if total else 0.0]), 6
+                )
+            ),
+        }
+    )
+
+
 def _q_eccentricity(sf_dir: str):
     """Per-source eccentricity + reachable-set size from the same
     multi-source BFS sweep as harmonic closeness (shared SQL closure)."""
@@ -3243,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "harmonic_closeness": _q_harmonic_closeness,
         "eccentricity": _q_eccentricity,
+        "reciprocity": _q_reciprocity,
         "clustering_coeff": _q_clustering,
         # Distributed statistics
         "degree_hist": _q_degree_hist,
@@ -3412,6 +3435,16 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(_HITS_K),
         "harmonic_closeness": _harmonic_sql(_HC_LEVELS),
         "eccentricity": _ecc_sql(_HC_LEVELS),
+        "reciprocity": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "m AS (SELECT COUNT(*) AS n_edges, "
+            "SUM(CASE WHEN EXISTS (SELECT 1 FROM ed r "
+            "WHERE r.src = ed.dst AND r.dst = ed.src) "
+            "THEN 1 ELSE 0 END) AS n_reciprocal FROM ed) "
+            "SELECT n_edges, n_reciprocal, "
+            "ROUND(n_reciprocal::DOUBLE / n_edges, 6) AS reciprocity "
+            "FROM m"
+        ),
         "pregel_pagerank": _pregel_pagerank_sql(_PPR_ROUNDS - 1),
         "personalized_pagerank": _ppr_sql(_PR_K),
         "asof_purchase": (

@@ -127,6 +127,37 @@ def degree_assortativity(
     return float(num / den)
 
 
+def reciprocity(
+    edges: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> tuple[int, int]:
+    """(n_reciprocal, n_edges) of a DISTINCT directed edge table: one
+    self-hash-join against the reversed edges (sized by
+    ``join_partitions``), counts only — integers, so the final ratio is
+    bitwise SQL-twinnable."""
+    from alp_ray.util import join_partitions
+
+    e = edges.select_columns(["src", "dst"]).materialize()
+    total = e.count()
+    if num_partitions is None:
+        num_partitions = join_partitions(total)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("dst").cast(pa.int64()),
+                "dst": batch.column("src").cast(pa.int64()),
+            }
+        )
+
+    rev = e.map_batches(swap, batch_format="pyarrow").materialize()
+    matched = e.join(
+        rev, join_type="inner", num_partitions=num_partitions,
+        on=("src", "dst"),
+    ).count()
+    return matched, total
+
+
 def exact_percentiles(
     ds: "ray.data.Dataset",
     col: str,

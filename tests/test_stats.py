@@ -102,3 +102,15 @@ def test_degree_assortativity_matches_numpy():
     ds = ray.data.from_arrow(pa.table({"src": s, "dst": d}))
     got = degree_assortativity(ds)
     assert abs(got - expected) < 1e-9
+
+
+def test_reciprocity_counts():
+    import ray.data
+
+    from alp_ray.stages.stats import reciprocity
+
+    src = np.array([0, 1, 2, 3, 4], np.int64)
+    dst = np.array([1, 0, 3, 2, 0], np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    matched, total = reciprocity(ds)
+    assert (matched, total) == (4, 5)
