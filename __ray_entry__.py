@@ -1962,6 +1962,52 @@ def _neighbor_sample_sql() -> str:
     )
 
 
+_KTRUSS_K = 30
+_KTRUSS_ROUNDS = 6  # unrolled peel rounds in the SQL twin
+
+
+def _q_ktruss(sf_dir: str):
+    """k-truss (k=30) of the dense graph: per-round distributed
+    triangle support (oriented-CSR wedge kernel) + peel; round count
+    asserted ≤ the twin's unroll (fixpoint rounds are no-ops)."""
+    from alp_ray.pipelines.ktruss import ktruss
+    from alp_ray.sources.tables import derived_edges
+
+    out, rounds = ktruss(
+        derived_edges(sf_dir, mod=MOD_DENSE, sparse=False, dedup=True),
+        k=_KTRUSS_K,
+    )
+    assert rounds <= _KTRUSS_ROUNDS, rounds
+    return out
+
+
+def _ktruss_sql(K: int, k: int) -> str:
+    """Unrolled support-and-peel rounds over the canonical undirected
+    dense edge set."""
+    need = k - 2
+    parts = [
+        f"WITH ed AS MATERIALIZED ({_E_DENSE}), ",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM ed)",
+    ]
+    for r in range(1, K + 1):
+        p = r - 1
+        parts.append(
+            f", t{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, "
+            f"e2.v AS c FROM e{p} e1 JOIN e{p} e2 ON e2.u = e1.v "
+            f"JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+            f", s{r} AS MATERIALIZED (SELECT u, v, COUNT(*) AS c FROM ("
+            f"SELECT a AS u, b AS v FROM t{r} "
+            f"UNION ALL SELECT b, c FROM t{r} "
+            f"UNION ALL SELECT a, c FROM t{r}) GROUP BY u, v)"
+            f", e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e "
+            f"JOIN s{r} s ON s.u = e.u AND s.v = e.v "
+            f"WHERE s.c >= {need})"
+        )
+    parts.append(f" SELECT u AS src, v AS dst FROM e{K}")
+    return "".join(parts)
+
+
 _MIS_ROUNDS = 8  # unrolled select/remove rounds in the SQL twin
 
 
@@ -3248,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "heavy_hitters": _q_heavy_hitters,
         "mis": _q_mis,
+        "ktruss": _q_ktruss,
         "minhash_keep": _q_minhash_keep,
         "personalized_pagerank": _q_personalized_pagerank,
         "graph_coloring": _q_coloring,
@@ -3589,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neighbor_sample": _neighbor_sample_sql(),
         "mis": _mis_sql(_MIS_ROUNDS),
+        "ktruss": _ktruss_sql(_KTRUSS_ROUNDS, _KTRUSS_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -1,0 +1,46 @@
+"""k-truss vs the sequential peeling oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from alp_ray.pipelines.ktruss import ktruss, ktruss_numpy
+
+
+def _graph(n=50, m=260, seed=23):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def test_ktruss_matches_oracle():
+    src, dst = _graph()
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    for k in (3, 4, 5):
+        got, rounds = ktruss(ds, k=k)
+        have = set(
+            zip(
+                got.column("src").to_pylist(),
+                got.column("dst").to_pylist(),
+            )
+        )
+        want = ktruss_numpy(src, dst, k)
+        assert have == want, (k, len(have), len(want))
+        assert rounds >= 1
+
+
+def test_ktruss_clique_survives():
+    # A 5-clique is a 5-truss; a pendant edge never survives k>=3.
+    cl = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges = cl + [(4, 9)]
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got, _ = ktruss(ds, k=5)
+    have = set(
+        zip(got.column("src").to_pylist(), got.column("dst").to_pylist())
+    )
+    assert have == set(cl)
