@@ -2245,6 +2245,81 @@ def _q_weighted_sample(sf_dir: str):
     })
 
 
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically plant one email/URL/phone into every 3rd doc
+    (the synth corpus contains none) so the scrub operator is
+    non-vacuous; the SQL twin rebuilds the identical planted text with
+    string concatenation."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(batch.column("doc_id"), np.int64)
+    extra = [
+        (
+            " contact user%d@example.com or https://ex%d.org/a call "
+            "%d-555-%04d" % (i, i, (i % 900) + 100, i % 10000)
+        )
+        if i % 3 == 0
+        else ""
+        for i in ids
+    ]
+    t = pc.binary_join_element_wise(
+        batch.column("text"), pa.array(extra, pa.string()), ""
+    )
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", t
+    )
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails/URLs/phones → typed placeholders) with
+    per-class counts; PII planted deterministically per doc_id."""
+    import ray.data
+
+    from alp_ray.stages.text import PiiScrubStage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = docs.map_batches(_plant_pii, batch_format="pyarrow").map_batches(
+        PiiScrubStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return out.select_columns(
+        ["doc_id", "n_urls", "n_emails", "n_phones", "clean_text"]
+    )
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Cross-document paragraph-repetition removal (CCNet/Gopher-style
+    20-token chunks; corpus-wide first occurrence wins)."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import paragraph_dedup_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return paragraph_dedup_stats(docs)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Training-data decontamination: flag docs sharing any 13-token
+    gram with the benchmark subset (doc_id < 10), gram set broadcast
+    once via ray.put."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from alp_ray.pipelines.dedup import benchmark_ngrams, decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    grams = benchmark_ngrams(
+        docs, lambda b: pc.less(b.column("doc_id"), 10), n=13
+    )
+    return decontaminate(docs, grams, n=13)
+
+
 # ------------------------------------------------- unrolled SQL twins --
 #
 # Iterative algorithms get DuckDB oracles by unrolling a FIXED number of
@@ -3318,6 +3393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": _q_degree_hist,
         "percentiles_price": _q_percentiles,
         "weighted_sample": _q_weighted_sample,
+        # Training-data hygiene operators
+        "pii_scrub": _q_pii_scrub,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -3812,5 +3891,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pr[1] || ' ' || pr[2] AS bigram, "
             "COUNT(*)::BIGINT AS cnt "
             "FROM p WHERE pr[2] IS NOT NULL GROUP BY 1"
+        ),
+        # Training-data hygiene twins. The PII plant expression rebuilds
+        # _plant_pii's strings verbatim; the regexes are RE2 on BOTH
+        # engines (pyarrow and DuckDB), replaced in the same order
+        # (URL → EMAIL → PHONE), each class counted on the text AFTER
+        # the previous class was replaced.
+        "pii_scrub": (
+            "WITH planted AS (SELECT doc_id, text || CASE WHEN "
+            "doc_id % 3 = 0 THEN ' contact user' || doc_id "
+            "|| '@example.com or https://ex' || doc_id || '.org/a call '"
+            " || ((doc_id % 900) + 100) || '-555-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "ELSE '' END AS text FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, 'https?://[^\\s]+')) "
+            "AS BIGINT) AS n_urls, "
+            "regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') "
+            "AS text FROM planted), "
+            "s2 AS (SELECT doc_id, n_urls, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_emails, "
+            "regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS text FROM s1) "
+            "SELECT doc_id, n_urls, n_emails, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones, "
+            "regexp_replace(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', "
+            "'<PHONE>', 'g') AS clean_text FROM s2"
+        ),
+        "paragraph_dedup": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, t, "
+            "unnest(range((len(t) + 19) // 20)) AS i FROM toks), "
+            "p2 AS (SELECT doc_id, i AS para_idx, array_to_string("
+            "list_slice(t, i * 20 + 1, (i + 1) * 20), ' ') AS para "
+            "FROM idx), "
+            "keep AS (SELECT para, MIN(doc_id * 1048576 + para_idx) "
+            "AS mk FROM p2 GROUP BY para) "
+            "SELECT doc_id, CAST(SUM(n_paras) AS BIGINT) AS n_paras, "
+            "CAST(SUM(kept) AS BIGINT) AS n_kept, "
+            "CAST(SUM(chars) AS BIGINT) AS kept_chars FROM ("
+            "SELECT doc_id, COUNT(*) AS n_paras, 0 AS kept, 0 AS chars "
+            "FROM p2 GROUP BY doc_id "
+            "UNION ALL "
+            "SELECT mk // 1048576 AS doc_id, 0, 1, length(para) "
+            "FROM keep) GROUP BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, t, unnest(range(len(t) - 12)) AS i "
+            "FROM toks WHERE len(t) >= 13), "
+            "g AS (SELECT doc_id, array_to_string("
+            "list_slice(t, i + 1, i + 13), ' ') AS gram FROM w), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10) "
+            "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated "
+            "FROM g JOIN bench ON g.gram = bench.gram GROUP BY g.doc_id"
         ),
     }

@@ -915,3 +915,254 @@ def embedding_cosine_pairs(
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------- paragraph-repetition removal --
+
+
+PARA_LEN = 20          # tokens per paragraph chunk
+_PARA_KEY_SHIFT = 20   # key = doc_id << shift | para_idx (para_idx < 2^20)
+
+
+def _paragraph_partials(
+    batch: pa.Table, id_col: str, text_col: str, para_len: int
+) -> pa.Table:
+    """Per-batch paragraph table: (para, key, chars) — one row per
+    paragraph chunk of ``para_len`` tokens (last chunk may be shorter).
+    Paragraph strings are built with ZERO per-row Python: the
+    single-space token split's flat values are re-listed at paragraph
+    boundaries (paragraphs tile the token stream exactly, so the list
+    offsets are just every para_len-th token start) and joined with one
+    ``pc.binary_join``. key packs (doc_id, para_idx) so a Min-aggregate
+    finds the corpus-wide FIRST occurrence of each paragraph."""
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    doc_ids = np.asarray(batch.column(id_col), np.int64)
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    n_tok = np.diff(offs)
+    n_para = -(-n_tok // para_len)          # ceil; empty docs → 0 paras
+    total = int(n_para.sum())
+    if total == 0:
+        return pa.table({
+            "para": pa.array([], pa.string()),
+            "key": pa.array([], pa.int64()),
+            "chars": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+        })
+    cum = np.concatenate([[0], np.cumsum(n_para)[:-1]])
+    para_idx = np.arange(total) - np.repeat(cum, n_para)
+    starts = np.repeat(offs[:-1], n_para) + para_idx * para_len
+    list_offs = np.concatenate([starts, offs[-1:]]).astype(np.int32)
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(list_offs), toks.values), " "
+    )
+    keys = (np.repeat(doc_ids, n_para) << _PARA_KEY_SHIFT) | para_idx
+    return pa.table({
+        "para": paras,
+        "key": pa.array(keys),
+        "chars": pc.cast(pc.utf8_length(paras), pa.int64()),
+        id_col: pa.array(np.repeat(doc_ids, n_para)),
+    })
+
+
+def paragraph_dedup_stats(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_len: int = PARA_LEN,
+) -> "ray.data.Dataset":
+    """Cross-document paragraph-repetition removal (CCNet/Gopher-style):
+    chunk every document into ``para_len``-token paragraphs, keep only
+    the corpus-wide FIRST occurrence (min (doc_id, para_idx)) of each
+    distinct paragraph string, and report per-document
+    (n_paras, n_kept, kept_chars).
+
+    Shuffle plan (scale path): per-batch vectorized paragraph emission →
+    ONE paragraph-keyed groupby Min(key) (the only wide exchange, keyed
+    by paragraph text ≙ hash partitioning on content) → per-batch
+    re-keying of winners to their doc → ONE doc-keyed groupby Sum.
+    No joins, no driver materialization; paragraph count ≈ tokens/20 so
+    the exchange is ~5% of corpus token volume."""
+    from ray.data.aggregate import Sum
+
+    paras = docs.map_batches(
+        lambda b: _paragraph_partials(b, id_col, text_col, para_len),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        # Per-doc paragraph counts ride the same partials (docs never
+        # split across batches, so per-batch value_counts sum exactly).
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column(id_col))
+        return pa.table({
+            id_col: vc.field("values"),
+            "n_paras": pc.cast(vc.field("counts"), pa.int64()),
+            "n_kept": pa.array(np.zeros(len(vc), np.int64)),
+            "kept_chars": pa.array(np.zeros(len(vc), np.int64)),
+        })
+
+    totals_ds = paras.map_batches(totals, batch_format="pyarrow")
+
+    winners = (
+        paras.groupby("para")
+        .aggregate(Min("key", alias_name="mk"), Min("chars",
+                                                    alias_name="chars_m"))
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        if "mk" not in batch.column_names or len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_paras": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_chars": pa.array([], pa.int64()),
+            })
+        mk = np.asarray(batch.column("mk"), np.int64)
+        chars = np.asarray(batch.column("chars_m"), np.int64)
+        return pa.table({
+            id_col: pa.array(mk >> _PARA_KEY_SHIFT),
+            "n_paras": pa.array(np.zeros(mk.size, np.int64)),
+            "n_kept": pa.array(np.ones(mk.size, np.int64)),
+            "kept_chars": pa.array(chars),
+        })
+
+    kept_ds = winners.map_batches(rekey, batch_format="pyarrow")
+
+    agg = (
+        totals_ds.union(kept_ds)
+        .groupby(id_col)
+        .aggregate(Sum("n_paras", alias_name="n_paras"),
+                   Sum("n_kept", alias_name="n_kept"),
+                   Sum("kept_chars", alias_name="kept_chars"))
+    )
+    return agg
+
+
+# ------------------------------------------------------ decontamination --
+
+
+def benchmark_ngrams(
+    docs: "ray.data.Dataset",
+    bench_pred,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Collect the DISTINCT token n-grams of the (small) benchmark
+    subset — the broadcast side of decontamination. ``bench_pred`` is a
+    pyarrow-compute predicate over the id column. The result is
+    driver-held by design: benchmark suites are tiny (thousands of
+    docs) next to the corpus."""
+    import pyarrow.compute as pc
+
+    sub = docs.map_batches(
+        lambda b: b.filter(bench_pred(b)), batch_format="pyarrow"
+    )
+    grams: set[str] = set()
+    for batch in sub.iter_batches(batch_format="pyarrow"):
+        t = _token_ngrams(pa.table(batch), n, id_col, text_col)
+        grams.update(t.column("gram").to_pylist())
+    return sorted(grams)
+
+
+def _token_ngrams(
+    batch: pa.Table, n: int, id_col: str, text_col: str
+) -> pa.Table:
+    """All sliding token n-grams of a batch: (doc_id, gram) —
+    ``n`` shifted zero-copy slices of the flat token values joined
+    element-wise; windows crossing a document boundary are masked out."""
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    doc_ids = np.asarray(batch.column(id_col), np.int64)
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    counts = np.diff(offs)
+    values = toks.values
+    total = len(values)
+    if total < n:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+        })
+    doc_of_tok = np.repeat(np.arange(counts.size), counts)
+    shifted = [values.slice(k, total - n + 1) for k in range(n)]
+    args = list(shifted) + [" "]
+    grams = pc.binary_join_element_wise(*args)
+    valid = doc_of_tok[n - 1:] == doc_of_tok[: total - n + 1]
+    return pa.table({
+        id_col: pa.array(doc_ids[doc_of_tok[: total - n + 1][valid]]),
+        "gram": pc.filter(grams, pa.array(valid)),
+    })
+
+
+class DecontaminateStage:
+    """Flag corpus documents sharing any token n-gram with a broadcast
+    benchmark gram set (training-data decontamination). The gram set
+    rides ``ray.put`` ONCE and is read per actor in ``__init__`` —
+    never re-shipped per batch. Per batch: one n-way element-wise join
+    builds all sliding grams, one ``pc.is_in`` tests membership, one
+    ``reduceat`` counts hits per document."""
+
+    def __init__(self, grams_ref, n: int = 13,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.gram_set = pa.array(ray.get(grams_ref), pa.string())
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _token_ngrams(batch, self.n, self.id_col, self.text_col)
+        if len(t) == 0:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "n_contaminated": pa.array([], pa.int64()),
+            })
+        hit = pc.is_in(t.column("gram"), value_set=self.gram_set)
+        ids = np.asarray(t.column(self.id_col), np.int64)
+        hits = np.asarray(hit, bool).astype(np.int64)
+        # Per-doc segment sum (grams are emitted doc-major).
+        b = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(b)
+        seg = np.add.reduceat(hits, starts)
+        doc = ids[starts]
+        nz = seg > 0
+        return pa.table({
+            self.id_col: pa.array(doc[nz]),
+            "n_contaminated": pa.array(seg[nz]),
+        })
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    grams: list[str],
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document contaminated-window counts vs a broadcast benchmark
+    gram set (docs with zero hits are dropped)."""
+    ref = ray.put(grams)
+    return docs.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs={
+            "grams_ref": ref, "n": n,
+            "id_col": id_col, "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -251,6 +251,45 @@ class FingerprintStage:
         return batch.append_column("fingerprint", pa.array(h))
 
 
+class PiiScrubStage:
+    """PII redaction: replace emails / URLs / simple phone numbers with
+    typed placeholders and count each redaction class per document.
+
+    Patterns are RE2 (pyarrow's regex engine) and are chosen so the
+    DuckDB twin (also RE2) behaves byte-for-byte identically:
+
+    - URL    ``https?://[^\\s]+``               → ``<URL>``
+    - EMAIL  ``[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}`` → ``<EMAIL>``
+    - PHONE  ``[0-9]{3}-[0-9]{3}-[0-9]{4}``     → ``<PHONE>``
+
+    Replacement ORDER matters (URL first so an address inside a URL is
+    consumed by the URL rule) and is part of the operator contract.
+    Fully vectorized: three ``count_substring_regex`` + three
+    ``replace_substring_regex`` Arrow kernel calls per batch, compiled
+    patterns held per actor."""
+
+    URL = r"https?://[^\s]+"
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        out = batch
+        for name, pat, repl in (
+            ("n_urls", self.URL, "<URL>"),
+            ("n_emails", self.EMAIL, "<EMAIL>"),
+            ("n_phones", self.PHONE, "<PHONE>"),
+        ):
+            cnt = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, repl)
+            out = out.append_column(name, cnt)
+        i = out.schema.get_field_index(self.text_col)
+        return out.set_column(i, "clean_text", text)
+
+
 # ------------------------------------------------------- TF-IDF / n-grams --
 
 
