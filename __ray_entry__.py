@@ -240,6 +240,31 @@ def _q_components(sf_dir: str):
     )
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components (directed sparse graph) via the
+    engine's FW-BW coloring; labels = min member id, all vertices
+    (isolated ones are their own singleton SCC)."""
+    from alp_ray.pipelines.scc import strongly_connected_components
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.state.engine import GraphEngine
+
+    edges = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True)
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    strongly_connected_components(engine)
+    labels = engine.get_state_by_vertex("scc").astype(np.int64)
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(
+                np.arange(MOD_SPARSE, dtype=np.int64)
+            ),
+            "scc": pa.array(labels),
+        }
+    )
+
+
 def _q_khop2(sf_dir: str):
     from alp_ray.pipelines.traversal import khop
     from alp_ray.state.engine import GraphEngine
@@ -3310,6 +3335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_two_hop": _q_spgemm,
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
+        "scc": _q_scc,
         "khop2": _q_khop2,
         "sssp_hops4": _q_sssp4,
         "pagerank": _q_pagerank,
@@ -3451,6 +3477,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_triangles FROM ec e1 "
             "JOIN ec e2 ON e2.a = e1.b "
             "JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "scc": (
+            f"WITH es AS ({_E_SPARSE}), "
+            f"verts AS (SELECT range::BIGINT AS v FROM range({MOD_SPARSE})), "
+            "reach AS ("
+            "  WITH RECURSIVE r(v, u) AS ("
+            "    SELECT v, v FROM verts "
+            "    UNION "
+            "    SELECT r.v, es.dst FROM r JOIN es ON es.src = r.u"
+            "  ) SELECT * FROM r"
+            ") "
+            "SELECT r1.v AS vertex, CAST(MIN(r1.u) AS BIGINT) AS scc "
+            "FROM reach r1 JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v "
+            "GROUP BY r1.v"
         ),
         "connected_components": (
             "WITH es AS ("
