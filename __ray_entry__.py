@@ -2326,6 +2326,21 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup_stats(docs)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Exact substring-span dedup stats (Lee et al. 2022 primitive):
+    per-doc count of distinct 8-token windows shared with ≥1 other
+    document. One coarse hash-partitioned map_groups + one doc-keyed
+    groupby — no joins, no driver materialization."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_span_stats(docs, k=8)
+
+
 def _q_decontaminate(sf_dir: str):
     """Training-data decontamination: flag docs sharing any 13-token
     gram with the benchmark subset (doc_id < 10), gram set broadcast
@@ -3422,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Training-data hygiene operators
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
+        "dup_spans": _q_dup_spans,
         "decontaminate": _q_decontaminate,
     }
 
@@ -3980,6 +3996,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT mk // 1048576 AS doc_id, 0, 1, length(para) "
             "FROM keep) GROUP BY doc_id"
+        ),
+        "dup_spans": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i "
+            "FROM toks WHERE len(t) >= 8), "
+            "wins AS (SELECT doc_id, array_to_string("
+            "list_slice(t, i + 1, i + 8), ' ') AS win FROM w), "
+            "dw AS (SELECT DISTINCT doc_id, win FROM wins), "
+            "dup AS (SELECT win FROM dw GROUP BY win "
+            "HAVING COUNT(*) >= 2) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows "
+            "FROM dw WHERE win IN (SELECT win FROM dup) GROUP BY doc_id"
         ),
         "decontaminate": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "

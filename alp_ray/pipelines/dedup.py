@@ -1166,3 +1166,134 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ------------------------------------------------- exact substring spans --
+
+_SPAN_BASE = 0x9E3779B97F4A7C15  # odd ⇒ invertible mod 2^64
+
+
+def _span_partials(
+    batch: pa.Table, k: int, n_parts: int, id_col: str, text_col: str
+) -> pa.Table:
+    """Per-batch (h, doc_id, part) rows: one per DISTINCT k-token window
+    per document. Window identity is a polynomial combine (base
+    ``_SPAN_BASE``, mod 2^64) of per-token blake2b hashes — injective up
+    to hash collisions on the token SEQUENCE, and token sequences map
+    1:1 to space-joined window strings, so grouping by ``h`` equals
+    grouping by the window text (the SQL-twin contract). blake2b runs
+    once per UNIQUE token in the batch; everything else is NumPy."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "h": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "part": pa.array([], pa.int64()),
+    })
+    if len(batch) == 0:
+        return empty
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    doc_ids = np.asarray(batch.column(id_col), np.int64)
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    n_tok = np.diff(offs)
+    n_win = np.maximum(n_tok - (k - 1), 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return empty
+    words = np.array(toks.values.to_pylist(), dtype=object)
+    uniq, inv = np.unique(words, return_inverse=True)
+    th = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                "little",
+            )
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=uniq.size,
+    )[inv]
+    cum = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    win_idx = np.arange(total) - np.repeat(cum, n_win)
+    starts = np.repeat(offs[:-1], n_win) + win_idx
+    wh = np.zeros(total, np.uint64)
+    mult = 1
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            wh += th[starts + j] * np.uint64(mult)
+            mult = (mult * _SPAN_BASE) & 0xFFFFFFFFFFFFFFFF
+    wdoc = np.repeat(doc_ids, n_win)
+    # Distinct (doc, window) — exact globally because a document is one
+    # row and rows never split across batches.
+    order = np.lexsort((wh, wdoc))
+    wh, wdoc = wh[order], wdoc[order]
+    keep = np.ones(total, bool)
+    keep[1:] = (wh[1:] != wh[:-1]) | (wdoc[1:] != wdoc[:-1])
+    wh, wdoc = wh[keep], wdoc[keep]
+    return pa.table({
+        "h": pa.array(wh.view(np.int64)),
+        id_col: pa.array(wdoc),
+        "part": pa.array((wh % np.uint64(n_parts)).astype(np.int64)),
+    })
+
+
+def dup_span_stats(
+    docs: "ray.data.Dataset",
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Exact substring-span deduplication statistics (the Lee et al.
+    2022 "Deduplicating Training Data" primitive): for every document,
+    count its DISTINCT k-token windows that also occur in at least one
+    OTHER document. Returns (doc_id, dup_windows) for docs with ≥1 hit.
+
+    Shuffle plan: per-batch vectorized window hashing (≈ tokens/1
+    windows, but only DISTINCT (doc, window) pairs leave the batch) →
+    ONE coarse hash-partitioned ``map_groups`` that counts docs per
+    window and attributes shared windows back to docs (vectorized
+    bincount — no per-window dispatch) → one doc-keyed groupby Sum.
+    No joins, no driver materialization; skew-free because window
+    hashes are uniform."""
+    from ray.data.aggregate import Sum
+
+    n_parts = coarse_parts()
+    pairs = docs.map_batches(
+        lambda b: _span_partials(b, k, n_parts, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def per_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dup_windows": pa.array([], pa.int64()),
+        })
+        if "h" not in tbl.column_names or tbl.num_rows == 0:
+            return empty
+        h = np.asarray(tbl.column("h"), np.int64)
+        d = np.asarray(tbl.column(id_col), np.int64)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        new = np.ones(h.size, bool)
+        new[1:] = h[1:] != h[:-1]
+        seg = np.cumsum(new) - 1
+        dup = np.bincount(seg)[seg] >= 2  # rows per h == docs per h
+        if not dup.any():
+            return empty
+        ud, cnt = np.unique(d[dup], return_counts=True)
+        return pa.table({
+            id_col: pa.array(ud),
+            "dup_windows": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = pairs.groupby("part").map_groups(
+        per_part, batch_format="pyarrow"
+    )
+    return partials.groupby(id_col).aggregate(
+        Sum("dup_windows", alias_name="dup_windows")
+    )

@@ -96,3 +96,56 @@ def test_decontaminate_window_never_crosses_docs():
     ds = _docs([(1, half), (2, half)])
     grams = benchmark_ngrams(ds, lambda b: pc.less(b.column("doc_id"), 99))
     assert grams == []
+
+
+def _dup_span_oracle(rows, k):
+    """Set-based reference: distinct k-token windows per doc; count
+    windows appearing in ≥2 docs."""
+    wins = {d: set() for d, _ in rows}
+    for d, t in rows:
+        toks = t.split(" ")
+        for i in range(max(0, len(toks) - k + 1)):
+            wins[d].add(" ".join(toks[i:i + k]))
+    from collections import Counter
+
+    df = Counter(w for s in wins.values() for w in s)
+    return {
+        d: sum(1 for w in s if df[w] >= 2)
+        for d, s in wins.items()
+        if any(df[w] >= 2 for w in s)
+    }
+
+
+def test_dup_spans_matches_set_oracle():
+    from alp_ray.pipelines.dedup import dup_span_stats
+
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (d, " ".join(rng.choice(vocab, rng.randint(2, 30)).tolist()))
+        for d in range(40)
+    ]
+    # Plant an exact shared 8-token span across two otherwise-random docs.
+    span = " ".join(vocab[:8])
+    rows[5] = (5, rows[5][1] + " " + span)
+    rows[9] = (9, span + " " + rows[9][1])
+    got = (
+        dup_span_stats(_docs(rows), k=8)
+        .to_pandas()
+        .set_index("doc_id")["dup_windows"]
+        .to_dict()
+    )
+    assert got == _dup_span_oracle(rows, 8)
+    assert got[5] >= 1 and got[9] >= 1
+
+
+def test_dup_spans_short_docs_and_within_doc_repeat():
+    from alp_ray.pipelines.dedup import dup_span_stats
+
+    # Doc 1 repeats its own window — NOT a cross-doc dup (distinct per
+    # doc, df counts docs). Docs shorter than k emit nothing.
+    w = " ".join(["a"] * 8)
+    out = dup_span_stats(
+        _docs([(1, w + " " + w), (2, "too short"), (3, "")]), k=8
+    ).to_pandas()
+    assert len(out) == 0
