@@ -1077,6 +1077,20 @@ def _q_sessions(sf_dir: str):
     )
 
 
+def _q_running_window(sf_dir: str):
+    """Per-user ordered window functions (ROW_NUMBER / running SUM /
+    LAG gap) — integer-exact: running sums in cents, gaps in µs."""
+    import ray.data
+
+    from alp_ray.stages.window import keyed_running
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return keyed_running(ev)
+
+
 def _q_ann_top10(sf_dir: str):
     import ray.data
 
@@ -3378,6 +3392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans,
         "window_hourly": _q_window_hourly,
         "sessions": _q_sessions,
+        "running_window": _q_running_window,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3599,6 +3614,17 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "running_window": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents, "
+            "COALESCE(CAST(date_diff('microsecond', "
+            "LAG(ts) OVER w, ts) AS BIGINT), -1) AS gap_us "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "ann_top10": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings "

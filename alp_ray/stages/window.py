@@ -174,3 +174,89 @@ def sessionize(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def keyed_running(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key ordered window functions — the ROW_NUMBER / running-SUM /
+    LAG family Ray Data has no native operator for. For every event:
+    its rank within the key's (ts, id)-ordered stream, the running sum
+    of ``value`` (in exact integer cents — FP cumsum order would flake
+    hash gates), and the µs gap to the key's previous event (-1 for the
+    first). Returns (id, key, seq, running_cents, gap_us).
+
+    Physical plan: sessionize's coarse key-hash partition → ONE
+    vectorized lexsort + segment-prefix kernel per partition. Whole
+    keys co-locate, so partition-local prefix sums are globally exact;
+    nothing is per-row or per-key Python."""
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+                "__cents": pa.array(cents),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "running_cents": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column(key_col), np.int64)
+        i = np.asarray(group.column(id_col), np.int64)
+        t = np.asarray(group.column("__ts"), np.int64)
+        c = np.asarray(group.column("__cents"), np.int64)
+        order = np.lexsort((i, t, u))
+        u, i, t, c = u[order], i[order], t[order], c[order]
+        idx = np.arange(u.size, dtype=np.int64)
+        new_key = np.r_[True, u[1:] != u[:-1]]
+        first = np.maximum.accumulate(np.where(new_key, idx, -1))
+        seq = idx - first + 1
+        cs = np.cumsum(c)
+        before = np.where(first > 0, cs[np.maximum(first - 1, 0)], 0)
+        running = cs - before
+        gap = np.r_[np.int64(0), t[1:] - t[:-1]]
+        gap[new_key] = -1
+        return pa.table(
+            {
+                id_col: pa.array(i),
+                key_col: pa.array(u),
+                "seq": pa.array(seq),
+                "running_cents": pa.array(running),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

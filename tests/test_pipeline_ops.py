@@ -428,3 +428,60 @@ def test_ivf_one_pass_multi_query_and_store(emb, tmp_path):
     mem4 = ivf_topk(bucketed, C, Q, k=5, nprobe=3).to_pandas()
     store4 = ivf_topk_from_store(path, C, Q, k=5, nprobe=3).to_pandas()
     assert mem4.round(9).equals(store4.round(9))
+
+
+def test_keyed_running_ties_singletons_and_prefix_exactness():
+    from alp_ray.stages.window import keyed_running
+
+    # user 1: three events, two with TIED ts (order falls back to
+    # event_id); user 2: a single event (gap = -1, seq = 1).
+    tbl = pa.table({
+        "event_id": pa.array([10, 11, 12, 20], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([100, 100, 250, 7], pa.timestamp("us")),
+        "value": pa.array([1.25, 2.50, 0.30, 9.99], pa.float64()),
+    })
+    out = (
+        keyed_running(ray.data.from_arrow(tbl), n_parts=3)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out["seq"].tolist() == [1, 2, 3, 1]
+    assert out["running_cents"].tolist() == [125, 375, 405, 999]
+    assert out["gap_us"].tolist() == [-1, 0, 150, -1]
+
+
+def test_keyed_running_matches_pandas_across_partitions():
+    from alp_ray.stages.window import keyed_running
+
+    rng = np.random.RandomState(11)
+    n = 500
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 17, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10**7, n), pa.timestamp("us")),
+        "value": pa.array(
+            np.round(rng.uniform(0, 100, n), 2), pa.float64()
+        ),
+    })
+    got = (
+        keyed_running(ray.data.from_arrow(tbl), n_parts=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+    df["ts_us"] = df["ts"].astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    df["seq"] = df.groupby("user_id").cumcount() + 1
+    df["running_cents"] = df.groupby("user_id")["cents"].cumsum()
+    df["gap_us"] = (
+        df.groupby("user_id")["ts_us"].diff().fillna(-1).astype(np.int64)
+    )
+    want = df.sort_values("event_id").reset_index(drop=True)
+    for c in ("seq", "running_cents", "gap_us"):
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
