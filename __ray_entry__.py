@@ -1077,6 +1077,21 @@ def _q_sessions(sf_dir: str):
     )
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: item pairs bought together in ≥2
+    orders, weighted by order count (bipartite projection of the
+    order-part graph). Whole orders co-locate by hash; pairs are
+    pre-aggregated per partition before the one (a,b)-keyed sum."""
+    import ray.data
+
+    from alp_ray.stages.relational import co_occurrence
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return co_occurrence(li, min_count=2)
+
+
 def _q_running_window(sf_dir: str):
     """Per-user ordered window functions (ROW_NUMBER / running SUM /
     LAG gap) — integer-exact: running sums in cents, gaps in µs."""
@@ -3393,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": _q_window_hourly,
         "sessions": _q_sessions,
         "running_window": _q_running_window,
+        "copurchase_pairs": _q_copurchase_pairs,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3614,6 +3630,14 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "copurchase_pairs": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem) "
+            "SELECT a.p AS item_a, b.p AS item_b, "
+            "COUNT(*) AS n_groups "
+            "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
         ),
         "running_window": (
             "SELECT event_id, user_id, "

@@ -472,3 +472,107 @@ def hash_sample(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def co_occurrence(
+    ds: "ray.data.Dataset",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_count: int = 2,
+    max_group: int = 1024,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Bipartite projection / market-basket co-occurrence: for every
+    unordered item pair appearing together in ≥ ``min_count`` groups,
+    the number of groups containing both. The classic item-item graph
+    build behind recommender / link-prediction pipelines; pair weight
+    = |{g : a ∈ g ∧ b ∈ g}|.
+
+    Physical plan: co-locate whole groups by ``group % n_parts`` → ONE
+    vectorized kernel per partition that sorts (group, item), dedupes
+    within group, emits each group's d·(d−1)/2 pairs via segment
+    repeat/arange index arithmetic (no per-group dispatch), and
+    PRE-AGGREGATES pair counts partition-locally → one (a, b)-keyed
+    groupby Sum of the pre-reduced partials. Output volume per group is
+    d², so groups larger than ``max_group`` items are dropped with a
+    warning — the standard heavy-basket guard (a group that large adds
+    ~no ranking signal but 10⁶ pairs)."""
+    from ray.data.aggregate import Sum
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+    tagged = _part_tag(
+        ds.select_columns([group_col, item_col]), group_col, n_parts
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "item_a": pa.array([], pa.int64()),
+            "item_b": pa.array([], pa.int64()),
+            "n_groups": pa.array([], pa.int64()),
+        })
+        if group_col not in group.column_names or group.num_rows == 0:
+            return empty
+        g = np.asarray(group.column(group_col), np.int64)
+        it = np.asarray(group.column(item_col), np.int64)
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        # Distinct (group, item).
+        keep = np.r_[True, (g[1:] != g[:-1]) | (it[1:] != it[:-1])]
+        g, it = g[keep], it[keep]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        d = np.diff(np.r_[starts, g.size])
+        big = d > max_group
+        if big.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "co_occurrence: dropping %d group(s) larger than %d "
+                "items (heavy-basket guard)", int(big.sum()), max_group,
+            )
+            sel = np.repeat(~big, d)
+            g, it = g[sel], it[sel]
+            starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) \
+                if g.size else np.array([], np.int64)
+            d = np.diff(np.r_[starts, g.size])
+        # Every element pairs with the later elements of its group:
+        # element at in-group position p contributes (d - 1 - p)
+        # pairs (itself as the left endpoint). All-integer index
+        # arithmetic — one repeat per endpoint, no per-group loop.
+        pos = np.arange(g.size, dtype=np.int64) - np.repeat(starts, d)
+        n_right = np.repeat(d, d) - 1 - pos
+        total = int(n_right.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(g.size, dtype=np.int64), n_right)
+        cum_e = np.concatenate([[0], np.cumsum(n_right)[:-1]])
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum_e, n_right)
+        a, b = it[left], it[left + 1 + off]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # Partition-local pre-aggregation: same pair across groups.
+        key = np.stack([lo, hi], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({
+            "item_a": pa.array(uniq[:, 0]),
+            "item_b": pa.array(uniq[:, 1]),
+            "n_groups": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = tagged.groupby("__part").map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    agg = partials.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n_groups", alias_name="n_groups")
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        if "n_groups" not in batch.column_names or len(batch) == 0:
+            return pa.table({
+                "item_a": pa.array([], pa.int64()),
+                "item_b": pa.array([], pa.int64()),
+                "n_groups": pa.array([], pa.int64()),
+            })
+        keep = np.asarray(batch.column("n_groups"), np.int64) >= min_count
+        return batch.filter(pa.array(keep))
+
+    return agg.map_batches(threshold, batch_format="pyarrow")

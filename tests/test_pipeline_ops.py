@@ -485,3 +485,45 @@ def test_keyed_running_matches_pandas_across_partitions():
         np.testing.assert_array_equal(
             got[c].to_numpy(), want[c].to_numpy(), err_msg=c
         )
+
+
+def test_co_occurrence_counts_and_heavy_basket_guard():
+    from alp_ray.stages.relational import co_occurrence
+
+    # Groups: 10={1,2,3}, 11={2,3}, 12={2,3}(dup rows), 13=big (capped).
+    g = [10, 10, 10, 11, 11, 12, 12, 12] + [13] * 6
+    it = [1, 2, 3, 2, 3, 3, 2, 2] + list(range(100, 106))
+    tbl = pa.table({
+        "g": pa.array(g, pa.int64()),
+        "i": pa.array(it, pa.int64()),
+    })
+    out = (
+        co_occurrence(
+            ray.data.from_arrow(tbl), group_col="g", item_col="i",
+            min_count=1, max_group=4, n_parts=3,
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    # Group 13 (6 items > max_group=4) contributes nothing.
+    want = {(1, 2): 1, (1, 3): 1, (2, 3): 3}
+    got = {
+        (r.item_a, r.item_b): r.n_groups for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_co_occurrence_min_count_threshold():
+    from alp_ray.stages.relational import co_occurrence
+
+    tbl = pa.table({
+        "g": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "i": pa.array([7, 8, 7, 8, 7, 9], pa.int64()),
+    })
+    out = co_occurrence(
+        ray.data.from_arrow(tbl), group_col="g", item_col="i",
+        min_count=2, n_parts=2,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == [7, 8, 2]
