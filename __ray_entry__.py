@@ -299,6 +299,55 @@ def _q_sssp4(sf_dir: str):
     )
 
 
+_SSSP_FULL_K = 12  # unrolled twin steps — an UPPER bound, not the exact
+# count (min-plus relaxation past the fixpoint is idempotent); the query
+# asserts convergence within it.
+
+
+def _q_sssp_full(sf_dir: str):
+    """SSSP to CONVERGENCE (Bellman-Ford fixpoint), not hop-limited:
+    integer weights ⇒ bitwise-exact distances at any iteration order."""
+    from alp_ray.pipelines.traversal import sssp
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir, weighted=True), n=MOD_DENSE, P=4,
+        weighted=True,
+    )
+    dist, iters = sssp(engine, source=0, return_iters=True)
+    engine.shutdown()
+    assert iters <= _SSSP_FULL_K, (
+        f"sssp did not converge within the twin's {_SSSP_FULL_K} "
+        f"unrolled steps (took {iters})"
+    )
+    finite = np.isfinite(dist)
+    ids = np.flatnonzero(finite)
+    return pa.table(
+        {
+            "vertex": pa.array(ids.astype(np.int64)),
+            "dist": pa.array(np.round(dist[ids], 6)),
+        }
+    )
+
+
+def _sssp_full_oracle() -> str:
+    steps = ["b0 AS MATERIALIZED (SELECT 0 AS v, CAST(0 AS DOUBLE) AS d)"]
+    for i in range(1, _SSSP_FULL_K + 1):
+        p = f"b{i - 1}"
+        steps.append(
+            f"b{i} AS MATERIALIZED (SELECT v, MIN(d) AS d FROM ("
+            f"  SELECT * FROM {p} UNION ALL "
+            f"  SELECT e.dst, {p}.d + e.weight FROM {p} "
+            f"  JOIN e ON e.src = {p}.v"
+            f") GROUP BY v)"
+        )
+    return (
+        f"WITH e AS MATERIALIZED ({_E_WEIGHTED}), "
+        + ", ".join(steps)
+        + f" SELECT v AS vertex, ROUND(d, 6) AS dist FROM b{_SSSP_FULL_K}"
+    )
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration PageRank (20 power steps with dangling handling)
     so the DuckDB twin — the same 20 steps unrolled as CTEs — matches
@@ -3382,6 +3431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "khop2": _q_khop2,
         "sssp_hops4": _q_sssp4,
+        "sssp_full": _q_sssp_full,
         "pagerank": _q_pagerank,
         "pregel_pagerank": _q_pregel_pagerank,
         "labelprop": _q_labelprop,
@@ -3584,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY v) "
             "SELECT v AS vertex, ROUND(d, 6) AS dist FROM b4"
         ),
+        "sssp_full": _sssp_full_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS h, MIN(doc_id) AS keep_id "
             "FROM documents GROUP BY md5(text)"

@@ -48,10 +48,17 @@ def khop(
 
 
 def sssp(
-    engine: GraphEngine, source: int, max_iters: int = 10_000
+    engine: GraphEngine,
+    source: int,
+    max_iters: int = 10_000,
+    return_iters: bool = False,
 ) -> np.ndarray:
     """Single-source shortest paths under min-plus (weights required).
-    Returns dense distance array (inf = unreachable)."""
+    Returns dense distance array (inf = unreachable); with
+    ``return_iters`` also the applied relaxation count (the last one
+    being the no-change fixpoint check — relaxation past the fixpoint
+    is idempotent, which is what lets a SQL twin unroll an UPPER BOUND
+    of steps instead of the exact count)."""
     dist = np.full(engine.n, np.inf)
     dist[source] = 0.0
     engine.set_state_by_vertex("dist", dist)
@@ -83,7 +90,8 @@ def sssp(
                 break
         if done:
             break
-    return engine.get_state_by_vertex("dist")
+    dist = engine.get_state_by_vertex("dist")
+    return (dist, it) if return_iters else dist
 
 
 def kcore_decomposition(
