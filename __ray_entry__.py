@@ -1126,6 +1126,20 @@ def _q_sessions(sf_dir: str):
     )
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build over documents: (term, df, ascending
+    posting list); terms with df > 400 keep exact df, empty postings
+    (stopword guard)."""
+    import ray.data
+
+    from alp_ray.stages.text import inverted_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return inverted_index(docs, max_postings=400)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: item pairs bought together in ≥2
     orders, weighted by order count (bipartite projection of the
@@ -3459,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "running_window": _q_running_window,
         "copurchase_pairs": _q_copurchase_pairs,
+        "inverted_index": _q_inverted_index,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3681,6 +3696,16 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "inverted_index": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "td AS (SELECT DISTINCT term, doc_id FROM tok), "
+            "agg AS (SELECT term, COUNT(*) AS df, array_to_string("
+            "list(doc_id ORDER BY doc_id), ',') AS p FROM td "
+            "GROUP BY term) "
+            "SELECT term, CAST(df AS BIGINT) AS df, "
+            "CASE WHEN df <= 400 THEN p ELSE '' END AS postings FROM agg"
         ),
         "copurchase_pairs": (
             "WITH op AS (SELECT DISTINCT l_orderkey AS o, "

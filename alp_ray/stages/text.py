@@ -467,3 +467,111 @@ def bigram_counts(docs, text_col: str = "text"):
         })
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+def inverted_index(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 400,
+    n_parts: int | None = None,
+):
+    """Distributed inverted-index build: (term, df, postings) with
+    ``postings`` the comma-joined ascending doc-id list — the search /
+    retrieval-side counterpart of the dedup family. Terms whose df
+    exceeds ``max_postings`` keep their EXACT df but an empty postings
+    string (the stopword guard: an unbounded posting list for a term in
+    every document is the classic index blowup; real systems tier those
+    into skip-list blocks instead).
+
+    Physical plan: per-batch distinct (term, doc) pairs (a document
+    never splits across batches, so batch-local distinct is global) →
+    co-locate whole TERMS by blake2b(term) % n_parts → one vectorized
+    kernel per partition (np.unique factorize + lexsort + bincount +
+    ListArray/binary_join posting assembly — no per-term Python loop).
+    """
+    import hashlib
+
+    import ray.data  # noqa: F401  (docs is a Dataset)
+
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(np.asarray(toks.offsets, np.int64))
+        doc_of = np.repeat(
+            np.asarray(batch.column(id_col), np.int64), counts
+        )
+        words = np.array(toks.values.to_pylist(), dtype=object)
+        if words.size == 0:
+            return empty
+        uniq, inv = np.unique(words, return_inverse=True)
+        order = np.lexsort((inv, doc_of))
+        d, t = doc_of[order], inv[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (t[1:] != t[:-1])]
+        d, t = d[keep], t[keep]
+        part = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "little",
+                )
+                % n_parts
+                for w in uniq
+            ),
+            dtype=np.int64,
+            count=uniq.size,
+        )[t]
+        return pa.table({
+            "term": pa.array(uniq[t].tolist(), pa.string()),
+            id_col: pa.array(d),
+            "__part": pa.array(part),
+        })
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+    def build(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        })
+        if "term" not in group.column_names or group.num_rows == 0:
+            return empty
+        terms = np.array(group.column("term").to_pylist(), dtype=object)
+        d = np.asarray(group.column(id_col), np.int64)
+        uniq, tcode = np.unique(terms, return_inverse=True)
+        order = np.lexsort((d, tcode))
+        tcode, d = tcode[order], d[order]
+        df = np.bincount(tcode, minlength=uniq.size).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(df)]).astype(np.int32)
+        doc_strs = pa.array(d).cast(pa.string())
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), doc_strs), ","
+        )
+        postings = pc.if_else(
+            pa.array(df <= max_postings), postings, ""
+        )
+        return pa.table({
+            "term": pa.array(uniq.tolist(), pa.string()),
+            "df": pa.array(df),
+            "postings": postings,
+        })
+
+    return tagged.groupby("__part").map_groups(
+        build, batch_format="pyarrow"
+    )

@@ -141,3 +141,30 @@ def test_bigram_count_partials_vs_naive():
         for i in range(out.num_rows)
     }
     assert got == dict(want)
+
+
+def test_inverted_index_postings_and_stopword_guard():
+    import ray.data
+
+    from alp_ray.stages.text import inverted_index
+
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array(
+            ["cat dog cat", "dog fish", "dog dog bird"], pa.string()
+        ),
+    })
+    out = (
+        inverted_index(
+            ray.data.from_arrow(tbl), max_postings=2, n_parts=3
+        )
+        .to_pandas()
+        .set_index("term")
+        .sort_index()
+    )
+    # dog is in all 3 docs -> df exact, postings truncated (guard).
+    assert out.loc["dog", "df"] == 3 and out.loc["dog", "postings"] == ""
+    assert out.loc["cat", "df"] == 1 and out.loc["cat", "postings"] == "3"
+    assert out.loc["fish", "postings"] == "1"
+    assert out.loc["bird", "postings"] == "2"
+    assert len(out) == 4
