@@ -1140,6 +1140,22 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(docs, max_postings=400)
 
 
+_BM25_TERMS = ("dup", "vector", "hash")
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 keyword scoring (k1=1.2, b=0.75, Robertson idf+1) for a
+    3-term query; all docs matching ≥1 term."""
+    import ray.data
+
+    from alp_ray.stages.text import bm25_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_scores(docs, list(_BM25_TERMS))
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: item pairs bought together in ≥2
     orders, weighted by order count (bipartite projection of the
@@ -3474,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_window": _q_running_window,
         "copurchase_pairs": _q_copurchase_pairs,
         "inverted_index": _q_inverted_index,
+        "bm25_search": _q_bm25,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3696,6 +3713,29 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "bm25_search": (
+            "WITH st AS (SELECT COUNT(*) AS n, CAST(SUM(len("
+            "string_split(text, ' '))) AS DOUBLE) AS tot "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            f"q AS (SELECT unnest({list(_BM25_TERMS)!r}) AS term), "
+            "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) "
+            "AS df FROM tok WHERE term IN (SELECT term FROM q) "
+            "GROUP BY term), "
+            "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf "
+            "FROM tok WHERE term IN (SELECT term FROM q) "
+            "GROUP BY doc_id, term) "
+            "SELECT tf.doc_id, ROUND(SUM("
+            "ln(1 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / "
+            "((SELECT tot FROM st) / (SELECT n FROM st))))"
+            "), 6) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "GROUP BY tf.doc_id"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT doc_id, "

@@ -575,3 +575,94 @@ def inverted_index(
     return tagged.groupby("__part").map_groups(
         build, batch_format="pyarrow"
     )
+
+
+def bm25_scores(
+    docs,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 keyword scoring (Robertson idf with +1 floor): score every
+    document against a small query-term set; returns (doc_id, score)
+    for docs matching ≥1 term, score rounded to 6 dp.
+
+    Two passes, both streaming: (1) one map_batches partials pass +
+    tiny global Sum for N, total tokens, and per-term document
+    frequencies (O(len(terms)) scalars to the driver — the legitimate
+    small-aggregate escape); (2) one map_batches scoring pass with the
+    idf table captured by closure (broadcast via the task closure, not
+    re-shipped per batch). Term frequencies come from one flattened
+    token comparison per query term — vectorized, no per-row loop.
+    Production note: at 100 TB the scoring pass would prune via the
+    ``inverted_index`` postings instead of scanning every doc; the
+    formula and partials are unchanged."""
+    from ray.data.aggregate import Sum
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(np.asarray(toks.offsets, np.int64))
+        words = np.array(toks.values.to_pylist(), dtype=object)
+        doc_of = np.repeat(np.arange(len(batch)), counts)
+        cols = {
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "n_tokens": pa.array([int(counts.sum())], pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            hit = doc_of[words == t]
+            cols[f"df_{i}"] = pa.array(
+                [int(np.unique(hit).size)], pa.int64()
+            )
+        return pa.table(cols)
+
+    part = docs.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+    agg = part.aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
+    )
+    n = int(agg["n_docs"])
+    avgdl = agg["n_tokens"] / n
+    idf = [
+        float(np.log(1.0 + (n - agg[f"df_{i}"] + 0.5)
+                     / (agg[f"df_{i}"] + 0.5)))
+        for i in range(len(terms))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if len(batch) == 0:
+            return empty
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(np.asarray(toks.offsets, np.int64))
+        words = np.array(toks.values.to_pylist(), dtype=object)
+        doc_of = np.repeat(np.arange(len(batch)), counts)
+        dl = counts.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(batch))
+        for i, t in enumerate(terms):
+            tf = np.bincount(
+                doc_of[words == t], minlength=len(batch)
+            ).astype(np.float64)
+            s += idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
+        keep = s > 0
+        ids = np.asarray(batch.column(id_col), np.int64)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "score": pa.array(np.round(s[keep], 6)),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -168,3 +168,33 @@ def test_inverted_index_postings_and_stopword_guard():
     assert out.loc["fish", "postings"] == "1"
     assert out.loc["bird", "postings"] == "2"
     assert len(out) == 4
+
+
+def test_bm25_matches_textbook_formula():
+    import math
+
+    import ray.data
+
+    from alp_ray.stages.text import bm25_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["cat cat dog", "dog mouse", "bird bird bird bird"],
+            pa.string(),
+        ),
+    })
+    out = (
+        bm25_scores(ray.data.from_arrow(tbl), ["cat", "dog"])
+        .to_pandas()
+        .set_index("doc_id")["score"]
+    )
+    n, avgdl, k1, b = 3, 9 / 3, 1.2, 0.75
+
+    def ref(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out.loc[1] == round(ref(2, 1, 3) + ref(1, 2, 3), 6)
+    assert out.loc[2] == round(ref(1, 2, 2), 6)
+    assert 3 not in out.index  # no query term -> excluded
