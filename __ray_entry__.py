@@ -1140,6 +1140,19 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(docs, max_postings=400)
 
 
+def _q_global_rank(sf_dir: str):
+    """Distributed global ROW_NUMBER over (value, event_id): one range
+    sort + per-block offsets — Ray Data's missing rank operator."""
+    import ray.data
+
+    from alp_ray.stages.relational import global_rank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return global_rank(ev, by="value", id_col="event_id")
+
+
 _BM25_TERMS = ("dup", "vector", "hash")
 
 
@@ -3491,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "inverted_index": _q_inverted_index,
         "bm25_search": _q_bm25,
+        "global_rank": _q_global_rank,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3713,6 +3727,11 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "COUNT(*) AS n_events FROM tagged GROUP BY 1, 2"
+        ),
+        "global_rank": (
+            "SELECT event_id, CAST(ROW_NUMBER() OVER ("
+            "ORDER BY value, event_id) - 1 AS BIGINT) AS rank "
+            "FROM events"
         ),
         "bm25_search": (
             "WITH st AS (SELECT COUNT(*) AS n, CAST(SUM(len("

@@ -576,3 +576,53 @@ def co_occurrence(
         return batch.filter(pa.array(keep))
 
     return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    by: str,
+    id_col: str,
+    rank_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Distributed global ROW_NUMBER: rank every row by ``(by, id)``
+    ascending (the id tiebreaker makes the total order — and therefore
+    the result — unique and deterministic). Returns (id, rank),
+    0-based. Ray Data has no rank/percent_rank operator; this is the
+    dense_id_mapping pattern reapplied: ONE range-partitioning sort,
+    then per-block local ranks shifted by O(#blocks) driver-side count
+    scalars — no second shuffle, no driver data."""
+    import ray
+
+    sorted_ds = ds.select_columns([by, id_col]).sort(
+        [by, id_col]
+    ).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        # Empty range-sort partitions surface as column-less blocks.
+        if id_col not in tbl.column_names:
+            return 0
+        return tbl.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    @ray.remote
+    def _tag(tbl: pa.Table, offset: int) -> pa.Table:
+        if id_col not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                rank_col: pa.array([], pa.int64()),
+            })
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            rank_col: pa.array(
+                np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+            ),
+        })
+
+    out = [
+        _tag.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -527,3 +527,27 @@ def test_co_occurrence_min_count_threshold():
     ).to_pandas()
     assert len(out) == 1
     assert out.iloc[0].tolist() == [7, 8, 2]
+
+
+def test_global_rank_total_order_with_ties():
+    from alp_ray.stages.relational import global_rank
+
+    rng = np.random.RandomState(5)
+    n = 300
+    vals = rng.randint(0, 20, n).astype(np.float64)  # heavy ties
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    got = (
+        global_rank(
+            ray.data.from_arrow(tbl).repartition(7), by="v", id_col="id"
+        )
+        .to_pandas()
+        .sort_values("id")["rank"]
+        .to_numpy()
+    )
+    want = np.lexsort((np.arange(n), vals))
+    ranks = np.empty(n, np.int64)
+    ranks[want] = np.arange(n)
+    np.testing.assert_array_equal(got, ranks)
