@@ -1153,6 +1153,56 @@ def _q_global_rank(sf_dir: str):
     return global_rank(ev, by="value", id_col="event_id")
 
 
+def _urgent_custkeys(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64())
+        }).filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers with NO urgent order (distributed anti join — both
+    sides large, no broadcast assumption)."""
+    import ray.data
+
+    from alp_ray.stages.relational import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return semi_anti_join(
+        cust, _urgent_custkeys(sf_dir), "c_custkey", "o_custkey",
+        anti=True,
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    """Customers with at least one urgent order (distributed semi
+    join)."""
+    import ray.data
+
+    from alp_ray.stages.relational import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return semi_anti_join(
+        cust, _urgent_custkeys(sf_dir), "c_custkey", "o_custkey",
+        anti=False,
+    )
+
+
 _BM25_TERMS = ("dup", "vector", "hash")
 
 
@@ -3505,6 +3555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bm25_search": _q_bm25,
         "global_rank": _q_global_rank,
+        "anti_join_urgent": _q_anti_join,
+        "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
         "multimodal_audio": _q_multimodal_audio,
@@ -3732,6 +3784,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(ROW_NUMBER() OVER ("
             "ORDER BY value, event_id) - 1 AS BIGINT) AS rank "
             "FROM events"
+        ),
+        "anti_join_urgent": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "semi_join_urgent": (
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
         ),
         "bm25_search": (
             "WITH st AS (SELECT COUNT(*) AS n, CAST(SUM(len("

@@ -626,3 +626,66 @@ def global_rank(
         _tag.remote(r, int(offsets[i])) for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def semi_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed SEMI (keep left rows whose key exists on the right)
+    or ANTI (keep those whose key does not) join — neither exists in
+    Ray Data's join operator. Only the LEFT key column is returned
+    (the filter predicate form; callers re-join attributes if needed).
+
+    Physical plan: the right side is reduced to per-batch DISTINCT keys
+    (the combiner — duplicate foreign keys never shuffle), both sides
+    co-locate by ``key % n_parts``, and one vectorized ``np.isin`` per
+    partition emits survivors. No driver materialization, no broadcast
+    assumption: works when BOTH sides are large (the broadcast_join
+    small-side variant already covers the dimension-table case)."""
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column(left_on).cast(pa.int64()),
+            "__side": pa.array(np.zeros(len(batch), np.int8)),
+        })
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch.column(right_on), np.int64))
+        return pa.table({
+            "k": pa.array(k),
+            "__side": pa.array(np.ones(k.size, np.int8)),
+        })
+
+    both = _part_tag(
+        left.select_columns([left_on])
+        .map_batches(prep_left, batch_format="pyarrow")
+        .union(
+            right.select_columns([right_on]).map_batches(
+                prep_right, batch_format="pyarrow"
+            )
+        ),
+        "k",
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        if "k" not in group.column_names or group.num_rows == 0:
+            return pa.table({left_on: pa.array([], pa.int64())})
+        k = np.asarray(group.column("k"), np.int64)
+        side = np.asarray(group.column("__side"), np.int8)
+        lk = k[side == 0]
+        rk = np.unique(k[side == 1])
+        hit = np.isin(lk, rk, assume_unique=False)
+        keep = ~hit if anti else hit
+        return pa.table({left_on: pa.array(lk[keep])})
+
+    return both.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

@@ -551,3 +551,24 @@ def test_global_rank_total_order_with_ties():
     ranks = np.empty(n, np.int64)
     ranks[want] = np.arange(n)
     np.testing.assert_array_equal(got, ranks)
+
+
+def test_semi_anti_join_partition_and_duplicates():
+    from alp_ray.stages.relational import semi_anti_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 2], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "r": pa.array([2, 2, 4, 9], pa.int64()),
+    }))
+    semi = sorted(
+        semi_anti_join(left, right, "k", "r", n_parts=3)
+        .to_pandas()["k"].tolist()
+    )
+    anti = sorted(
+        semi_anti_join(left, right, "k", "r", anti=True, n_parts=3)
+        .to_pandas()["k"].tolist()
+    )
+    assert semi == [2, 2, 4]     # left duplicates preserved
+    assert anti == [1, 3, 5]
