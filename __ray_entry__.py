@@ -1203,6 +1203,26 @@ def _q_semi_join(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_events(sf_dir: str):
+    """Pivot event_type into per-user count + exact cents-sum columns
+    (conditional-aggregation spread; partials combine in-batch)."""
+    import ray.data
+
+    from alp_ray.stages.relational import pivot_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    return pivot_counts(
+        ev, key="user_id", pivot_col="event_type",
+        categories=_EVENT_TYPES, value_col="value",
+    )
+
+
 _BM25_TERMS = ("dup", "vector", "hash")
 
 
@@ -3556,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25,
         "global_rank": _q_global_rank,
         "anti_join_urgent": _q_anti_join,
+        "pivot_events": _q_pivot_events,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
@@ -3784,6 +3805,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(ROW_NUMBER() OVER ("
             "ORDER BY value, event_id) - 1 AS BIGINT) AS rank "
             "FROM events"
+        ),
+        "pivot_events": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{c}') AS n_{c}, "
+                f"COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+                f"FILTER (WHERE event_type = '{c}'), 0) AS cents_{c}"
+                for c in _EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
         ),
         "anti_join_urgent": (
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "

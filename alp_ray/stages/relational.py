@@ -689,3 +689,59 @@ def semi_anti_join(
     return both.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    pivot_col: str,
+    categories: tuple[str, ...],
+    value_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Pivot a categorical column into per-category aggregate columns:
+    per key, ``n_<cat>`` row counts (and ``cents_<cat>`` exact integer
+    value sums when ``value_col`` is given). The category list is an
+    explicit argument — at scale you know your schema; discovering it
+    would be a full extra pass.
+
+    Physical plan: per-batch conditional partials (one boolean mask +
+    bincount per category — the combiner: a batch of any size reduces
+    to ≤ #keys-in-batch rows) → ONE key-grouped Sum. The shuffle moves
+    pre-reduced partials only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key), np.int64)
+        cat = np.array(batch.column(pivot_col).to_pylist(), dtype=object)
+        uk, inv = np.unique(k, return_inverse=True)
+        cols: dict = {key: pa.array(uk)}
+        if value_col is not None:
+            cents = np.rint(
+                np.asarray(batch.column(value_col), np.float64) * 100.0
+            ).astype(np.int64)
+        for c in categories:
+            m = cat == c
+            cols[f"n_{c}"] = pa.array(
+                np.bincount(inv[m], minlength=uk.size).astype(np.int64)
+            )
+            if value_col is not None:
+                cols[f"cents_{c}"] = pa.array(
+                    np.bincount(
+                        inv[m], weights=cents[m], minlength=uk.size
+                    ).astype(np.int64)
+                )
+        return pa.table(cols)
+
+    cols = [key, pivot_col] + ([value_col] if value_col else [])
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
+    if value_col is not None:
+        aggs += [
+            Sum(f"cents_{c}", alias_name=f"cents_{c}")
+            for c in categories
+        ]
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*aggs)
+    )

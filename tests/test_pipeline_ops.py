@@ -572,3 +572,28 @@ def test_semi_anti_join_partition_and_duplicates():
     )
     assert semi == [2, 2, 4]     # left duplicates preserved
     assert anti == [1, 3, 5]
+
+
+def test_pivot_counts_conditional_sums():
+    from alp_ray.stages.relational import pivot_counts
+
+    tbl = pa.table({
+        "u": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "t": pa.array(["a", "b", "a", "a", "c"], pa.string()),
+        "v": pa.array([1.10, 2.00, 0.25, 0.25, 9.99], pa.float64()),
+    })
+    out = (
+        pivot_counts(
+            ray.data.from_arrow(tbl).repartition(3), key="u",
+            pivot_col="t", categories=("a", "b"), value_col="v",
+        )
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    assert out.loc[1, ["n_a", "n_b"]].tolist() == [1, 1]
+    assert out.loc[1, ["cents_a", "cents_b"]].tolist() == [110, 200]
+    assert out.loc[2, ["n_a", "n_b"]].tolist() == [2, 0]
+    assert out.loc[2, ["cents_a", "cents_b"]].tolist() == [50, 0]
+    # category "c" wasn't requested -> no column
+    assert "n_c" not in out.columns
