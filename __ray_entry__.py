@@ -1203,6 +1203,18 @@ def _q_semi_join(sf_dir: str):
     )
 
 
+def _q_grouped_median(sf_dir: str):
+    """Exact per-user median event value (keyed exact quantile)."""
+    import ray.data
+
+    from alp_ray.stages.relational import grouped_median
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return grouped_median(ev, key="user_id", value_col="value")
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3577,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "anti_join_urgent": _q_anti_join,
         "pivot_events": _q_pivot_events,
+        "grouped_median": _q_grouped_median,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
@@ -3805,6 +3818,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(ROW_NUMBER() OVER ("
             "ORDER BY value, event_id) - 1 AS BIGINT) AS rank "
             "FROM events"
+        ),
+        "grouped_median": (
+            "SELECT user_id, ROUND(median(value), 6) AS median "
+            "FROM events GROUP BY user_id"
         ),
         "pivot_events": (
             "SELECT user_id, "

@@ -745,3 +745,47 @@ def pivot_counts(
         .groupby(key)
         .aggregate(*aggs)
     )
+
+
+def grouped_median(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact per-key median (DuckDB semantics: lower-middle /
+    mean-of-two-middles for odd/even counts). The global exact
+    percentile op covers ungrouped quantiles; this is its keyed
+    sibling. Whole keys co-locate by hash; one lexsort per partition
+    and pure index arithmetic picks every key's middle elements — no
+    per-key dispatch or loop."""
+    if n_parts is None:
+        n_parts = coarse_parts()
+    tagged = _part_tag(
+        ds.select_columns([key, value_col]), key, n_parts
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            "median": pa.array([], pa.float64()),
+        })
+        if key not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column(key), np.int64)
+        v = np.asarray(group.column(value_col), np.float64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        cnt = np.diff(np.r_[starts, k.size])
+        lo = starts + (cnt - 1) // 2
+        hi = starts + cnt // 2
+        med = (v[lo] + v[hi]) / 2.0
+        return pa.table({
+            key: pa.array(k[starts]),
+            "median": pa.array(np.round(med, 6)),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

@@ -597,3 +597,22 @@ def test_pivot_counts_conditional_sums():
     assert out.loc[2, ["cents_a", "cents_b"]].tolist() == [50, 0]
     # category "c" wasn't requested -> no column
     assert "n_c" not in out.columns
+
+
+def test_grouped_median_odd_even():
+    from alp_ray.stages.relational import grouped_median
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array([3.0, 1.0, 2.0, 10.0, 20.0], pa.float64()),
+    })
+    out = (
+        grouped_median(
+            ray.data.from_arrow(tbl).repartition(2), key="k",
+            value_col="v", n_parts=2,
+        )
+        .to_pandas()
+        .set_index("k")["median"]
+    )
+    assert out.loc[1] == 2.0     # odd count -> middle
+    assert out.loc[2] == 15.0    # even count -> mean of middles
