@@ -1203,6 +1203,21 @@ def _q_semi_join(sf_dir: str):
     )
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed 2-component PCA over the embedding column (two-pass
+    covariance partials + broadcast projection). No SQL twin
+    (eigendecomposition) — NumPy-oracled in tests/test_linalg.py."""
+    import ray.data
+
+    from alp_ray.pipelines.linalg import pca
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, _ = pca(emb, k=2)
+    return out
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-user median event value (keyed exact quantile)."""
     import ray.data
@@ -3590,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_urgent": _q_anti_join,
         "pivot_events": _q_pivot_events,
         "grouped_median": _q_grouped_median,
+        "pca_embeddings": _q_pca_embeddings,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,

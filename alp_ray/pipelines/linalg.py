@@ -431,3 +431,69 @@ def cosine_similarity_vectors(
     if nx == 0 or ny == 0:
         return 0.0
     return float(dot / (nx * ny))
+
+
+def pca(
+    emb: "ray.data.Dataset",
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed PCA over an embedding column — the two-pass
+    covariance pattern: (1) every batch reduces to (count, Σx, ΣxxT)
+    partials (O(d²) floats per BLOCK, independent of row count), the
+    driver combines the tiny partial list and eigendecomposes the d×d
+    covariance; (2) one projection pass maps each vector onto the top-k
+    components (mean and basis broadcast once via ray.put). Component
+    signs are fixed deterministically (largest-|loading| coordinate
+    positive) so results don't depend on LAPACK's sign convention.
+    Returns ((vec_id, pc1..pck) Dataset, explained_variance_ratio).
+
+    No SQL twin (eigendecomposition); verified against a single-node
+    NumPy PCA in tests."""
+    d = None
+
+    def partials(batch: pa.Table) -> pa.Table:
+        V = _as_matrix(batch.column(vec_col))
+        return pa.table({
+            "n": pa.array([V.shape[0]], pa.int64()),
+            "s": pa.array([V.sum(axis=0).tobytes()], pa.binary()),
+            "g": pa.array([(V.T @ V).tobytes()], pa.binary()),
+        })
+
+    rows = emb.select_columns([vec_col]).map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all()  # O(#blocks) rows of d+d² floats — the small-aggregate escape
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.frombuffer(r["s"], np.float64) for r in rows], axis=0)
+    d = s.size
+    g = np.sum(
+        [np.frombuffer(r["g"], np.float64).reshape(d, d) for r in rows],
+        axis=0,
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order]  # (d, k)
+    # Deterministic sign: flip so each component's largest-|v| entry > 0.
+    for j in range(comp.shape[1]):
+        i = np.argmax(np.abs(comp[:, j]))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    ratio = evals[order] / max(evals.sum(), 1e-300)
+    bref = ray.put((mean, comp))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, W = ray.get(bref)
+        V = _as_matrix(batch.column(vec_col))
+        P = (V - m) @ W
+        cols = {id_col: batch.column(id_col).cast(pa.int64())}
+        for j in range(W.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(np.round(P[:, j], 6))
+        return pa.table(cols)
+
+    out = emb.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+    return out, ratio

@@ -127,3 +127,38 @@ def test_bicgstab_nonsymmetric():
     np.testing.assert_allclose(A @ x, b, atol=1e-7)
     np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-7)
     assert res <= 1e-10
+
+
+def test_pca_matches_numpy_oracle():
+    import ray.data
+
+    from alp_ray.pipelines.linalg import pca
+
+    rng = np.random.RandomState(0)
+    n, d = 300, 8
+    # Anisotropic cloud: a dominant direction + noise.
+    base = rng.randn(n, 1) @ rng.randn(1, d) * 3 + rng.randn(n, d)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(base.astype(np.float64))),
+    })
+    out, ratio = pca(
+        ray.data.from_arrow(tbl).repartition(5), k=2
+    )
+    got = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    X = base - base.mean(axis=0)
+    cov = X.T @ X / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    W = evecs[:, order]
+    for j in range(2):
+        i = np.argmax(np.abs(W[:, j]))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    want = X @ W
+    np.testing.assert_allclose(
+        got[["pc1", "pc2"]].to_numpy(), np.round(want, 6), atol=2e-6
+    )
+    assert ratio[0] > 0.5  # the planted direction dominates
+    assert abs(ratio.sum()) <= 1.0 + 1e-9
