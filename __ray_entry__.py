@@ -1203,6 +1203,24 @@ def _q_semi_join(sf_dir: str):
     )
 
 
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): counts + exact
+    cents totals at every prefix level in one pass (suppressed keys
+    become '')."""
+    import ray.data
+
+    from alp_ray.stages.relational import rollup_aggregate
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    return rollup_aggregate(
+        od, keys=("o_orderpriority", "o_orderstatus"),
+        value_col="o_totalprice",
+    )
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed 2-component PCA over the embedding column (two-pass
     covariance partials + broadcast projection). No SQL twin
@@ -3606,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "grouped_median": _q_grouped_median,
         "pca_embeddings": _q_pca_embeddings,
+        "rollup_orders": _q_rollup_orders,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
@@ -3838,6 +3857,18 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "rollup_orders": (
+            "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '' "
+            "ELSE o_orderpriority END AS o_orderpriority, "
+            "CASE WHEN GROUPING(o_orderstatus) = 1 THEN '' "
+            "ELSE o_orderstatus END AS o_orderstatus, "
+            "CAST(2 - GROUPING(o_orderpriority) - "
+            "GROUPING(o_orderstatus) AS BIGINT) AS level, "
+            "COUNT(*) AS n_rows, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders "
+            "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
         "pivot_events": (
             "SELECT user_id, "

@@ -789,3 +789,72 @@ def grouped_median(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def rollup_aggregate(
+    ds: "ray.data.Dataset",
+    keys: tuple[str, ...],
+    value_col: str,
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(keys): aggregates at every prefix level of the
+    key hierarchy — (k1, k2, …), (k1, …), …, () — in ONE pass. Each
+    batch emits its rows once per level with suppressed keys replaced
+    by the sentinel '' and a ``level`` column, pre-aggregated in-batch,
+    then a single groupby Sum combines partials: the shuffle carries
+    ≤ levels × distinct-key-combos rows per batch regardless of batch
+    size. Counts and exact integer-cents sums (SQL twin: GROUP BY
+    ROLLUP with COALESCE'd keys)."""
+    from ray.data.aggregate import Sum
+
+    levels = len(keys) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        key_arrs = [
+            np.array(batch.column(c).to_pylist(), dtype=object)
+            for c in keys
+        ]
+        out: dict = {c: [] for c in keys}
+        out.update({"level": [], "n_rows": [], "cents": []})
+        for lvl in range(levels):
+            cols = [
+                key_arrs[i] if i < lvl
+                else np.full(len(batch), "", object)
+                for i in range(len(keys))
+            ]
+            combo = np.array(
+                ["\x00".join(t) for t in zip(*cols)], dtype=object
+            ) if keys else np.full(len(batch), "", object)
+            uniq, inv = np.unique(combo, return_inverse=True)
+            n = np.bincount(inv, minlength=uniq.size)
+            s = np.bincount(
+                inv, weights=cents, minlength=uniq.size
+            ).astype(np.int64)
+            parts = [u.split("\x00") for u in uniq]
+            for i, c in enumerate(keys):
+                out[c].append(
+                    np.array([p[i] for p in parts], dtype=object)
+                )
+            out["level"].append(np.full(uniq.size, lvl, np.int64))
+            out["n_rows"].append(n.astype(np.int64))
+            out["cents"].append(s)
+        cols = {
+            c: pa.array(np.concatenate(out[c]).tolist(), pa.string())
+            for c in keys
+        }
+        cols["level"] = pa.array(np.concatenate(out["level"]))
+        cols["n_rows"] = pa.array(np.concatenate(out["n_rows"]))
+        cols["cents"] = pa.array(np.concatenate(out["cents"]))
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([*keys, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([*keys, "level"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("cents", alias_name="cents"),
+        )
+    )

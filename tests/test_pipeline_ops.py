@@ -616,3 +616,28 @@ def test_grouped_median_odd_even():
     )
     assert out.loc[1] == 2.0     # odd count -> middle
     assert out.loc[2] == 15.0    # even count -> mean of middles
+
+
+def test_rollup_levels_and_exact_cents():
+    from alp_ray.stages.relational import rollup_aggregate
+
+    tbl = pa.table({
+        "a": pa.array(["x", "x", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p"], pa.string()),
+        "v": pa.array([1.00, 2.50, 4.00], pa.float64()),
+    })
+    out = rollup_aggregate(
+        ray.data.from_arrow(tbl).repartition(2), keys=("a", "b"),
+        value_col="v",
+    ).to_pandas()
+    rows = {
+        (r.a, r.b, r.level): (r.n_rows, r.cents)
+        for r in out.itertuples()
+    }
+    assert rows[("x", "p", 2)] == (1, 100)
+    assert rows[("x", "q", 2)] == (1, 250)
+    assert rows[("y", "p", 2)] == (1, 400)
+    assert rows[("x", "", 1)] == (2, 350)
+    assert rows[("y", "", 1)] == (1, 400)
+    assert rows[("", "", 0)] == (3, 750)
+    assert len(rows) == 6
