@@ -1203,6 +1203,20 @@ def _q_semi_join(sf_dir: str):
     )
 
 
+def _q_rolling_window(sf_dir: str):
+    """Per-user moving 5-event value sum (ROWS 4 PRECEDING), exact
+    integer cents."""
+    import ray.data
+
+    from alp_ray.stages.window import rolling_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_sum(ev, window=5)
+
+
 def _q_rollup_orders(sf_dir: str):
     """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): counts + exact
     cents totals at every prefix level in one pass (suppressed keys
@@ -3625,6 +3639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": _q_grouped_median,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
+        "rolling_window": _q_rolling_window,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
         "multimodal_decode": _q_multimodal,
@@ -3857,6 +3872,13 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "rolling_window": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS 4 PRECEDING) AS BIGINT) AS window_cents "
+            "FROM events"
         ),
         "rollup_orders": (
             "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '' "

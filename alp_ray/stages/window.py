@@ -260,3 +260,80 @@ def keyed_running(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def rolling_sum(
+    events: "ray.data.Dataset",
+    window: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key moving-window aggregate — SQL's ``ROWS window-1
+    PRECEDING``: for each event, the sum of ``value`` over the key's
+    last ``window`` events in (ts, id) order, as exact integer cents.
+    Same physical plan as keyed_running (whole keys co-locate, one
+    lexsort + prefix-sum kernel per partition); the window sum is a
+    cumsum difference clamped at each key's segment start, so cost is
+    O(rows) regardless of window size."""
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+                "__cents": pa.array(cents),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "window_cents": pa.array([], pa.int64()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column(key_col), np.int64)
+        i = np.asarray(group.column(id_col), np.int64)
+        t = np.asarray(group.column("__ts"), np.int64)
+        c = np.asarray(group.column("__cents"), np.int64)
+        order = np.lexsort((i, t, u))
+        u, i, c = u[order], i[order], c[order]
+        idx = np.arange(u.size, dtype=np.int64)
+        new_key = np.r_[True, u[1:] != u[:-1]]
+        first = np.maximum.accumulate(np.where(new_key, idx, -1))
+        cs = np.cumsum(c)
+        lo = np.maximum(idx - window, first - 1)
+        base = np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        base[lo < 0] = 0
+        return pa.table(
+            {
+                id_col: pa.array(i),
+                key_col: pa.array(u),
+                "window_cents": pa.array(cs - base),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

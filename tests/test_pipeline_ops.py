@@ -641,3 +641,22 @@ def test_rollup_levels_and_exact_cents():
     assert rows[("y", "", 1)] == (1, 400)
     assert rows[("", "", 0)] == (3, 750)
     assert len(rows) == 6
+
+
+def test_rolling_sum_window_clamp_at_segment_start():
+    from alp_ray.stages.window import rolling_sum
+
+    # One user, 6 events of 1.00 each: window=3 -> 100,200,300,300,...
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(6), pa.int64()),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "ts": pa.array(np.arange(6) * 10, pa.timestamp("us")),
+        "value": pa.array([1.0] * 6, pa.float64()),
+    })
+    out = (
+        rolling_sum(ray.data.from_arrow(tbl), window=3, n_parts=2)
+        .to_pandas()
+        .sort_values("event_id")["window_cents"]
+        .tolist()
+    )
+    assert out == [100, 200, 300, 300, 300, 300]
