@@ -2464,6 +2464,24 @@ def _q_adamic_adar(sf_dir: str):
     )
 
 
+def _q_jaccard_linkpred(sf_dir: str):
+    """Neighborhood-Jaccard link prediction over the symmetric sparse
+    graph (integer wedge counts + broadcast degree enrich; the only FP
+    op is the final exact small-integer division)."""
+    from alp_ray.pipelines.linkpred import jaccard_similarity
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    )
+    out = jaccard_similarity(edges, exclude_edges=True)
+    return _cast(
+        out,
+        {"u": pa.int64(), "v": pa.int64(), "jaccard": pa.float64()},
+    )
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree histogram (degree, n_vertices): one exact-degree groupby
     + per-block partial histograms merged driver-side (bounded by the
@@ -3689,6 +3707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": _q_topk_per_user,
         "doc_sample": _q_doc_sample,
         "adamic_adar": _q_adamic_adar,
+        "jaccard_linkpred": _q_jaccard_linkpred,
         "harmonic_closeness": _q_harmonic_closeness,
         "eccentricity": _q_eccentricity,
         "reciprocity": _q_reciprocity,
@@ -4032,6 +4051,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM es x WHERE x.src = e1.src "
             "AND x.dst = e2.dst) "
             "GROUP BY e1.src, e2.dst"
+        ),
+        "jaccard_linkpred": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "es AS MATERIALIZED (SELECT src, dst FROM ed "
+            "UNION SELECT dst AS src, src AS dst FROM ed), "
+            "deg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS c "
+            "FROM es GROUP BY src), "
+            "cm AS MATERIALIZED (SELECT e1.src AS u, e2.dst AS v, "
+            "COUNT(*) AS common "
+            "FROM es e1 JOIN es e2 ON e1.dst = e2.src "
+            "WHERE e1.src < e2.dst AND NOT EXISTS ("
+            "SELECT 1 FROM es x WHERE x.src = e1.src "
+            "AND x.dst = e2.dst) "
+            "GROUP BY e1.src, e2.dst) "
+            "SELECT u, v, ROUND(CAST(common AS DOUBLE) / "
+            "(du.c + dv.c - common), 6) AS jaccard "
+            "FROM cm JOIN deg du ON du.w = cm.u "
+            "JOIN deg dv ON dv.w = cm.v"
         ),
         "clustering_coeff": (
             f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "

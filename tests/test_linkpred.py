@@ -42,3 +42,38 @@ def test_adamic_adar_excluding_edges():
 
 def test_adamic_adar_all_pairs():
     _check(exclude=False)
+
+
+def test_jaccard_similarity_vs_dense_oracle():
+    from alp_ray.pipelines.linkpred import jaccard_similarity
+
+    rng = np.random.RandomState(2)
+    n, m = 25, 60
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    key = s * n + d
+    _, idx = np.unique(key, return_index=True)
+    s, d = s[idx], d[idx]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64()),
+    }))
+    got = {
+        (r.u, r.v): r.jaccard
+        for r in jaccard_similarity(edges).to_pandas().itertuples()
+    }
+    A = np.zeros((n, n))
+    A[s, d] = 1.0
+    deg = A.sum(1)
+    want = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            if A[u, v]:
+                continue
+            c = float(A[u] @ A[v])
+            if c:
+                want[(u, v)] = round(c / (deg[u] + deg[v] - c), 6)
+    assert got == want
