@@ -2646,6 +2646,57 @@ _E_SPARSE601 = (
 ).format(m=MOD_DENSE)
 
 
+def _q_weighted_pagerank(sf_dir: str):
+    """Weighted PageRank (transition ∝ edge weight) over the dense
+    weighted graph: fixed 20 plus_times power steps."""
+    from alp_ray.pipelines.pagerank import weighted_pagerank
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir, weighted=True), n=MOD_DENSE, P=4,
+        weighted=True,
+    )
+    weighted_pagerank(engine, max_iters=_PR_K, sync_every=_PR_K)
+    pr = engine.get_state_by_vertex("pr")
+    engine.shutdown()
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "pr": pa.array(np.round(pr, 7)),
+        }
+    )
+
+
+def _weighted_pagerank_sql(K: int) -> str:
+    """_pagerank_sql with outdeg → Σweight and each edge contributing
+    (pr·(α/wsum))·weight in the engine's multiply order."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_WEIGHTED}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "ws AS MATERIALIZED (SELECT src, SUM(weight) AS c FROM e "
+        "GROUP BY src), ",
+        f"pr0 AS MATERIALIZED (SELECT v, CAST(1.0/{MOD_DENSE} AS DOUBLE) "
+        "AS val FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f", pr{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "COALESCE(y.s, 0.0) + (0.85 * COALESCE((SELECT SUM(p.val) "
+            f"FROM {p} p LEFT JOIN ws d ON d.src = p.v "
+            "WHERE d.src IS NULL), 0.0) + (1.0 - 0.85)) "
+            f"/ {MOD_DENSE}.0 AS val "
+            "FROM verts v LEFT JOIN ("
+            "SELECT e.dst AS v, SUM(p.val * (0.85 / d.c) * e.weight) AS s "
+            f"FROM {p} p JOIN e ON e.src = p.v "
+            "JOIN ws d ON d.src = p.v "
+            "GROUP BY e.dst) y ON y.v = v.v)"
+        )
+    parts.append(f" SELECT v AS vertex, ROUND(val, 7) AS pr FROM pr{K}")
+    return "".join(parts)
+
+
 def _pagerank_sql(K: int) -> str:
     """simple_pagerank semantics (α=0.85, dangling mass, uniform
     teleport), K unrolled power steps — matches _q_pagerank's fixed-K
@@ -3623,6 +3674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hops4": _q_sssp4,
         "sssp_full": _q_sssp_full,
         "pagerank": _q_pagerank,
+        "weighted_pagerank": _q_weighted_pagerank,
         "pregel_pagerank": _q_pregel_pagerank,
         "labelprop": _q_labelprop,
         "conjugate_gradient": _q_conjugate_gradient,
@@ -3997,6 +4049,7 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT UNNEST(embedding) AS v FROM embeddings)"
         ),
         "pagerank": _pagerank_sql(_PR_K),
+        "weighted_pagerank": _weighted_pagerank_sql(_PR_K),
         "hits": _hits_sql(_HITS_K),
         "harmonic_closeness": _harmonic_sql(_HC_LEVELS),
         "eccentricity": _ecc_sql(_HC_LEVELS),

@@ -194,3 +194,50 @@ def pagerank(
     )
 
 
+
+
+def weighted_pagerank(
+    engine: GraphEngine,
+    alpha: float = 0.85,
+    max_iters: int = 20,
+    sync_every: int = 8,
+) -> int:
+    """PageRank with transition mass PROPORTIONAL TO EDGE WEIGHT:
+    y(v) = Σ_src pr(src)·(α/wsum(src))·w(src,v) + teleport/dangling —
+    the weighted generalization of simple_pagerank (the reference's
+    pattern semiring row-sum becomes a plus_times row-sum; semantics ≙
+    simple_pagerank.hpp:200-249 with outdeg → Σw). Weighted out-sums
+    are shard-local (free under src-partitioning); the gather runs the
+    plus_times semiring so each edge contributes (pr·scale)·w in that
+    multiply order — mirrored verbatim by the unrolled SQL twin. Runs a
+    FIXED max_iters steps; returns the applied iteration count."""
+
+    def setup(state, ctx):
+        ws = state["wsum"]
+        dangling = (ws == 0).astype(np.float64)
+        scale = np.zeros_like(ws)
+        nz = ws > 0
+        scale[nz] = alpha / ws[nz]
+        state["scale"] = scale
+        state["dangling"] = dangling
+        state["pr"] = np.full(ctx["n_local"], 1.0 / ctx["n"])
+        return None
+
+    engine.compute_out_weight_sums("wsum")
+    engine.map_local(setup)
+    n = engine.n
+
+    def offset_fn(scalars):
+        return {
+            "offset": (alpha * scalars["pr_dangling"] + (1.0 - alpha)) / n
+        }
+
+    it = 0
+    while it < max_iters:
+        chunk = min(sync_every, max_iters - it)
+        engine.run_supersteps(
+            _pre, "plus_times", _post, iters=chunk,
+            post_scalars_fn=offset_fn,
+        )
+        it += chunk
+    return it

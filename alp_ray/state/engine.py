@@ -288,6 +288,21 @@ class GraphShard:
             deg[hot] += self.hot_outdeg
         self.state[name] = deg
 
+    def compute_out_weight_sums(self, name: str = "wsum") -> None:
+        """Shard-local Σ edge-weight per src (weighted out-degree) — the
+        weighted-PageRank normalizer; free under src-partitioning like
+        compute_out_degrees. Integer weights sum exactly in float64.
+        Must run BEFORE any hot-source split (re-homed edges would need
+        their weight totals tracked like hot_outdeg)."""
+        assert self.w is not None, "engine has no edge weights"
+        hot = getattr(self, "hot_local", None)
+        assert hot is None or hot.size == 0, (
+            "compute_out_weight_sums before extract_hot_sources"
+        )
+        self.state[name] = np.bincount(
+            self.src_local, weights=self.w, minlength=self.n_local
+        ).astype(np.float64)
+
     def map_local(self, fn_bytes: bytes, scalars: dict | None = None) -> Any:
         """≙ eWiseLambda over local slices; fn(state, ctx) -> scalar partials."""
         fn = pickle.loads(fn_bytes)
@@ -1299,6 +1314,11 @@ class GraphEngine:
 
     def compute_out_degrees(self, name: str = "outdeg") -> None:
         ray.get([s.compute_out_degrees.remote(name) for s in self.shards])
+
+    def compute_out_weight_sums(self, name: str = "wsum") -> None:
+        ray.get(
+            [s.compute_out_weight_sums.remote(name) for s in self.shards]
+        )
 
     def set_state_by_vertex(self, name: str, values: np.ndarray) -> None:
         """values: dense array of length n, driver-side (small graphs)."""

@@ -103,3 +103,37 @@ def test_personalized_pagerank_vs_oracle():
     np.testing.assert_allclose(pr, p, atol=1e-8)
     # Seeds and their neighbourhoods dominate.
     assert pr[[1, 7, 20, 33, 90]].sum() > 5.0 / n
+
+
+def test_weighted_pagerank_vs_numpy():
+    from alp_ray.pipelines.pagerank import weighted_pagerank
+    from alp_ray.state.engine import GraphEngine
+
+    rng = np.random.RandomState(4)
+    n, m = 30, 90
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = src * n + dst
+    _, idx = np.unique(key, return_index=True)
+    src, dst = src[idx], dst[idx]
+    w = ((src + dst) % 10 + 1).astype(np.float64)
+    eng = GraphEngine.from_arrays(src, dst, n=n, P=3, w=w)
+    try:
+        weighted_pagerank(eng, max_iters=15, sync_every=15)
+        got = eng.get_state_by_vertex("pr")
+    finally:
+        eng.shutdown()
+
+    alpha = 0.85
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, w)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(15):
+        x = np.where(wsum > 0, pr * (alpha / np.maximum(wsum, 1)), 0.0)
+        y = np.zeros(n)
+        np.add.at(y, dst, x[src] * w)
+        dang = pr[wsum == 0].sum()
+        pr = y + (alpha * dang + (1 - alpha)) / n
+    np.testing.assert_allclose(got, pr, atol=1e-12)
