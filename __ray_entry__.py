@@ -1250,6 +1250,22 @@ def _q_pca_embeddings(sf_dir: str):
     return out
 
 
+def _q_zscore_outliers(sf_dir: str):
+    """Per-user z-score outlier events (|z| > 2): exact integer-cents
+    moments broadcast back to a scoring pass."""
+    import ray.data
+
+    from alp_ray.stages.relational import zscore_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+    return zscore_outliers(
+        ev, key="user_id", value_col="value", id_col="event_id",
+    )
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-user median event value (keyed exact quantile)."""
     import ray.data
@@ -3707,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_urgent": _q_anti_join,
         "pivot_events": _q_pivot_events,
         "grouped_median": _q_grouped_median,
+        "zscore_outliers": _q_zscore_outliers,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "rolling_window": _q_rolling_window,
@@ -3943,6 +3960,20 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "zscore_outliers": (
+            "WITH c AS (SELECT event_id, user_id, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT user_id, COUNT(*) AS n, SUM(cents) AS s, "
+            "SUM(cents * cents) AS ss FROM c GROUP BY user_id), "
+            "sc AS (SELECT c.event_id, c.user_id, "
+            "(c.cents - (CAST(m.s AS DOUBLE) / m.n)) / sqrt(GREATEST("
+            "CAST(m.ss AS DOUBLE) / m.n - (CAST(m.s AS DOUBLE) / m.n) "
+            "* (CAST(m.s AS DOUBLE) / m.n), 0)) AS z "
+            "FROM c JOIN m USING (user_id) "
+            "WHERE m.ss * m.n > m.s * m.s) "
+            "SELECT event_id, user_id, ROUND(z, 6) AS z FROM sc "
+            "WHERE ABS(z) > 2"
         ),
         "rolling_window": (
             "SELECT event_id, user_id, "

@@ -858,3 +858,91 @@ def rollup_aggregate(
             Sum("cents", alias_name="cents"),
         )
     )
+
+
+def zscore_outliers(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 2.0,
+) -> "ray.data.Dataset":
+    """Per-key z-score outlier detection: rows with
+    |x − μ_key| / σ_key > threshold. Two streaming passes: (1)
+    per-batch integer-cents moment partials (count, Σx, Σx²) → one
+    key-grouped Sum → a small per-key moment table broadcast once; (2)
+    a scoring pass filters each batch against its keys' (μ, σ). All
+    moments are exact int64 sums of cents, so both sides derive
+    bit-identical μ/σ — no accumulation-algorithm drift (DuckDB's
+    stddev_* uses a different algorithm; the twin writes the moment
+    formula explicitly). Keys with σ = 0 emit nothing."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key), np.int64)
+        c = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            key: pa.array(uk),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(
+                np.bincount(inv, weights=c).astype(np.int64)
+            ),
+            "ss": pa.array(
+                np.bincount(inv, weights=c * c).astype(np.int64)
+            ),
+        })
+
+    mom = (
+        ds.select_columns([key, value_col])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+    mtbl = broadcast_join(
+        ds.select_columns([id_col, key, value_col]), mom, on=key
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            key: pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if "n" not in batch.column_names or len(batch) == 0:
+            return empty
+        c = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        )
+        ni = np.asarray(batch.column("n"), np.int64)
+        si = np.asarray(batch.column("s"), np.int64)
+        ssi = np.asarray(batch.column("ss"), np.int64)
+        # σ > 0 decided EXACTLY in integers (n·Σx² > (Σx)²) — the float
+        # moment difference is only trusted once positivity is known,
+        # so both sides (this and the SQL twin) share one predicate.
+        pos = ssi * ni > si * si
+        n, s, ss = (ni.astype(np.float64), si.astype(np.float64),
+                    ssi.astype(np.float64))
+        mean = s / n
+        var = ss / n - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(pos, (c - mean) / sd, 0.0)
+        keep = pos & (np.abs(z) > threshold)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()).filter(
+                pa.array(keep)
+            ),
+            key: batch.column(key).cast(pa.int64()).filter(
+                pa.array(keep)
+            ),
+            "z": pa.array(np.round(z[keep], 6)),
+        })
+
+    return mtbl.map_batches(score, batch_format="pyarrow")

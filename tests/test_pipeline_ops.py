@@ -660,3 +660,22 @@ def test_rolling_sum_window_clamp_at_segment_start():
         .tolist()
     )
     assert out == [100, 200, 300, 300, 300, 300]
+
+
+def test_zscore_outliers_flags_planted_spike():
+    from alp_ray.stages.relational import zscore_outliers
+
+    # User 1: 20 near-constant values + one spike; user 2: constant
+    # (sigma = 0 -> emits nothing, exact integer predicate).
+    vals = [10.00 + 0.01 * (i % 3) for i in range(20)] + [99.99]
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(23), pa.int64()),
+        "user_id": pa.array([1] * 21 + [2, 2], pa.int64()),
+        "value": pa.array(vals + [5.0, 5.0], pa.float64()),
+    })
+    out = zscore_outliers(
+        ray.data.from_arrow(tbl), key="user_id", value_col="value",
+        id_col="event_id",
+    ).to_pandas()
+    assert out["event_id"].tolist() == [20]   # only the spike
+    assert (out["z"] > 2).all()
