@@ -1314,6 +1314,20 @@ def _q_bm25(sf_dir: str):
     return bm25_scores(docs, list(_BM25_TERMS))
 
 
+def _q_sequence_pack(sf_dir: str):
+    """Concat-and-chunk pretraining sequence assignment: token stream
+    in doc_id order cut into 256-token sequences; per doc its token
+    count and first/last sequence index."""
+    import ray.data
+
+    from alp_ray.stages.text import sequence_pack
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return sequence_pack(docs, seq_len=256)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: item pairs bought together in ≥2
     orders, weighted by order count (bipartite projection of the
@@ -3718,6 +3732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_window": _q_running_window,
         "copurchase_pairs": _q_copurchase_pairs,
         "inverted_index": _q_inverted_index,
+        "sequence_pack": _q_sequence_pack,
         "bm25_search": _q_bm25,
         "global_rank": _q_global_rank,
         "anti_join_urgent": _q_anti_join,
@@ -4036,6 +4051,16 @@ def oracle_sql() -> dict[str, str]:
             "), 6) AS score "
             "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
             "GROUP BY tf.doc_id"
+        ),
+        "sequence_pack": (
+            "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
+            "AS BIGINT) AS n FROM documents), "
+            "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS bef FROM t) "
+            "SELECT doc_id, n AS n_tokens, "
+            "CAST(bef // 256 AS BIGINT) AS seq_start, "
+            "CAST((bef + n - 1) // 256 AS BIGINT) AS seq_end FROM c"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT doc_id, "

@@ -666,3 +666,77 @@ def bm25_scores(
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def sequence_pack(
+    docs,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """LLM-pretraining sequence assignment (concat-and-chunk): lay the
+    corpus's token stream out in ``id`` order, cut it into fixed
+    ``seq_len`` training sequences, and report for every document its
+    token count and the first/last sequence it lands in (docs may
+    straddle a boundary — the standard packing used when documents are
+    concatenated with separators and chunked).
+
+    Physical plan: one range sort by id, then per-block token sums →
+    O(#blocks) driver-side offset scalars → per-block prefix sums (the
+    global_rank / dense-id-mapping pattern). All-integer, no second
+    shuffle."""
+    import ray
+    import ray.data
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = np.diff(np.asarray(toks.offsets, np.int64))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(n),
+        })
+
+    sorted_ds = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(with_tokens, batch_format="pyarrow")
+        .sort(id_col)
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _tokens(tbl: pa.Table) -> int:
+        if "n_tokens" not in tbl.column_names:
+            return 0
+        return int(
+            np.asarray(tbl.column("n_tokens"), np.int64).sum()
+        )
+
+    sums = ray.get([_tokens.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote
+    def _assign(tbl: pa.Table, offset: int) -> pa.Table:
+        if "n_tokens" not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "seq_start": pa.array([], pa.int64()),
+                "seq_end": pa.array([], pa.int64()),
+            })
+        n = np.asarray(tbl.column("n_tokens"), np.int64)
+        before = offset + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_tokens": pa.array(n),
+            "seq_start": pa.array(before // seq_len),
+            "seq_end": pa.array((before + np.maximum(n, 1) - 1)
+                                // seq_len),
+        })
+
+    out = [
+        _assign.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -198,3 +198,24 @@ def test_bm25_matches_textbook_formula():
     assert out.loc[1] == round(ref(2, 1, 3) + ref(1, 2, 3), 6)
     assert out.loc[2] == round(ref(1, 2, 2), 6)
     assert 3 not in out.index  # no query term -> excluded
+
+
+def test_sequence_pack_boundary_straddle():
+    import ray.data
+
+    from alp_ray.stages.text import sequence_pack
+
+    # Docs of 3/4/2 tokens, seq_len=4: stream positions 0-2, 3-6, 7-8.
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c", "d e f g", "h i"], pa.string()),
+    })
+    out = (
+        sequence_pack(ray.data.from_arrow(tbl).repartition(2), seq_len=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0].tolist() == [3, 0, 0]
+    assert out.loc[1].tolist() == [4, 0, 1]   # straddles seqs 0 and 1
+    assert out.loc[2].tolist() == [2, 1, 2]   # tokens 7-8 -> seqs 1..2
