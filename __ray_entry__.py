@@ -1250,6 +1250,20 @@ def _q_pca_embeddings(sf_dir: str):
     return out
 
 
+def _q_user_sequences(sf_dir: str):
+    """Per-user event-type sequence in (ts, event_id) order — the
+    behavior-sequence extraction for sequence-model training."""
+    import ray.data
+
+    from alp_ray.stages.window import keyed_sequence
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return keyed_sequence(ev)
+
+
 def _q_zscore_outliers(sf_dir: str):
     """Per-user z-score outlier events (|z| > 2): exact integer-cents
     moments broadcast back to a scoring pass."""
@@ -3739,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "grouped_median": _q_grouped_median,
         "zscore_outliers": _q_zscore_outliers,
+        "user_sequences": _q_user_sequences,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "rolling_window": _q_rolling_window,
@@ -3975,6 +3990,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "user_sequences": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) "
+            "AS sequence FROM events GROUP BY user_id"
         ),
         "zscore_outliers": (
             "WITH c AS (SELECT event_id, user_id, "

@@ -337,3 +337,77 @@ def rolling_sum(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def keyed_sequence(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    token_col: str = "event_type",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key ordered sequence extraction (SQL's ``string_agg(x, ','
+    ORDER BY ts, id)``): each key's token stream joined in event order —
+    the behavior-sequence representation sequence models train on.
+    Whole keys co-locate by hash; one lexsort per partition and a
+    ListArray/binary_join assembles every key's string without a
+    per-key loop. Returns (key, n_events, sequence)."""
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+                "__tok": batch.column(token_col).cast(pa.string()),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sequence": pa.array([], pa.string()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column(key_col), np.int64)
+        i = np.asarray(group.column(id_col), np.int64)
+        t = np.asarray(group.column("__ts"), np.int64)
+        tok = group.column("__tok")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        order = np.lexsort((i, t, u))
+        u = u[order]
+        tok = tok.take(pa.array(order))
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, u.size])
+        offs = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+        seqs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), tok), ","
+        )
+        return pa.table(
+            {
+                key_col: pa.array(u[starts]),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "sequence": seqs,
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

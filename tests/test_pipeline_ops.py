@@ -679,3 +679,24 @@ def test_zscore_outliers_flags_planted_spike():
     ).to_pandas()
     assert out["event_id"].tolist() == [20]   # only the spike
     assert (out["z"] > 2).all()
+
+
+def test_keyed_sequence_order_and_ties():
+    from alp_ray.stages.window import keyed_sequence
+
+    tbl = pa.table({
+        "event_id": pa.array([3, 1, 2, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 5, 1, 0], pa.timestamp("us")),
+        "event_type": pa.array(["c", "b", "a", "x"], pa.string()),
+    })
+    out = (
+        keyed_sequence(ray.data.from_arrow(tbl), n_parts=2)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # ts order, event_id tiebreak: a(ts1), b(ts5,id1), c(ts5,id3).
+    assert out.loc[1, "sequence"] == "a,b,c"
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "sequence"] == "x"
