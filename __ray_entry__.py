@@ -1250,6 +1250,20 @@ def _q_pca_embeddings(sf_dir: str):
     return out
 
 
+def _q_first_last_touch(sf_dir: str):
+    """First-/last-touch attribution per user (argmin/argmax by
+    (ts, event_id))."""
+    import ray.data
+
+    from alp_ray.stages.window import first_last_touch
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return first_last_touch(ev)
+
+
 def _q_user_sequences(sf_dir: str):
     """Per-user event-type sequence in (ts, event_id) order — the
     behavior-sequence extraction for sequence-model training."""
@@ -3754,6 +3768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": _q_grouped_median,
         "zscore_outliers": _q_zscore_outliers,
         "user_sequences": _q_user_sequences,
+        "first_last_touch": _q_first_last_touch,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "rolling_window": _q_rolling_window,
@@ -3990,6 +4005,19 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "first_last_touch": (
+            "WITH r AS (SELECT user_id, event_id, event_type, "
+            "ROW_NUMBER() OVER w AS rf, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rl, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS n FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT f.user_id, f.event_id AS first_id, "
+            "f.event_type AS first_token, l.event_id AS last_id, "
+            "l.event_type AS last_token, CAST(f.n AS BIGINT) AS n_events "
+            "FROM (SELECT * FROM r WHERE rf = 1) f "
+            "JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id)"
         ),
         "user_sequences": (
             "SELECT user_id, COUNT(*) AS n_events, "

@@ -411,3 +411,81 @@ def keyed_sequence(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def first_last_touch(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    token_col: str = "event_type",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """First-/last-touch attribution: per key, the token and event id
+    of its earliest and latest event in (ts, id) order — the argmin /
+    argmax-by-time aggregate behind marketing attribution and session
+    labeling. Same coarse key-hash plan; segment boundaries of one
+    lexsort ARE the answers. Returns (key, first_id, first_token,
+    last_id, last_token, n_events)."""
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+                "__tok": batch.column(token_col).cast(pa.string()),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "first_id": pa.array([], pa.int64()),
+                "first_token": pa.array([], pa.string()),
+                "last_id": pa.array([], pa.int64()),
+                "last_token": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column(key_col), np.int64)
+        i = np.asarray(group.column(id_col), np.int64)
+        t = np.asarray(group.column("__ts"), np.int64)
+        tok = group.column("__tok")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        order = np.lexsort((i, t, u))
+        u, i = u[order], i[order]
+        tok = tok.take(pa.array(order))
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size] - 1
+        return pa.table(
+            {
+                key_col: pa.array(u[starts]),
+                "first_id": pa.array(i[starts]),
+                "first_token": tok.take(pa.array(starts)),
+                "last_id": pa.array(i[ends]),
+                "last_token": tok.take(pa.array(ends)),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype(np.int64)
+                ),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

@@ -700,3 +700,25 @@ def test_keyed_sequence_order_and_ties():
     assert out.loc[1, "sequence"] == "a,b,c"
     assert out.loc[1, "n_events"] == 3
     assert out.loc[2, "sequence"] == "x"
+
+
+def test_first_last_touch_tiebreaks():
+    from alp_ray.stages.window import first_last_touch
+
+    tbl = pa.table({
+        "event_id": pa.array([5, 2, 9, 1], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 0, 7, 3], pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c", "x"], pa.string()),
+    })
+    out = (
+        first_last_touch(ray.data.from_arrow(tbl), n_parts=2)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # ts tie at 0 -> lower event_id (2, "b") is first.
+    assert out.loc[1, ["first_id", "first_token"]].tolist() == [2, "b"]
+    assert out.loc[1, ["last_id", "last_token"]].tolist() == [9, "c"]
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, ["first_id", "last_id"]].tolist() == [1, 1]
