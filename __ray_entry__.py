@@ -1250,6 +1250,19 @@ def _q_pca_embeddings(sf_dir: str):
     return out
 
 
+def _q_grouped_mode(sf_dir: str):
+    """Per-user most frequent event type (deterministic tiebreak:
+    lexicographically smallest token)."""
+    import ray.data
+
+    from alp_ray.stages.relational import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, key="user_id", token_col="event_type")
+
+
 def _q_first_last_touch(sf_dir: str):
     """First-/last-touch attribution per user (argmin/argmax by
     (ts, event_id))."""
@@ -3769,6 +3782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers": _q_zscore_outliers,
         "user_sequences": _q_user_sequences,
         "first_last_touch": _q_first_last_touch,
+        "grouped_mode": _q_grouped_mode,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "rolling_window": _q_rolling_window,
@@ -4005,6 +4019,15 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "grouped_mode": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT user_id, event_type, cnt, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn "
+            "FROM c) "
+            "SELECT user_id, event_type AS mode_token, "
+            "CAST(cnt AS BIGINT) AS mode_count FROM r WHERE rn = 1"
         ),
         "first_last_touch": (
             "WITH r AS (SELECT user_id, event_id, event_type, "

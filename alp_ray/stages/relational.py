@@ -946,3 +946,55 @@ def zscore_outliers(
         })
 
     return mtbl.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    key: str,
+    token_col: str,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key MODE of a categorical column (deterministic: highest
+    count, lexicographically-smallest token breaking ties). Whole keys
+    co-locate by hash; counts come from the segment boundaries of one
+    (key, token) lexsort and the winner per key from a second tiny
+    lexsort over the per-(key, token) count rows — no per-key dispatch.
+    Returns (key, mode_token, mode_count)."""
+    if n_parts is None:
+        n_parts = coarse_parts()
+    tagged = _part_tag(ds.select_columns([key, token_col]), key, n_parts)
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            "mode_token": pa.array([], pa.string()),
+            "mode_count": pa.array([], pa.int64()),
+        })
+        if key not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column(key), np.int64)
+        tok = np.array(group.column(token_col).to_pylist(), dtype=object)
+        tu, tcode = np.unique(tok, return_inverse=True)
+        order = np.lexsort((tcode, k))
+        k, tcode = k[order], tcode[order]
+        starts = np.flatnonzero(
+            np.r_[True, (k[1:] != k[:-1]) | (tcode[1:] != tcode[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, k.size]).astype(np.int64)
+        gk, gt = k[starts], tcode[starts]
+        # Winner per key: sort by (key, -count, token) and take segment
+        # heads. tcode order == lexicographic token order (np.unique).
+        o2 = np.lexsort((gt, -cnt, gk))
+        gk, gt, cnt = gk[o2], gt[o2], cnt[o2]
+        heads = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        return pa.table({
+            key: pa.array(gk[heads]),
+            "mode_token": pa.array(
+                tu[gt[heads]].tolist(), pa.string()
+            ),
+            "mode_count": pa.array(cnt[heads]),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

@@ -722,3 +722,24 @@ def test_first_last_touch_tiebreaks():
     assert out.loc[1, ["last_id", "last_token"]].tolist() == [9, "c"]
     assert out.loc[1, "n_events"] == 3
     assert out.loc[2, ["first_id", "last_id"]].tolist() == [1, 1]
+
+
+def test_grouped_mode_tiebreak_lexicographic():
+    from alp_ray.stages.relational import grouped_mode
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array(["b", "b", "a", "a", "z"], pa.string()),
+    })
+    out = (
+        grouped_mode(
+            ray.data.from_arrow(tbl).repartition(2), key="k",
+            token_col="t", n_parts=2,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # 2-2 tie between "a" and "b" -> lexicographically smaller wins.
+    assert out.loc[1].tolist() == ["a", 2]
+    assert out.loc[2].tolist() == ["z", 1]
