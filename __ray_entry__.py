@@ -1235,6 +1235,23 @@ def _q_rollup_orders(sf_dir: str):
     )
 
 
+def _q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all four grouping
+    subsets in one pass; grouping_id = bitmask of suppressed keys."""
+    import ray.data
+
+    from alp_ray.stages.relational import cube_aggregate
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    return cube_aggregate(
+        od, keys=("o_orderpriority", "o_orderstatus"),
+        value_col="o_totalprice",
+    )
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed 2-component PCA over the embedding column (two-pass
     covariance partials + broadcast projection). No SQL twin
@@ -3785,6 +3802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
+        "cube_orders": _q_cube_orders,
         "rolling_window": _q_rolling_window,
         "semi_join_urgent": _q_semi_join,
         "json_extract": _q_json_extract,
@@ -4067,6 +4085,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS 4 PRECEDING) AS BIGINT) AS window_cents "
             "FROM events"
+        ),
+        "cube_orders": (
+            "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '' "
+            "ELSE o_orderpriority END AS o_orderpriority, "
+            "CASE WHEN GROUPING(o_orderstatus) = 1 THEN '' "
+            "ELSE o_orderstatus END AS o_orderstatus, "
+            "CAST(GROUPING(o_orderpriority) + "
+            "2 * GROUPING(o_orderstatus) AS BIGINT) AS grouping_id, "
+            "COUNT(*) AS n_rows, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders "
+            "GROUP BY CUBE(o_orderpriority, o_orderstatus)"
         ),
         "rollup_orders": (
             "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '' "

@@ -998,3 +998,74 @@ def grouped_mode(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def cube_aggregate(
+    ds: "ray.data.Dataset",
+    keys: tuple[str, ...],
+    value_col: str,
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE(keys): aggregates for EVERY subset of the key set
+    (2^k groupings) in one pass — rollup_aggregate's lattice-complete
+    sibling. Suppressed keys become '' and ``grouping_id`` is the
+    bitmask of suppressed keys (bit i = keys[i] suppressed), matching
+    SQL's GROUPING() encoding. Same shuffle shape: per-batch in-batch
+    pre-aggregation per grouping, one groupby Sum of partials."""
+    from ray.data.aggregate import Sum
+
+    k = len(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        key_arrs = [
+            np.array(batch.column(c).to_pylist(), dtype=object)
+            for c in keys
+        ]
+        out: dict = {c: [] for c in keys}
+        out.update({"grouping_id": [], "n_rows": [], "cents": []})
+        for mask in range(1 << k):
+            cols = [
+                np.full(len(batch), "", object) if (mask >> i) & 1
+                else key_arrs[i]
+                for i in range(k)
+            ]
+            combo = np.array(
+                ["\x00".join(t) for t in zip(*cols)], dtype=object
+            ) if k else np.full(len(batch), "", object)
+            uniq, inv = np.unique(combo, return_inverse=True)
+            parts = [u.split("\x00") for u in uniq]
+            for i, c in enumerate(keys):
+                out[c].append(
+                    np.array([p[i] for p in parts], dtype=object)
+                )
+            out["grouping_id"].append(
+                np.full(uniq.size, mask, np.int64)
+            )
+            out["n_rows"].append(
+                np.bincount(inv, minlength=uniq.size).astype(np.int64)
+            )
+            out["cents"].append(
+                np.bincount(
+                    inv, weights=cents, minlength=uniq.size
+                ).astype(np.int64)
+            )
+        cols = {
+            c: pa.array(np.concatenate(out[c]).tolist(), pa.string())
+            for c in keys
+        }
+        cols["grouping_id"] = pa.array(np.concatenate(out["grouping_id"]))
+        cols["n_rows"] = pa.array(np.concatenate(out["n_rows"]))
+        cols["cents"] = pa.array(np.concatenate(out["cents"]))
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([*keys, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([*keys, "grouping_id"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("cents", alias_name="cents"),
+        )
+    )

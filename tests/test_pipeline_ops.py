@@ -743,3 +743,27 @@ def test_grouped_mode_tiebreak_lexicographic():
     # 2-2 tie between "a" and "b" -> lexicographically smaller wins.
     assert out.loc[1].tolist() == ["a", 2]
     assert out.loc[2].tolist() == ["z", 1]
+
+
+def test_cube_all_subsets():
+    from alp_ray.stages.relational import cube_aggregate
+
+    tbl = pa.table({
+        "a": pa.array(["x", "y"], pa.string()),
+        "b": pa.array(["p", "p"], pa.string()),
+        "v": pa.array([1.00, 2.00], pa.float64()),
+    })
+    out = cube_aggregate(
+        ray.data.from_arrow(tbl), keys=("a", "b"), value_col="v"
+    ).to_pandas()
+    rows = {
+        (r.a, r.b, r.grouping_id): (r.n_rows, r.cents)
+        for r in out.itertuples()
+    }
+    assert rows[("x", "p", 0)] == (1, 100)
+    assert rows[("y", "p", 0)] == (1, 200)
+    assert rows[("", "p", 1)] == (2, 300)     # a suppressed (bit 0)
+    assert rows[("x", "", 2)] == (1, 100)     # b suppressed (bit 1)
+    assert rows[("y", "", 2)] == (1, 200)
+    assert rows[("", "", 3)] == (2, 300)
+    assert len(rows) == 6
