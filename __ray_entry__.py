@@ -2570,6 +2570,21 @@ def _q_jaccard_linkpred(sf_dir: str):
     )
 
 
+def _q_pearson_corr(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) from exact
+    integer moment partials; only the final formula runs in floats."""
+    import ray.data
+
+    from alp_ray.stages.stats import pearson_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    r = pearson_corr(li, "l_quantity", "l_extendedprice")
+    return pa.table({"corr": pa.array([round(r, 6)], pa.float64())})
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree histogram (degree, n_vertices): one exact-degree groupby
     + per-block partial histograms merged driver-side (bounded by the
@@ -3860,6 +3875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering,
         # Distributed statistics
         "degree_hist": _q_degree_hist,
+        "pearson_corr": _q_pearson_corr,
         "percentiles_price": _q_percentiles,
         "weighted_sample": _q_weighted_sample,
         # Training-data hygiene operators
@@ -4037,6 +4053,21 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "pearson_corr": (
+            "WITH c AS (SELECT "
+            "CAST(ROUND(l_quantity * 100) AS BIGINT) AS x, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y "
+            "FROM lineitem), "
+            "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(x) AS DOUBLE) AS sx, "
+            "CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy, "
+            "CAST(SUM(x * y) AS DOUBLE) AS sxy FROM c) "
+            "SELECT ROUND((n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) "
+            "AS corr FROM m"
         ),
         "grouped_mode": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "

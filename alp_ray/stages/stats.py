@@ -302,3 +302,50 @@ def weighted_sample(
     sc = np.array([r["score"] for r in parts], np.float64)
     order = np.lexsort((ids, sc))[:k]
     return pa.table({key: ids[order], "score": sc[order]})
+
+
+def pearson_corr(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+) -> float:
+    """Exact-moment Pearson correlation between two numeric columns:
+    per-batch INTEGER moment partials (n, Σx, Σy, Σx², Σy², Σxy over
+    fixed-point cents — exact in int64) merged driver-side; only the
+    final six-term formula runs in floats, so the scalar is bitwise
+    reproducible and SQL-twinnable (the twin writes the same formula
+    over the same integer sums — never SQL's corr(), which accumulates
+    differently). Int64 bound: Σxy < 2⁶³ needs n·(x·scale)·(y·scale)
+    < 9.2e18 — at larger volumes shard the sum into per-block Python
+    ints (arbitrary precision) before combining."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = np.rint(
+            np.asarray(batch.column(x_col), np.float64) * x_scale
+        ).astype(np.int64)
+        y = np.rint(
+            np.asarray(batch.column(y_col), np.float64) * y_scale
+        ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([x.size], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    rows = ds.select_columns([x_col, y_col]).map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all()  # O(#blocks) scalar rows — the small-aggregate escape
+    n = float(sum(r["n"] for r in rows))
+    sx = float(sum(r["sx"] for r in rows))
+    sy = float(sum(r["sy"] for r in rows))
+    sxx = float(sum(r["sxx"] for r in rows))
+    syy = float(sum(r["syy"] for r in rows))
+    sxy = float(sum(r["sxy"] for r in rows))
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    return float(num / den) if den > 0 else 0.0

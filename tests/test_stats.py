@@ -114,3 +114,20 @@ def test_reciprocity_counts():
     ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
     matched, total = reciprocity(ds)
     assert (matched, total) == (4, 5)
+
+
+def test_pearson_corr_matches_numpy():
+    from alp_ray.stages.stats import pearson_corr
+
+    rng = np.random.RandomState(6)
+    n = 400
+    x = np.round(rng.uniform(1, 50, n), 2)
+    y = np.round(3.5 * x + rng.normal(0, 20, n), 2)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.float64()),
+    })).repartition(5)
+    got = pearson_corr(ds, "x", "y")
+    want = np.corrcoef(np.rint(x * 100), np.rint(y * 100))[0, 1]
+    assert abs(got - want) < 1e-9
+    assert got > 0.9  # the planted linear trend dominates
