@@ -2570,6 +2570,20 @@ def _q_jaccard_linkpred(sf_dir: str):
     )
 
 
+def _q_distinct_parts(sf_dir: str):
+    """Exact per-supplier COUNT(DISTINCT part) over lineitem."""
+    import ray.data
+
+    from alp_ray.stages.relational import grouped_distinct_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    return grouped_distinct_count(
+        li, key="l_suppkey", item_col="l_partkey"
+    )
+
+
 def _q_pearson_corr(sf_dir: str):
     """Pearson correlation of (l_quantity, l_extendedprice) from exact
     integer moment partials; only the final formula runs in floats."""
@@ -3876,6 +3890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Distributed statistics
         "degree_hist": _q_degree_hist,
         "pearson_corr": _q_pearson_corr,
+        "distinct_parts": _q_distinct_parts,
         "percentiles_price": _q_percentiles,
         "weighted_sample": _q_weighted_sample,
         # Training-data hygiene operators
@@ -4053,6 +4068,10 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
+        ),
+        "distinct_parts": (
+            "SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)"
+            " AS n_distinct FROM lineitem GROUP BY l_suppkey"
         ),
         "pearson_corr": (
             "WITH c AS (SELECT "

@@ -1069,3 +1069,61 @@ def cube_aggregate(
             Sum("cents", alias_name="cents"),
         )
     )
+
+
+def grouped_distinct_count(
+    ds: "ray.data.Dataset",
+    key: str,
+    item_col: str,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact per-key COUNT(DISTINCT item) — the keyed counterpart of
+    the HLL sketch (use that when approximate is acceptable; this when
+    the count gates correctness). Per-batch distinct (key, item) pairs
+    (the combiner — duplicate pairs never shuffle), whole keys
+    co-locate by hash, one lexsort + segment count per partition.
+    Returns (key, n_distinct)."""
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key), np.int64)
+        it = np.asarray(batch.column(item_col), np.int64)
+        u = np.unique(np.stack([k, it], axis=1), axis=0)
+        return pa.table({
+            key: pa.array(u[:, 0]),
+            item_col: pa.array(u[:, 1]),
+        })
+
+    tagged = _part_tag(
+        ds.select_columns([key, item_col]).map_batches(
+            pairs, batch_format="pyarrow"
+        ),
+        key,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+        })
+        if key not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column(key), np.int64)
+        it = np.asarray(group.column(item_col), np.int64)
+        order = np.lexsort((it, k))
+        k, it = k[order], it[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (it[1:] != it[:-1])]
+        k = k[keep]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        return pa.table({
+            key: pa.array(k[starts]),
+            "n_distinct": pa.array(
+                np.diff(np.r_[starts, k.size]).astype(np.int64)
+            ),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )

@@ -767,3 +767,22 @@ def test_cube_all_subsets():
     assert rows[("y", "", 2)] == (1, 200)
     assert rows[("", "", 3)] == (2, 300)
     assert len(rows) == 6
+
+
+def test_grouped_distinct_count_cross_batch_dups():
+    from alp_ray.stages.relational import grouped_distinct_count
+
+    # Same (key, item) pair repeated across partitions must count once.
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+        "i": pa.array([7, 7, 8, 9, 9, 7], pa.int64()),
+    })
+    out = (
+        grouped_distinct_count(
+            ray.data.from_arrow(tbl).repartition(3), key="k",
+            item_col="i", n_parts=2,
+        )
+        .to_pandas()
+        .set_index("k")["n_distinct"]
+    )
+    assert out.loc[1] == 2 and out.loc[2] == 1
