@@ -1280,6 +1280,20 @@ def _q_grouped_mode(sf_dir: str):
     return grouped_mode(ev, key="user_id", token_col="event_type")
 
 
+def _q_funnel(sf_dir: str):
+    """view → click → purchase conversion funnel per user (stage k+1
+    strictly after the earliest qualifying stage-k event)."""
+    import ray.data
+
+    from alp_ray.stages.window import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel(ev, stages=("view", "click", "purchase"))
+
+
 def _q_first_last_touch(sf_dir: str):
     """First-/last-touch attribution per user (argmin/argmax by
     (ts, event_id))."""
@@ -3829,6 +3843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sequences": _q_user_sequences,
         "first_last_touch": _q_first_last_touch,
         "grouped_mode": _q_grouped_mode,
+        "funnel_conversion": _q_funnel,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "cube_orders": _q_cube_orders,
@@ -4096,6 +4111,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM c) "
             "SELECT user_id, event_type AS mode_token, "
             "CAST(cnt AS BIGINT) AS mode_count FROM r WHERE rn = 1"
+        ),
+        "funnel_conversion": (
+            "WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e "
+            "JOIN t1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > t1.ts1 GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e "
+            "JOIN t2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > t2.ts2 GROUP BY e.user_id) "
+            "SELECT t1.user_id, CAST(1 "
+            "+ CASE WHEN t2.ts2 IS NULL THEN 0 ELSE 1 END "
+            "+ CASE WHEN t3.ts3 IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+            "AS stages_reached "
+            "FROM t1 LEFT JOIN t2 USING (user_id) "
+            "LEFT JOIN t3 USING (user_id)"
         ),
         "first_last_touch": (
             "WITH r AS (SELECT user_id, event_id, event_type, "

@@ -786,3 +786,29 @@ def test_grouped_distinct_count_cross_batch_dups():
         .set_index("k")["n_distinct"]
     )
     assert out.loc[1] == 2 and out.loc[2] == 1
+
+
+def test_funnel_ordering_is_strict():
+    from alp_ray.stages.window import funnel
+
+    # u1: view(1) click(2) purchase(3) -> 3 stages.
+    # u2: click(1) view(2) -> click BEFORE view doesn't count -> 1.
+    # u3: purchase only -> no view -> excluded.
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 5], pa.timestamp("us")),
+        "event_type": pa.array(
+            ["view", "click", "purchase", "click", "view", "purchase"],
+            pa.string(),
+        ),
+    })
+    out = (
+        funnel(
+            ray.data.from_arrow(tbl),
+            stages=("view", "click", "purchase"), n_parts=2,
+        )
+        .to_pandas()
+        .set_index("user_id")["stages_reached"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 3, 2: 1}
