@@ -1280,6 +1280,18 @@ def _q_grouped_mode(sf_dir: str):
     return grouped_mode(ev, key="user_id", token_col="event_type")
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle (k=0 rows are cohort sizes)."""
+    import ray.data
+
+    from alp_ray.stages.window import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, period_s=7 * 86400, max_k=4)
+
+
 def _q_funnel(sf_dir: str):
     """view → click → purchase conversion funnel per user (stage k+1
     strictly after the earliest qualifying stage-k event)."""
@@ -3844,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_touch": _q_first_last_touch,
         "grouped_mode": _q_grouped_mode,
         "funnel_conversion": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "pca_embeddings": _q_pca_embeddings,
         "rollup_orders": _q_rollup_orders,
         "cube_orders": _q_cube_orders,
@@ -4111,6 +4124,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM c) "
             "SELECT user_id, event_type AS mode_token, "
             "CAST(cnt AS BIGINT) AS mode_count FROM r WHERE rn = 1"
+        ),
+        "cohort_retention": (
+            "WITH wk AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w "
+            "FROM events), "
+            "f AS (SELECT user_id, MIN(w) AS w0 FROM wk "
+            "GROUP BY user_id), "
+            "uw AS (SELECT DISTINCT user_id, w FROM wk), "
+            "r AS (SELECT f.w0, uw.w - f.w0 AS k FROM uw "
+            "JOIN f USING (user_id) "
+            "WHERE uw.w - f.w0 BETWEEN 1 AND 4) "
+            "SELECT w0 AS cohort_period, k, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2 "
+            "UNION ALL "
+            "SELECT w0, 0, CAST(COUNT(*) AS BIGINT) FROM f GROUP BY 1"
         ),
         "funnel_conversion": (
             "WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events "

@@ -566,3 +566,99 @@ def funnel(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    period_s: int = 7 * 86400,
+    max_k: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Cohort retention: users cohorted by the period of their FIRST
+    event; for each cohort and offset k = 1..max_k, how many users
+    returned (had any event) exactly k periods later — plus the cohort
+    size as the k = 0 row. The period-over-period retention triangle
+    every product-analytics stack computes.
+
+    Whole users co-locate by hash; a partition reduces to per-(cohort,
+    k) partial counts (distinct (user, period) pairs via one lexsort —
+    a user's many events in one period count once), then one tiny
+    (cohort, k)-keyed Sum combines partials. Returns (cohort_period,
+    k, n) with cohort_period an absolute period index (epoch µs //
+    period)."""
+    from ray.data.aggregate import Sum
+
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+    period_us = period_s * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_period": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column(key_col), np.int64)
+        w = np.asarray(group.column("__ts"), np.int64) // period_us
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        heads = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        w0 = w[heads]                       # cohort period per user
+        # Distinct (user, period) pairs.
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        uu, ww = u[keep], w[keep]
+        ucode = np.searchsorted(u[heads], uu)
+        k = ww - w0[ucode]
+        sel = (k >= 1) & (k <= max_k)
+        pairs = np.stack([w0[ucode][sel], k[sel]], axis=1)
+        if pairs.size:
+            uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        else:
+            uniq = np.zeros((0, 2), np.int64)
+            cnt = np.zeros(0, np.int64)
+        cw, cc = np.unique(w0, return_counts=True)  # cohort sizes
+        return pa.table(
+            {
+                "cohort_period": pa.array(
+                    np.concatenate([uniq[:, 0], cw])
+                ),
+                "k": pa.array(
+                    np.concatenate(
+                        [uniq[:, 1], np.zeros(cw.size, np.int64)]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt, cc]).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        tagged.groupby("__part")
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby(["cohort_period", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

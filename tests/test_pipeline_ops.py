@@ -812,3 +812,36 @@ def test_funnel_ordering_is_strict():
         .sort_index()
     )
     assert out.to_dict() == {1: 3, 2: 1}
+
+
+def test_cohort_retention_multi_cohort():
+    from alp_ray.stages.window import cohort_retention
+
+    P = 10  # period_s=10 -> period_us = 1e7
+    us = 1_000_000
+    # u1 first in period 0, returns periods 1 and 3 (two events in p1
+    # count once). u2 first in period 1, returns period 2. u3 only p0.
+    rows = [
+        (1, 5), (1, 12), (1, 17), (1, 35),
+        (2, 11), (2, 25),
+        (3, 2),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [r[1] * us for r in rows], pa.timestamp("us")
+        ),
+    })
+    out = cohort_retention(
+        ray.data.from_arrow(tbl), period_s=P, max_k=4, n_parts=2
+    ).to_pandas()
+    got = {
+        (r.cohort_period, r.k): r.n for r in out.itertuples()
+    }
+    assert got == {
+        (0, 0): 2,   # cohort 0: u1, u3
+        (1, 0): 1,   # cohort 1: u2
+        (0, 1): 1,   # u1 returned in period 1 (once, despite 2 events)
+        (0, 3): 1,   # u1 in period 3
+        (1, 1): 1,   # u2 in period 2 = k 1
+    }
