@@ -2578,6 +2578,23 @@ def _q_adamic_adar(sf_dir: str):
     )
 
 
+def _q_avg_nbr_degree(sf_dir: str):
+    """Barrat-style average neighbor degree per vertex (symmetric
+    sparse graph); integer sums, one exact division."""
+    from alp_ray.pipelines.linkpred import average_neighbor_degree
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    )
+    out = average_neighbor_degree(edges)
+    return _cast(
+        out,
+        {"vertex": pa.int64(), "avg_nbr_deg": pa.float64()},
+    )
+
+
 def _q_jaccard_linkpred(sf_dir: str):
     """Neighborhood-Jaccard link prediction over the symmetric sparse
     graph (integer wedge counts + broadcast degree enrich; the only FP
@@ -3911,6 +3928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "adamic_adar": _q_adamic_adar,
         "jaccard_linkpred": _q_jaccard_linkpred,
+        "avg_nbr_degree": _q_avg_nbr_degree,
         "harmonic_closeness": _q_harmonic_closeness,
         "eccentricity": _q_eccentricity,
         "reciprocity": _q_reciprocity,
@@ -4370,6 +4388,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM es x WHERE x.src = e1.src "
             "AND x.dst = e2.dst) "
             "GROUP BY e1.src, e2.dst"
+        ),
+        "avg_nbr_degree": (
+            f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "
+            "es AS MATERIALIZED (SELECT src, dst FROM ed "
+            "UNION SELECT dst AS src, src AS dst FROM ed), "
+            "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c "
+            "FROM es GROUP BY src) "
+            "SELECT es.src AS vertex, "
+            "ROUND(CAST(SUM(d.c) AS DOUBLE) / COUNT(*), 6) "
+            "AS avg_nbr_deg "
+            "FROM es JOIN deg d ON d.v = es.dst GROUP BY es.src"
         ),
         "jaccard_linkpred": (
             f"WITH ed AS MATERIALIZED ({_E_SPARSE}), "

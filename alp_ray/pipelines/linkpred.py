@@ -291,3 +291,68 @@ def jaccard_similarity(
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def average_neighbor_degree(
+    edges_sym: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Average neighbor degree per vertex over a SYMMETRIC deduped edge
+    table — the per-vertex form of the degree-degree correlation that
+    degree_assortativity summarizes as one scalar (Barrat et al., PNAS
+    2004). Returns (vertex, avg_nbr_deg) rounded to 6 dp.
+
+    Plan: one degree groupby, broadcast the O(n) degree table (the
+    dimension-enrich pattern), then per-batch INTEGER partial sums of
+    neighbor degrees per src + one src-keyed Sum; the only FP op is the
+    final exact small-integer division."""
+    from ray.data.aggregate import Sum
+
+    from alp_ray.stages.graph import degrees
+    from alp_ray.stages.relational import broadcast_join
+
+    e = edges_sym.select_columns(["src", "dst"]).materialize()
+    deg = degrees(e, key="src", name="deg").map_batches(
+        lambda b: pa.table({
+            "dst": b.column("src").cast(pa.int64()),
+            "deg": b.column("deg").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    enriched = broadcast_join(e, deg, on="dst")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("deg"), np.int64)
+        uk, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "src": pa.array(uk),
+            "sum_deg": pa.array(
+                np.bincount(inv, weights=d).astype(np.int64)
+            ),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    agg = (
+        enriched.map_batches(partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(
+            Sum("sum_deg", alias_name="sum_deg"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "sum_deg" not in batch.column_names or len(batch) == 0:
+            return pa.table({
+                "vertex": pa.array([], pa.int64()),
+                "avg_nbr_deg": pa.array([], pa.float64()),
+            })
+        s = np.asarray(batch.column("sum_deg"), np.float64)
+        c = np.asarray(batch.column("cnt"), np.float64)
+        return pa.table({
+            "vertex": batch.column("src").cast(pa.int64()),
+            "avg_nbr_deg": pa.array(np.round(s / c, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -77,3 +77,23 @@ def test_jaccard_similarity_vs_dense_oracle():
             if c:
                 want[(u, v)] = round(c / (deg[u] + deg[v] - c), 6)
     assert got == want
+
+
+def test_average_neighbor_degree_vs_dense():
+    from alp_ray.pipelines.linkpred import average_neighbor_degree
+
+    # Star 0-(1,2,3) plus edge 1-2 (symmetric).
+    s = np.array([0, 1, 0, 2, 0, 3, 1, 2], np.int64)
+    d = np.array([1, 0, 2, 0, 3, 0, 2, 1], np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": s, "dst": d}))
+    got = (
+        average_neighbor_degree(edges)
+        .to_pandas()
+        .set_index("vertex")["avg_nbr_deg"]
+        .sort_index()
+    )
+    # deg: 0->3, 1->2, 2->2, 3->1
+    assert got.loc[0] == round((2 + 2 + 1) / 3, 6)
+    assert got.loc[1] == round((3 + 2) / 2, 6)
+    assert got.loc[2] == round((3 + 2) / 2, 6)
+    assert got.loc[3] == 3.0
