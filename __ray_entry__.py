@@ -57,11 +57,14 @@ _HITS_K = 12     # HITS full iterations (2K half-steps on both sides)
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
-    """DuckDB-compatible ROUND (half away from zero) for nonnegative
-    values — np.round is banker's and differs exactly on the dyadic
-    rationals (k/2^m) that quality scores land on."""
-    p = 10.0 ** nd
-    return np.floor(np.asarray(x, np.float64) * p + 0.5) / p
+    """DuckDB-ROUND-exact rounding (half away from zero, std::round
+    law) — delegates to the shared fuzz-verified helper. np.round is
+    banker's and differs exactly on the dyadic rationals (k/2^m) that
+    quality scores land on; floor(x·p + 0.5) mis-carries within half
+    an ulp below .5."""
+    from alp_ray.util import round_half_away
+
+    return round_half_away(x, nd)
 
 
 def _cast(ds, types: dict[str, pa.DataType], round6: tuple[str, ...] = ()):
@@ -71,7 +74,7 @@ def _cast(ds, types: dict[str, pa.DataType], round6: tuple[str, ...] = ()):
             col = batch.column(name)
             if name in round6:
                 col = pa.array(
-                    np.round(np.asarray(col, dtype=np.float64), 6)
+                    _round_half_away(np.asarray(col, dtype=np.float64), 6)
                 )
             cols[name] = col.cast(types[name]) if hasattr(col, "cast") else col
         return pa.table(cols)
@@ -294,7 +297,7 @@ def _q_sssp4(sf_dir: str):
     return pa.table(
         {
             "vertex": pa.array(ids.astype(np.int64)),
-            "dist": pa.array(np.round(dist[ids], 6)),
+            "dist": pa.array(_round_half_away(dist[ids], 6)),
         }
     )
 
@@ -325,7 +328,7 @@ def _q_sssp_full(sf_dir: str):
     return pa.table(
         {
             "vertex": pa.array(ids.astype(np.int64)),
-            "dist": pa.array(np.round(dist[ids], 6)),
+            "dist": pa.array(_round_half_away(dist[ids], 6)),
         }
     )
 
@@ -552,6 +555,16 @@ def _q_conjugate_gradient(sf_dir: str):
         engine, b, tol=0.0, max_iters=_CG_K
     )
     engine.shutdown()
+    # Gate-robustness invariant: no rounded digit may sit near a .5
+    # half-boundary, so the ~1e-10 engine-vs-twin dot-order drift can
+    # NEVER flip a ROUND(x, 6) value. Fails loudly (not a silent hash
+    # flake) if a new sf ever violates it — rescale b then.
+    frac = np.abs(x) * 1e6 % 1.0
+    margin = float(np.min(np.abs(frac - 0.5)))
+    assert margin > 1e-4, (
+        f"CG fixture too close to a rounding half-boundary "
+        f"(margin={margin:.2e}); rescale b in _q_conjugate_gradient"
+    )
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
@@ -905,7 +918,7 @@ def _q_window_hourly(sf_dir: str):
                 "event_type": batch.column("event_type"),
                 "n_events": batch.column("n_events").cast(pa.int64()),
                 "sum_value": pa.array(
-                    np.round(
+                    _round_half_away(
                         np.asarray(
                             batch.column("sum_value"), dtype=np.float64
                         ),
@@ -1020,7 +1033,7 @@ def _q_ann_ivf(sf_dir: str):
         {
             "vec_id": t.column("vec_id"),
             "cosine": pa.array(
-                np.round(np.asarray(t.column("cosine")), 6)
+                _round_half_away(np.asarray(t.column("cosine")), 6)
             ),
         }
     )
@@ -1453,7 +1466,7 @@ def _q_ann_top10(sf_dir: str):
         {
             "vec_id": t.column("vec_id"),
             "cosine": pa.array(
-                np.round(np.asarray(t.column("cosine")), 6)
+                _round_half_away(np.asarray(t.column("cosine")), 6)
             ),
         }
     )
@@ -2066,7 +2079,7 @@ def _q_window_hopping(sf_dir: str):
                 "event_type": batch.column("event_type"),
                 "n_events": batch.column("n_events").cast(pa.int64()),
                 "sum_value": pa.array(
-                    np.round(
+                    _round_half_away(
                         np.asarray(
                             batch.column("sum_value"), np.float64
                         ),
@@ -2822,7 +2835,7 @@ def _q_weighted_pagerank(sf_dir: str):
     return pa.table(
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
-            "pr": pa.array(np.round(pr, 7)),
+            "pr": pa.array(_round_half_away(pr, 7)),
         }
     )
 
@@ -3680,9 +3693,19 @@ def _kcore_sql(K: int) -> str:
 
 def _cg_sql(K: int) -> str:
     """Conjugate gradient on A = W_sym + diag(1 + weighted degree),
-    K unrolled steps with scalar-subquery dots (the allreduce) — every
-    vector update mirrors the engine's exact FP op order; only the dot
-    reduction order differs, absorbed by the final ROUND(…, 6)."""
+    K unrolled steps with scalar-subquery dots (the allreduce).
+
+    Every order-sensitive SUM is written as
+    ``list_sum(list(expr ORDER BY <total key>))`` — a sequential
+    reduction in one fixed order — so the twin's x is BITWISE
+    identical in any DuckDB thread configuration. Plain ``SUM`` over
+    doubles is parallel-accumulation-order nondeterministic, which is
+    exactly the driver-vs-local flake this twin suffered for three
+    rounds: a ~1e-16 dot drift amplified through 12 steps can flip a
+    ROUND(x, 6) digit. The residual engine-vs-twin order difference is
+    absorbed by ROUND(…, 6); `_q_conjugate_gradient` asserts every
+    |frac(x·10⁶) − 0.5| clears a 1e-4 margin so that absorption is a
+    checked invariant, not luck."""
     sym = (
         "SELECT src, dst, CAST((src + dst) % 10 + 1 AS DOUBLE) AS weight "
         f"FROM (SELECT src, dst FROM ({_E_DENSE}) "
@@ -3692,32 +3715,41 @@ def _cg_sql(K: int) -> str:
         f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
         f"FROM range({MOD_DENSE})), ",
         f"sym AS MATERIALIZED ({sym}), ",
+        # ord gives the diagonal group a total order: base (-1), then
+        # incident-edge contributions by neighbor id; off-diagonal
+        # groups are singletons (sym is DISTINCT).
         "A AS MATERIALIZED (SELECT src, dst, "
-        "CAST(SUM(weight) AS DOUBLE) AS weight FROM ("
-        "SELECT src, dst, weight FROM sym "
-        "UNION ALL SELECT v AS src, v AS dst, 1.0 AS weight FROM verts "
-        "UNION ALL SELECT src, src AS dst, weight FROM sym"
+        "CAST(list_sum(list(weight ORDER BY ord)) AS DOUBLE) AS weight "
+        "FROM ("
+        "SELECT src, dst, weight, CAST(0 AS BIGINT) AS ord FROM sym "
+        "UNION ALL SELECT v AS src, v AS dst, 1.0 AS weight, "
+        "CAST(-1 AS BIGINT) AS ord FROM verts "
+        "UNION ALL SELECT src, src AS dst, weight, dst AS ord FROM sym"
         ") GROUP BY 1, 2), ",
         "s0 AS MATERIALIZED (SELECT v, 0.0 AS x, "
         "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS r, "
         "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS p FROM verts), ",
-        "rr0 AS MATERIALIZED (SELECT SUM(r * r) AS val FROM s0)",
+        "rr0 AS MATERIALIZED (SELECT list_sum(list(r * r ORDER BY v)) "
+        "AS val FROM s0)",
     ]
     for k in range(1, K + 1):
         p = f"s{k - 1}"
         parts.append(
             f", ap{k} AS MATERIALIZED (SELECT A.dst AS v, "
-            f"SUM(s.p * A.weight) AS ap FROM {p} s "
+            f"list_sum(list(s.p * A.weight ORDER BY A.src)) AS ap "
+            f"FROM {p} s "
             "JOIN A ON A.src = s.v GROUP BY A.dst)"
             f", al{k} AS MATERIALIZED (SELECT "
             f"(SELECT val FROM rr{k - 1}) / "
-            f"(SELECT SUM(s.p * a.ap) FROM {p} s "
+            f"(SELECT list_sum(list(s.p * a.ap ORDER BY s.v)) "
+            f"FROM {p} s "
             f"JOIN ap{k} a ON a.v = s.v) AS alpha)"
             f", t{k} AS MATERIALIZED (SELECT s.v, "
             f"s.x + (SELECT alpha FROM al{k}) * s.p AS x, "
             f"s.r - (SELECT alpha FROM al{k}) * a.ap AS r, s.p AS p "
             f"FROM {p} s JOIN ap{k} a ON a.v = s.v)"
-            f", rr{k} AS MATERIALIZED (SELECT SUM(r * r) AS val "
+            f", rr{k} AS MATERIALIZED (SELECT "
+            f"list_sum(list(r * r ORDER BY v)) AS val "
             f"FROM t{k})"
             f", s{k} AS MATERIALIZED (SELECT v, x, r, "
             f"r + ((SELECT val FROM rr{k}) / "

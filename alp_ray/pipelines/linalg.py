@@ -195,6 +195,38 @@ def bicgstab(
 # --------------------------------------------------------------- kmeans --
 
 
+def greedy_init(
+    X: np.ndarray, ids: np.ndarray, k: int, margin: float = 1e-9
+) -> np.ndarray:
+    """Deterministic farthest-point (Gonzalez k-center) seeding — the
+    hash-gateable replacement for randomized k-means++ (kmeans.hpp:60
+    kpp_initialisation picks by d² probability; greedy picks the d²
+    ARGMAX, same spread intuition, zero randomness). First centroid =
+    the point with the smallest id; each next = the point maximizing
+    its min squared distance to the chosen set, ties to the smallest
+    id. Asserts every pick's top-2 gap clears ``margin`` relatively so
+    the ~1e-13 engine-vs-SQL-twin summation-order drift can never flip
+    a selection (the CG gate-robustness pattern)."""
+    order = np.argsort(ids, kind="stable")
+    X, ids = X[order], ids[order]
+    picks = [0]  # X sorted by id → row 0 = min id
+    mind2 = ((X - X[0]) ** 2).sum(-1)
+    for _ in range(1, min(k, X.shape[0])):
+        best = int(np.argmax(mind2))  # first max = smallest id on ties
+        top2 = np.partition(mind2, -2)[-2:]
+        gap = float(top2[1] - top2[0])
+        if gap > 0:  # exact ties are fine (id tiebreak matches SQL)
+            assert gap > margin * max(float(top2[1]), 1e-300), (
+                f"greedy init near-tie (gap={gap:.3e}): pick not robust "
+                f"to cross-engine FP drift"
+            )
+        picks.append(best)
+        d2 = ((X - X[best]) ** 2).sum(-1)
+        mind2 = np.minimum(mind2, d2)
+        mind2[picks] = -1.0  # never re-pick a chosen point
+    return X[picks].copy()
+
+
 def kmeans(
     emb: "ray.data.Dataset",
     k: int = 8,
@@ -203,23 +235,47 @@ def kmeans(
     sample_size: int = 4096,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "kpp",
+    fixed_iters: bool = False,
+    assign_margin: float | None = None,
 ):
-    """Lloyd iterations over the Dataset; k-means++ init on a sample.
+    """Lloyd iterations over the Dataset; init on a sample — ``kpp``
+    (seeded k-means++, kmeans.hpp:60) or ``greedy`` (deterministic
+    farthest-point, SQL-twinnable; the sample is the ``sample_size``
+    smallest ids so both sides see the identical set).
+    ``fixed_iters`` disables the early break so an unrolled SQL twin
+    runs the identical count. ``assign_margin`` asserts every point's
+    (second-best − best) d² gap clears it relatively in every
+    assignment pass — the gate-robustness invariant that makes the
+    integer (id, cluster) output immune to summation-order drift.
     Returns (centroids, assignment Dataset (id, cluster, dist))."""
     # Pin once: a lazy source would re-read/execute every Lloyd round.
     emb = emb.materialize()
-    sample = emb.limit(sample_size).to_pandas()
-    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    # k-means++ (kmeans.hpp:60 kpp_initialisation).
-    C = [X[rng.randint(X.shape[0])]]
-    for _ in range(1, min(k, X.shape[0])):
-        d2 = np.min(
-            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(-1), axis=1
+    if init == "greedy":
+        n_total = emb.count()
+        src = (
+            emb if n_total <= sample_size
+            else emb.sort(id_col).limit(sample_size)
         )
-        probs = d2 / max(d2.sum(), 1e-300)
-        C.append(X[rng.choice(X.shape[0], p=probs)])
-    C = np.array(C)
+        sample = src.to_pandas()
+        X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+        C = greedy_init(
+            X, np.asarray(sample[id_col], np.int64), k
+        )
+    else:
+        sample = emb.limit(sample_size).to_pandas()
+        X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        # k-means++ (kmeans.hpp:60 kpp_initialisation).
+        C = [X[rng.randint(X.shape[0])]]
+        for _ in range(1, min(k, X.shape[0])):
+            d2 = np.min(
+                ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            probs = d2 / max(d2.sum(), 1e-300)
+            C.append(X[rng.choice(X.shape[0], p=probs)])
+        C = np.array(C)
 
     for _ in range(max_iters):
         cref = ray.put(C)

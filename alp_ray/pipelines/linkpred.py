@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from alp_ray.util import round_half_away
+
 import ray
 import ray.data
 
@@ -287,7 +289,7 @@ def jaccard_similarity(
         return pa.table({
             "u": pa.array(u),
             "v": pa.array(v),
-            "jaccard": pa.array(np.round(c / (du + dv - c), 6)),
+            "jaccard": pa.array(round_half_away(c / (du + dv - c), 6)),
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
@@ -352,7 +354,7 @@ def average_neighbor_degree(
         c = np.asarray(batch.column("cnt"), np.float64)
         return pa.table({
             "vertex": batch.column("src").cast(pa.int64()),
-            "avg_nbr_deg": pa.array(np.round(s / c, 6)),
+            "avg_nbr_deg": pa.array(round_half_away(s / c, 6)),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

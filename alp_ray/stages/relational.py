@@ -19,7 +19,17 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from alp_ray.util import coarse_parts
+from alp_ray.util import coarse_parts, half_away_int, round_half_away
+
+
+def _cents(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """value·100 rounded HALF-AWAY-FROM-ZERO (exact std::round law —
+    decided on the double itself, no +0.5 carry), matching DuckDB
+    ``ROUND(value * 100)`` in the SQL twins bit-for-bit. np.rint is
+    banker's (half-to-even) and diverges deterministically whenever
+    value·100 is exactly representable at .5 — the round-3 driver
+    `pivot_events` red row."""
+    return half_away_int(values, 100.0)
 
 
 def _part_tag(ds, key: str, n_parts: int):
@@ -716,9 +726,7 @@ def pivot_counts(
         uk, inv = np.unique(k, return_inverse=True)
         cols: dict = {key: pa.array(uk)}
         if value_col is not None:
-            cents = np.rint(
-                np.asarray(batch.column(value_col), np.float64) * 100.0
-            ).astype(np.int64)
+            cents = _cents(batch.column(value_col))
         for c in categories:
             m = cat == c
             cols[f"n_{c}"] = pa.array(
@@ -783,7 +791,7 @@ def grouped_median(
         med = (v[lo] + v[hi]) / 2.0
         return pa.table({
             key: pa.array(k[starts]),
-            "median": pa.array(np.round(med, 6)),
+            "median": pa.array(round_half_away(med, 6)),
         })
 
     return tagged.groupby("__part").map_groups(
@@ -809,9 +817,7 @@ def rollup_aggregate(
     levels = len(keys) + 1
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        ).astype(np.int64)
+        cents = _cents(batch.column(value_col))
         key_arrs = [
             np.array(batch.column(c).to_pylist(), dtype=object)
             for c in keys
@@ -880,9 +886,7 @@ def zscore_outliers(
 
     def moments(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column(key), np.int64)
-        c = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        ).astype(np.int64)
+        c = _cents(batch.column(value_col))
         uk, inv = np.unique(k, return_inverse=True)
         return pa.table({
             key: pa.array(uk),
@@ -917,9 +921,7 @@ def zscore_outliers(
         })
         if "n" not in batch.column_names or len(batch) == 0:
             return empty
-        c = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        )
+        c = _cents(batch.column(value_col)).astype(np.float64)
         ni = np.asarray(batch.column("n"), np.int64)
         si = np.asarray(batch.column("s"), np.int64)
         ssi = np.asarray(batch.column("ss"), np.int64)
@@ -942,7 +944,7 @@ def zscore_outliers(
             key: batch.column(key).cast(pa.int64()).filter(
                 pa.array(keep)
             ),
-            "z": pa.array(np.round(z[keep], 6)),
+            "z": pa.array(round_half_away(z[keep], 6)),
         })
 
     return mtbl.map_batches(score, batch_format="pyarrow")
@@ -1016,9 +1018,7 @@ def cube_aggregate(
     k = len(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        ).astype(np.int64)
+        cents = _cents(batch.column(value_col))
         key_arrs = [
             np.array(batch.column(c).to_pylist(), dtype=object)
             for c in keys

@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from alp_ray.util import half_away_int
+
 import ray
 import ray.data
 
@@ -322,12 +324,8 @@ def pearson_corr(
     ints (arbitrary precision) before combining."""
 
     def partials(batch: pa.Table) -> pa.Table:
-        x = np.rint(
-            np.asarray(batch.column(x_col), np.float64) * x_scale
-        ).astype(np.int64)
-        y = np.rint(
-            np.asarray(batch.column(y_col), np.float64) * y_scale
-        ).astype(np.int64)
+        x = half_away_int(batch.column(x_col), x_scale)
+        y = half_away_int(batch.column(y_col), y_scale)
         return pa.table({
             "n": pa.array([x.size], pa.int64()),
             "sx": pa.array([int(x.sum())], pa.int64()),

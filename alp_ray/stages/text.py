@@ -13,6 +13,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from alp_ray.util import round_half_away
 import pyarrow.compute as pc
 
 # Tiny per-language character-trigram profiles for heuristic language ID.
@@ -660,7 +662,7 @@ def bm25_scores(
         ids = np.asarray(batch.column(id_col), np.int64)[keep]
         return pa.table({
             id_col: pa.array(ids),
-            "score": pa.array(np.round(s[keep], 6)),
+            "score": pa.array(round_half_away(s[keep], 6)),
         })
 
     return docs.select_columns([id_col, text_col]).map_batches(

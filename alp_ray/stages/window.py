@@ -196,15 +196,13 @@ def keyed_running(
     keys co-locate, so partition-local prefix sums are globally exact;
     nothing is per-row or per-key Python."""
     from alp_ray.stages.relational import _part_tag
-    from alp_ray.util import coarse_parts
+    from alp_ray.util import coarse_parts, half_away_int
 
     if n_parts is None:
         n_parts = coarse_parts()
 
     def prep(batch: pa.Table) -> pa.Table:
-        cents = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        ).astype(np.int64)
+        cents = half_away_int(batch.column(value_col))
         return pa.table(
             {
                 key_col: batch.column(key_col).cast(pa.int64()),
@@ -279,15 +277,13 @@ def rolling_sum(
     cumsum difference clamped at each key's segment start, so cost is
     O(rows) regardless of window size."""
     from alp_ray.stages.relational import _part_tag
-    from alp_ray.util import coarse_parts
+    from alp_ray.util import coarse_parts, half_away_int
 
     if n_parts is None:
         n_parts = coarse_parts()
 
     def prep(batch: pa.Table) -> pa.Table:
-        cents = np.rint(
-            np.asarray(batch.column(value_col), np.float64) * 100.0
-        ).astype(np.int64)
+        cents = half_away_int(batch.column(value_col))
         return pa.table(
             {
                 key_col: batch.column(key_col).cast(pa.int64()),
