@@ -54,6 +54,9 @@ _BI_K = 8        # bicgstab steps (fixed; tol=0 on both sides)
 _COLOR_K = 45    # Jones-Plassmann rounds (29 needed at sf0.01; both
                  # sides run exactly K rounds, unconverged stay -1)
 _HITS_K = 12     # HITS full iterations (2K half-steps on both sides)
+_KM_K = 8        # kmeans clusters
+_KM_L = 5        # kmeans Lloyd iterations (fixed; no early break)
+_KM_SAMPLE = 4096  # greedy-init sample: the SAMPLE smallest vec_ids
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
@@ -1584,12 +1587,23 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_kmeans(sf_dir: str):
+    """K-means assignment with a FULL hash oracle (kmeans.hpp:60
+    kpp_initialisation + :224 Lloyd/argmin): deterministic
+    farthest-point init over the _KM_SAMPLE smallest vec_ids, exactly
+    _KM_L Lloyd steps (no early break), integer (vec_id, cluster)
+    output. Margin asserts inside kmeans() guarantee every argmin/
+    argmax decision clears a 1e-9 relative gap, so the engine's
+    block-partial summation order vs the twin's sequential list_sum
+    cannot flip an assignment."""
     import ray.data
 
     from alp_ray.pipelines.linalg import kmeans
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    _, assign = kmeans(emb, k=8, max_iters=10)
+    _, assign = kmeans(
+        emb, k=_KM_K, max_iters=_KM_L, sample_size=_KM_SAMPLE,
+        init="greedy", fixed_iters=True, assign_margin=1e-9,
+    )
     return assign.select_columns(["vec_id", "cluster"])
 
 
@@ -3759,6 +3773,80 @@ def _cg_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _kmeans_sql(k: int, L: int) -> str:
+    """Unrolled k-means twin of `_q_kmeans`: greedy farthest-point
+    init (k−1 steps over the ORDER BY vec_id LIMIT sample) + L Lloyd
+    steps + final assignment — every distance/mean reduction is a
+    sequential ``list_sum(list(… ORDER BY …))`` so the twin is bitwise
+    thread-invariant; ROW_NUMBER(ORDER BY d2, cluster) mirrors
+    np.argmin's first-minimum tie rule."""
+    d2 = (
+        "list_sum(list((p.val - c.cval) * (p.val - c.cval) "
+        "ORDER BY p.dim)) AS d2"
+    )
+    parts = [
+        "WITH samp AS MATERIALIZED (SELECT vec_id, embedding "
+        f"FROM embeddings ORDER BY vec_id LIMIT {_KM_SAMPLE}), ",
+        "pts AS MATERIALIZED (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS dim, "
+        "CAST(unnest(embedding) AS DOUBLE) AS val FROM samp), ",
+        "apts AS MATERIALIZED (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS dim, "
+        "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), ",
+        "pk0 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM samp), ",
+        "cent0 AS MATERIALIZED (SELECT 0 AS cluster, dim, val AS cval "
+        "FROM pts WHERE vec_id = (SELECT vec_id FROM pk0))",
+    ]
+    for j in range(1, k):
+        parts.append(
+            f", nd{j} AS MATERIALIZED (SELECT p.vec_id, c.cluster, {d2} "
+            f"FROM pts p JOIN cent{j - 1} c ON c.dim = p.dim "
+            "GROUP BY p.vec_id, c.cluster)"
+            f", md{j} AS MATERIALIZED (SELECT vec_id, MIN(d2) AS md "
+            f"FROM nd{j} WHERE vec_id NOT IN "
+            f"(SELECT vec_id FROM pk{j - 1}) GROUP BY vec_id)"
+            f", pick{j} AS MATERIALIZED (SELECT vec_id FROM md{j} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+            f", pk{j} AS MATERIALIZED (SELECT vec_id FROM pk{j - 1} "
+            f"UNION ALL SELECT vec_id FROM pick{j})"
+            f", cent{j} AS MATERIALIZED (SELECT * FROM cent{j - 1} "
+            f"UNION ALL SELECT {j} AS cluster, dim, val AS cval "
+            f"FROM pts WHERE vec_id = (SELECT vec_id FROM pick{j}))"
+        )
+    parts.append(
+        f", lc0 AS MATERIALIZED (SELECT * FROM cent{k - 1})"
+    )
+    for i in range(1, L + 1):
+        parts.append(
+            f", ad{i} AS MATERIALIZED (SELECT p.vec_id, c.cluster, {d2} "
+            f"FROM apts p JOIN lc{i - 1} c ON c.dim = p.dim "
+            "GROUP BY p.vec_id, c.cluster)"
+            f", a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d2, cluster) AS rn "
+            f"FROM ad{i}) WHERE rn = 1)"
+            f", m{i} AS MATERIALIZED (SELECT a.cluster, p.dim, "
+            "list_sum(list(p.val ORDER BY p.vec_id)) / COUNT(*) AS mval "
+            f"FROM a{i} a JOIN apts p USING (vec_id) "
+            "GROUP BY a.cluster, p.dim)"
+            # Empty clusters keep their previous centroid (engine:
+            # newC[c] stays C[c] when no partials arrived).
+            f", lc{i} AS MATERIALIZED (SELECT c.cluster, c.dim, "
+            f"COALESCE(m.mval, c.cval) AS cval FROM lc{i - 1} c "
+            f"LEFT JOIN m{i} m ON m.cluster = c.cluster "
+            "AND m.dim = c.dim)"
+        )
+    parts.append(
+        f", fd AS MATERIALIZED (SELECT p.vec_id, c.cluster, {d2} "
+        f"FROM apts p JOIN lc{L} c ON c.dim = p.dim "
+        "GROUP BY p.vec_id, c.cluster) "
+        "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY d2, cluster) AS rn FROM fd) WHERE rn = 1"
+    )
+    return "".join(parts)
+
+
 def _langid_sql() -> str:
     """Character-trigram language ID: same profiles, same scoring
     (hits/n_trigrams), same alphabetical-first argmax and 0.01
@@ -4147,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ROUND(median(value), 6) AS median "
             "FROM events GROUP BY user_id"
         ),
+        "kmeans_assign": _kmeans_sql(_KM_K, _KM_L),
         "distinct_parts": (
             "SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)"
             " AS n_distinct FROM lineitem GROUP BY l_suppkey"

@@ -285,7 +285,16 @@ def kmeans(
             V = _as_matrix(batch.column(vec_col))
             d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
             a = d.argmin(1)
-            # Combiner: per-block sum+count per cluster.
+            if d.shape[1] > 1:
+                two = np.partition(d, 1, axis=1)[:, :2]
+                gaps = (two[:, 1] - two[:, 0]) / np.maximum(
+                    two[:, 1], 1e-300
+                )
+                m = float(gaps.min()) if gaps.size else 1.0
+            else:
+                m = 1.0
+            # Combiner: per-block sum+count per cluster (+ the block's
+            # min relative argmin gap, for the drift-margin assert).
             ks, sums, counts = [], [], []
             for c in np.unique(a):
                 ks.append(int(c))
@@ -296,12 +305,20 @@ def kmeans(
                     "cluster": pa.array(ks, pa.int64()),
                     "vsum": pa.array(sums, pa.list_(pa.float64(), V.shape[1])),
                     "cnt": pa.array(counts, pa.int64()),
+                    "margin": pa.array([m] * len(ks), pa.float64()),
                 }
             )
 
         parts = emb.map_batches(
             partial_means, batch_format="pyarrow"
         ).to_pandas()
+        if assign_margin is not None and len(parts):
+            m = float(parts["margin"].min())
+            assert m > assign_margin, (
+                f"kmeans assignment near-tie (min relative d² gap "
+                f"{m:.3e} ≤ {assign_margin}): integer output not "
+                f"robust to FP summation-order drift"
+            )
         newC = C.copy()
         for c in range(C.shape[0]):
             rows = parts[parts["cluster"] == c]
@@ -309,7 +326,7 @@ def kmeans(
                 s = np.sum(np.array(rows["vsum"].tolist()), axis=0)
                 n = rows["cnt"].sum()
                 newC[c] = s / n
-        if np.allclose(newC, C, atol=1e-12):
+        if not fixed_iters and np.allclose(newC, C, atol=1e-12):
             C = newC
             break
         C = newC
@@ -321,6 +338,15 @@ def kmeans(
         V = _as_matrix(batch.column(vec_col))
         d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
+        if assign_margin is not None and d.shape[1] > 1 and len(batch):
+            two = np.partition(d, 1, axis=1)[:, :2]
+            gaps = (two[:, 1] - two[:, 0]) / np.maximum(
+                two[:, 1], 1e-300
+            )
+            m = float(gaps.min())
+            assert m > assign_margin, (
+                f"kmeans final assignment near-tie (gap {m:.3e})"
+            )
         return pa.table(
             {
                 id_col: batch.column(id_col),
