@@ -181,6 +181,48 @@ def _q_ewise_add_degrees(sf_dir: str):
     return _cast(z, {"vertex": pa.int64(), "val": pa.int64()})
 
 
+def _q_ewise_masked(sf_dir: str):
+    """Masked eWiseApply (out·in degree product, output-masked to
+    vertices with out-degree ≥ 5) — ≙ the masked eWiseApply overloads
+    of base/blas1.hpp:208; mask applied as one union+groupby marker
+    shuffle (stages/graph.py apply_mask)."""
+    from alp_ray.stages.graph import degrees, ewise_inner_masked
+
+    e = _dense_edges(sf_dir)
+    out_d = degrees(e, key="src", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    in_d = degrees(e, key="dst", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    mask = out_d.filter(expr="val >= 5")
+    z = ewise_inner_masked(out_d, in_d, mask, np.multiply)
+    return _cast(z, {"vertex": pa.int64(), "val": pa.int64()})
+
+
+def _q_fold_masked_complement(sf_dir: str):
+    """Masked foldl under structural_complement (descriptors.hpp:117):
+    total out-degree over the complement of the even-vertex in-degree
+    mask (odd vertices + vertices with no in-edges — non-vacuous at
+    every sf, unlike an absolute degree threshold)."""
+    from alp_ray.stages.graph import degrees, fold_masked
+
+    e = _dense_edges(sf_dir)
+    out_d = degrees(e, key="src", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    in_d = degrees(e, key="dst", name="val").rename_columns(
+        ["vertex", "val"]
+    )
+    def even_only(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("vertex"), np.int64)
+        return batch.filter(pa.array(v % 2 == 0))
+
+    mask = in_d.map_batches(even_only, batch_format="pyarrow")
+    total = fold_masked(out_d, mask, monoid_agg="sum", invert_mask=True)
+    return pa.table({"val": pa.array([int(total or 0)], pa.int64())})
+
+
 def _q_spgemm(sf_dir: str):
     from alp_ray.functions.semiring import PLUS_TIMES
     from alp_ray.pipelines.matrix import spgemm
@@ -572,6 +614,97 @@ def _q_conjugate_gradient(sf_dir: str):
         {
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
             "x": pa.array(_round_half_away(x, 6)),
+        }
+    )
+
+
+def _q_conjugate_gradient_complex(sf_dir: str):
+    """CG over a COMPLEX Hermitian-positive-definite system — ≙ the
+    reference's complex-domain CG (smoke `conjugate_gradient_complex`,
+    tests/smoke/smoketests.sh:224; golden rndHermit256; templates are
+    domain-generic per algorithms/conjugate_gradient.hpp:159).
+
+    Physical form: for HPD systems complex CG's α and β are REAL
+    scalars, so the complex recurrence decomposes exactly — iterate for
+    iterate, bitwise — into real CG on the symmetric 2n×2n embedding
+    M = [[Ar, −Ai], [Ai, Ar]], x = (Re; Im). The engine therefore runs
+    UNCHANGED on a 2n-vertex graph: vertices [0, n) carry the real
+    plane, [n, 2n) the imaginary plane.
+
+    Fixture: H = W + diag(1 + Σ(|Re w| + |Im w|)) with Re w = (u+v)%10+1
+    (symmetric) and Im w = ±((u·v)%5+1) (antisymmetric, + for u<v) —
+    Hermitian strictly diagonally dominant ⇒ HPD."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from alp_ray.pipelines.linalg import conjugate_gradient
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    n = MOD_DENSE
+    sym = symmetrize(_dense_edges(sf_dir))
+
+    def embed(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("src"), np.int64)
+        v = np.asarray(batch.column("dst"), np.int64)
+        wr = ((u + v) % 10 + 1).astype(np.float64)
+        m = ((u * v) % 5 + 1).astype(np.float64)
+        wi = np.where(u < v, m, -m)
+        src = np.concatenate([u, u + n, u, u + n])
+        dst = np.concatenate([v, v + n, v + n, v])
+        w = np.concatenate([wr, wr, -wi, wi])
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "weight": pa.array(w),
+            }
+        )
+
+    def diag_contrib(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("src"), np.int64)
+        v = np.asarray(batch.column("dst"), np.int64)
+        d = ((u + v) % 10 + 1 + (u * v) % 5 + 1).astype(np.float64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, u + n])),
+                "dst": pa.array(np.concatenate([u, u + n])),
+                "weight": pa.array(np.concatenate([d, d])),
+            }
+        )
+
+    symm = sym.materialize()
+    ar2 = np.arange(2 * n, dtype=np.int64)
+    base_diag = ray.data.from_arrow(
+        pa.table({"src": ar2, "dst": ar2, "weight": np.ones(2 * n)})
+    )
+    # Integer-valued weights sum exactly in float64 — the diag groupby
+    # order is immaterial (same contract as the real-CG fixture).
+    A = (
+        symm.map_batches(embed, batch_format="pyarrow")
+        .union(base_diag)
+        .union(symm.map_batches(diag_contrib, batch_format="pyarrow"))
+        .groupby(["src", "dst"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    engine = GraphEngine.from_dataset(A, n=2 * n, P=4, weighted=True)
+    b2 = ((np.arange(2 * n) % 7) + 1) / 10.0
+    x, iters, res = conjugate_gradient(
+        engine, b2, tol=0.0, max_iters=_CG_K
+    )
+    engine.shutdown()
+    frac = np.abs(x) * 1e6 % 1.0
+    margin = float(np.min(np.abs(frac - 0.5)))
+    assert margin > 1e-4, (
+        f"complex-CG fixture too close to a rounding half-boundary "
+        f"(margin={margin:.2e}); rescale b in "
+        f"_q_conjugate_gradient_complex"
+    )
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(n, dtype=np.int64)),
+            "xr": pa.array(_round_half_away(x[:n], 6)),
+            "xi": pa.array(_round_half_away(x[n:], 6)),
         }
     )
 
@@ -3746,6 +3879,17 @@ def _cg_sql(K: int) -> str:
         "rr0 AS MATERIALIZED (SELECT list_sum(list(r * r ORDER BY v)) "
         "AS val FROM s0)",
     ]
+    parts.extend(_cg_unrolled_steps(K))
+    parts.append(f" SELECT v AS vertex, ROUND(x, 6) AS x FROM s{K}")
+    return "".join(parts)
+
+
+def _cg_unrolled_steps(K: int) -> list[str]:
+    """The K unrolled CG iterations shared by the real and complex
+    twins — depends only on CTEs ``A`` (src, dst, weight), ``s0`` and
+    ``rr0`` defined by the caller's prefix. Every order-sensitive SUM
+    is a sequential list_sum reduction (thread-invariant)."""
+    parts = []
     for k in range(1, K + 1):
         p = f"s{k - 1}"
         parts.append(
@@ -3769,7 +3913,61 @@ def _cg_sql(K: int) -> str:
             f"r + ((SELECT val FROM rr{k}) / "
             f"(SELECT val FROM rr{k - 1})) * p AS p FROM t{k})"
         )
-    parts.append(f" SELECT v AS vertex, ROUND(x, 6) AS x FROM s{K}")
+    return parts
+
+
+def _cg_complex_sql(K: int) -> str:
+    """Twin of `_q_conjugate_gradient_complex`: the SAME K unrolled CG
+    steps (shared via `_cg_unrolled_steps`) over the symmetric 2n×2n
+    real embedding [[Ar, −Ai], [Ai, Ar]] of the Hermitian fixture —
+    complex HPD CG's α/β are real, so the embedded real recurrence IS
+    the complex recurrence, plane by plane."""
+    n = MOD_DENSE
+    symw = (
+        "SELECT src, dst, "
+        "CAST((src + dst) % 10 + 1 AS DOUBLE) AS wr, "
+        "CAST(CASE WHEN src < dst THEN (src * dst) % 5 + 1 "
+        "ELSE -((src * dst) % 5 + 1) END AS DOUBLE) AS wi "
+        f"FROM (SELECT src, dst FROM ({_E_DENSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_DENSE}))"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({2 * n})), ",
+        f"symw AS MATERIALIZED ({symw}), ",
+        # Embedded off-diagonal blocks + base diag (ord −1) + per-edge
+        # diagonal-dominance contributions (ord = neighbor id); all
+        # weights are integer-valued doubles, so the group sums are
+        # exact in any order — ord only pins DuckDB's own reduction.
+        "A AS MATERIALIZED (SELECT src, dst, "
+        "CAST(list_sum(list(weight ORDER BY ord)) AS DOUBLE) AS weight "
+        "FROM ("
+        "SELECT src, dst, wr AS weight, CAST(0 AS BIGINT) AS ord "
+        "FROM symw "
+        f"UNION ALL SELECT src + {n}, dst + {n}, wr, "
+        "CAST(0 AS BIGINT) FROM symw "
+        f"UNION ALL SELECT src, dst + {n}, -wi, CAST(0 AS BIGINT) "
+        "FROM symw "
+        f"UNION ALL SELECT src + {n}, dst, wi, CAST(0 AS BIGINT) "
+        "FROM symw "
+        "UNION ALL SELECT v AS src, v AS dst, 1.0, CAST(-1 AS BIGINT) "
+        "FROM verts "
+        "UNION ALL SELECT src, src AS dst, wr + ABS(wi), dst FROM symw "
+        f"UNION ALL SELECT src + {n}, src + {n} AS dst, wr + ABS(wi), "
+        "dst FROM symw"
+        ") GROUP BY 1, 2), ",
+        "s0 AS MATERIALIZED (SELECT v, 0.0 AS x, "
+        "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS r, "
+        "CAST((v % 7) + 1 AS DOUBLE) / 10.0 AS p FROM verts), ",
+        "rr0 AS MATERIALIZED (SELECT list_sum(list(r * r ORDER BY v)) "
+        "AS val FROM s0)",
+    ]
+    parts.extend(_cg_unrolled_steps(K))
+    parts.append(
+        f" SELECT a.v AS vertex, ROUND(a.x, 6) AS xr, "
+        f"ROUND(b.x, 6) AS xi FROM s{K} a "
+        f"JOIN s{K} b ON b.v = a.v + {n} WHERE a.v < {n}"
+    )
     return "".join(parts)
 
 
@@ -3944,6 +4142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_min_plus": _q_spmv_min_plus,
         "spmv_masked": _q_spmv_masked,
         "ewise_add_degrees": _q_ewise_add_degrees,
+        "ewise_masked": _q_ewise_masked,
+        "fold_masked_complement": _q_fold_masked_complement,
         # Algorithms (SURVEY §2.7)
         "spy_downsample": _q_spy,
         "spgemm_two_hop": _q_spgemm,
@@ -3958,6 +4158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pregel_pagerank": _q_pregel_pagerank,
         "labelprop": _q_labelprop,
         "conjugate_gradient": _q_conjugate_gradient,
+        "conjugate_gradient_complex": _q_conjugate_gradient_complex,
         "kcore": _q_kcore,
         "hits": _q_hits,
         # North-star corpus pipeline
@@ -4101,6 +4302,21 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL "
             f"  SELECT dst AS vertex, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY dst"
             ") GROUP BY vertex"
+        ),
+        "ewise_masked": (
+            "WITH od AS (SELECT src AS vertex, COUNT(*) AS c "
+            f"FROM ({_E_DENSE}) GROUP BY src), "
+            "id_ AS (SELECT dst AS vertex, COUNT(*) AS c "
+            f"FROM ({_E_DENSE}) GROUP BY dst) "
+            "SELECT od.vertex, CAST(od.c * id_.c AS BIGINT) AS val "
+            "FROM od JOIN id_ ON id_.vertex = od.vertex "
+            "WHERE od.c >= 5"
+        ),
+        "fold_masked_complement": (
+            "SELECT CAST(SUM(c) AS BIGINT) AS val FROM ("
+            f"SELECT src, COUNT(*) AS c FROM ({_E_DENSE}) GROUP BY src) "
+            f"WHERE src NOT IN (SELECT DISTINCT dst FROM ({_E_DENSE}) "
+            "WHERE dst % 2 = 0)"
         ),
         "spgemm_two_hop": (
             f"SELECT a.src, b.dst, CAST(COUNT(*) AS DOUBLE) AS weight "
@@ -4578,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY score, doc_id LIMIT 20)"
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
+        "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
         "bicgstab": _bicgstab_sql(_BI_K),
         "embedding_near_dup": (
             "WITH base AS MATERIALIZED (SELECT vec_id, "

@@ -4,17 +4,25 @@ every edge lies on ≥ k−2 triangles of the subgraph itself.
 Not shipped by the reference (its decompositions stop at k-core,
 `algorithms/kcore_decomposition.hpp`); in its vocabulary each peel
 round is the triangle-support mxm (A·A ∘ A, the §2.5 north-star
-composition) followed by a masked filter — which is exactly how it
-runs here: per round, DISTRIBUTED per-edge support via the oriented-CSR
-wedge kernel of ``pipelines/triangles`` (vertex batches over an actor
-pool, broadcast CSR, no per-edge Python), then drop edges below k−2
-and repeat until stable.
+composition) followed by a masked filter.
 
-Support recomputation is from scratch each round — decremental updates
-would save work but break the round-synchronous semantics the SQL twin
-unrolls. Driver state is the canonical edge array (bounded, asserted);
-past the bound the same rounds run with the shuffle-join support path
-(three hash joins per round — the `_triangle_count_shuffle` shape).
+Two physical forms per round, mirroring ``pipelines/triangles``' dual
+kernel (≙ the reference's gather-vs-scatter choice, blas2.hpp:1132),
+auto-selected by the CURRENT surviving edge count:
+
+- ``broadcast`` (< threshold): the oriented CSR bundle is built ON A
+  WORKER from the edge Dataset's block refs and peeled ON A WORKER —
+  the driver never holds an edge array, only (all_kept, m) scalars
+  and the next round's block ref. Zero shuffles per round.
+- ``shuffle`` (≥ threshold): the all-Dataset scale path — degree
+  orientation, per-source wedge emission, closing-edge match and
+  per-edge credit aggregation are groupby/map_groups stages; edge
+  state stays a Dataset end-to-end. O(#edges) never touches one
+  machine.
+
+Support recomputation is from scratch each round — decremental
+updates would save work but break the round-synchronous semantics the
+SQL twin unrolls.
 """
 
 from __future__ import annotations
@@ -24,8 +32,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-
-_EDGE_LIMIT = 5_000_000
+from ray.data.aggregate import Max, Sum
 
 
 class _SupportStage:
@@ -36,7 +43,7 @@ class _SupportStage:
     def __init__(self, bundle_ref) -> None:
         (
             self.indptr, self.nbrs, self.keys, self.n,
-        ) = ray.get(bundle_ref)
+        ) = ray.get(bundle_ref)[:4]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("id"), np.int64)
@@ -75,11 +82,19 @@ class _SupportStage:
         )
 
 
-def _oriented_bundle(u: np.ndarray, v: np.ndarray):
-    """(indptr, nbrs, sorted rank-edge keys, n_verts, vert_of_rank,
-    key_lo, key_hi): degree-rank orientation of canonical edges.
-    ``vert_of_rank[r]`` is the ORIGINAL vertex id at rank r (ranks are
-    (degree, id)-lex, NOT id order)."""
+@ray.remote(num_returns=2)
+def _build_oriented_kt(*tables: pa.Table):
+    """Degree-rank-oriented CSR bundle built on a WORKER from the
+    canonical edge blocks (the driver passes refs only). Returns
+    (indptr, nbrs rank-sorted, sorted rank-edge keys, n, vert_of_rank,
+    key_lo_ranks, key_hi_ranks) plus the scalar n."""
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables), columns={"src": pa.int64(), "dst": pa.int64()}
+    )
+    u = np.asarray(t.column("src"), np.int64)
+    v = np.asarray(t.column("dst"), np.int64)
     both = np.concatenate([u, v])
     verts, inv = np.unique(both, return_inverse=True)
     deg = np.bincount(inv, minlength=verts.size)
@@ -96,61 +111,344 @@ def _oriented_bundle(u: np.ndarray, v: np.ndarray):
     lo_s, hi_s = lo[o2], hi[o2]
     keys_sorted = lo_s * n + hi_s
     indptr = np.searchsorted(lo_s, np.arange(n + 1))
-    return indptr, hi_s, keys_sorted, n, vert_of_rank, lo_s, hi_s
+    return (indptr, hi_s, keys_sorted, n, vert_of_rank, lo_s, hi_s), n
+
+
+@ray.remote(num_returns=2)
+def _peel(bundle, need: int, *sup_tables: pa.Table):
+    """Worker-side peel: fold the support partials, drop edges below
+    ``need``, emit the surviving canonical edge block (stays in the
+    object store) + (all_kept, m_next) scalars for the driver."""
+    indptr, nbrs, keys, n, vert_of_rank, klo, khi = bundle
+    sup = np.zeros(keys.size, np.int64)
+    for t in sup_tables:
+        if t.num_columns and t.num_rows:
+            sup[np.asarray(t.column("eidx"), np.int64)] += np.asarray(
+                t.column("cnt"), np.int64
+            )
+    ok = sup >= need
+    ou, ov = vert_of_rank[klo[ok]], vert_of_rank[khi[ok]]
+    u = np.minimum(ou, ov)
+    v = np.maximum(ou, ov)
+    o = np.lexsort((v, u))
+    t = pa.table({"src": pa.array(u[o]), "dst": pa.array(v[o])})
+    return t, (bool(ok.all()), int(u.size))
+
+
+def _round_broadcast(canon: "ray.data.Dataset", need: int):
+    """One support+peel round with worker-resident state (the driver
+    touches block refs and two scalars only)."""
+    refs = canon.to_arrow_refs()
+    bundle_ref, n_ref = _build_oriented_kt.remote(*refs)
+    n = int(ray.get(n_ref))
+    if n == 0:
+        return canon, True, 0
+    sup_refs = (
+        ray.data.range(n)
+        .map_batches(
+            _SupportStage,
+            fn_constructor_args=(bundle_ref,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
+        .to_arrow_refs()
+    )
+    t_ref, meta_ref = _peel.remote(bundle_ref, need, *sup_refs)
+    all_kept, m_next = ray.get(meta_ref)
+    return ray.data.from_arrow_refs([t_ref]), all_kept, m_next
+
+
+def _support_round_shuffle(
+    canon: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Per-edge triangle support as a Dataset of oriented
+    (a, b, sup) rows — the all-Dataset scale path. Degree-rank
+    orientation bounds wedge emission by out-degree O(√m); the
+    closing-edge match and the 3-way credit both run as
+    groupby/map_groups stages (no driver state). Degrees are
+    broadcast once per round (O(n) ints; at 10^12-vertex scale this
+    becomes a join on src/dst — same note as triangles.py)."""
+    from alp_ray.util import concat_blocks
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            np.asarray(batch.column("src"), np.int64),
+            np.asarray(batch.column("dst"), np.int64),
+        ])
+        vv, cc = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(vv), "c": pa.array(cc)})
+
+    deg_ds = (
+        canon.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="deg"))
+    )
+    deg_tbl = concat_blocks(
+        deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
+    )
+    dv = np.asarray(deg_tbl.column("v"), np.int64)
+    dc = np.asarray(deg_tbl.column("deg"), np.int64)
+    order = np.argsort(dv)
+    deg_ref = ray.put((dv[order], dc[order]))
+
+    class Orient:
+        def __init__(self, deg_ref) -> None:
+            self.dv, self.dc = ray.get(deg_ref)
+
+        def _deg(self, x: np.ndarray) -> np.ndarray:
+            return self.dc[np.searchsorted(self.dv, x)]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("src"), np.int64)
+            b = np.asarray(batch.column("dst"), np.int64)
+            da, db = self._deg(a), self._deg(b)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {
+                    "a": pa.array(np.where(a_first, a, b)),
+                    "b": pa.array(np.where(a_first, b, a)),
+                }
+            )
+
+    oriented = canon.map_batches(
+        Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+
+    from alp_ray.util import coarse_parts
+
+    n_parts = coarse_parts()
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        part = np.asarray(batch.column("a"), np.int64) % n_parts
+        return batch.append_column("__part", pa.array(part))
+
+    def wedges_multi(group: pa.Table) -> pa.Table:
+        """All sources of one coarse partition, vectorized per
+        out-degree class (no per-source Python dispatch)."""
+        empty = pa.table(
+            {
+                "e1": pa.array([], pa.int64()),
+                "e2": pa.array([], pa.int64()),
+                "apex": pa.array([], pa.int64()),
+            }
+        )
+        if "b" not in group.column_names or group.num_rows < 2:
+            return empty
+        dv, dc = ray.get(deg_ref)
+        a = np.asarray(group.column("a"), np.int64)
+        b = np.asarray(group.column("b"), np.int64)
+        nd = dc[np.searchsorted(dv, b)]
+        order = np.lexsort((b, nd, a))  # by src, then nbr rank
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[starts, a.size])
+        e1s, e2s, apexes = [], [], []
+        for d in np.unique(lens):
+            if d < 2:
+                continue
+            seg = starts[lens == d]
+            idx = seg[:, None] + np.arange(d)[None, :]
+            nb = b[idx]  # (n_seg, d) rank-sorted out-neighbours
+            iu, ju = np.triu_indices(int(d), 1)
+            e1s.append(nb[:, iu].ravel())
+            e2s.append(nb[:, ju].ravel())
+            apexes.append(np.repeat(a[seg], iu.size))
+        if not e1s:
+            return empty
+        return pa.table(
+            {
+                "e1": pa.array(np.concatenate(e1s)),
+                "e2": pa.array(np.concatenate(e2s)),
+                "apex": pa.array(np.concatenate(apexes)),
+            }
+        )
+
+    wedge_ds = (
+        oriented.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(wedges_multi, batch_format="pyarrow")
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "e1": batch.column("a"),
+                "e2": batch.column("b"),
+                "apex": pa.array(np.full(len(batch), -1, np.int64)),
+            }
+        )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        if "e1" not in batch.column_names:
+            return pa.table(
+                {
+                    "e1": pa.array([], pa.int64()),
+                    "e2": pa.array([], pa.int64()),
+                    "apex": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int64()),
+                }
+            )
+        e1 = np.asarray(batch.column("e1"), np.int64)
+        e2 = np.asarray(batch.column("e2"), np.int64)
+        part = (e1 * 2654435761 + e2) % n_parts
+        return batch.append_column("__part", pa.array(part))
+
+    unioned = (
+        wedge_ds.map_batches(tag_pair, batch_format="pyarrow")
+        .union(
+            oriented.map_batches(tag_edges, batch_format="pyarrow")
+            .map_batches(tag_pair, batch_format="pyarrow")
+        )
+    )
+
+    def close_multi(group: pa.Table) -> pa.Table:
+        """One coarse partition of wedge + edge-marker rows, keyed by
+        the closing pair (e1, e2): pairs that carry a marker
+        (apex == −1) close every wedge row in their segment — credit
+        (apex,e1), (apex,e2) one each and (e1,e2) the wedge count.
+        Fully vectorized over segments."""
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "credit": pa.array([], pa.int64()),
+            }
+        )
+        if "e1" not in group.column_names or group.num_rows == 0:
+            return empty
+        e1 = np.asarray(group.column("e1"), np.int64)
+        e2 = np.asarray(group.column("e2"), np.int64)
+        apex = np.asarray(group.column("apex"), np.int64)
+        order = np.lexsort((apex, e2, e1))  # markers first per pair
+        e1, e2, apex = e1[order], e2[order], apex[order]
+        new_seg = np.r_[True, (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        has_marker = apex[starts] == -1  # ≤1 marker (edges unique)
+        wr = (apex >= 0) & has_marker[seg_id]
+        if not wr.any():
+            return empty
+        xs, yy, zz = apex[wr], e1[wr], e2[wr]
+        # per-pair wedge counts for the (y,z) credit
+        w_seg = np.bincount(seg_id[wr], minlength=starts.size)
+        closed = np.flatnonzero(has_marker & (w_seg > 0))
+        a = np.concatenate([xs, xs, e1[starts[closed]]])
+        b = np.concatenate([yy, zz, e2[starts[closed]]])
+        c = np.concatenate([
+            np.ones(2 * xs.size, np.int64),
+            w_seg[closed],
+        ])
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "credit": pa.array(c)}
+        )
+
+    credits = unioned.groupby("__part").map_groups(
+        close_multi, batch_format="pyarrow"
+    )
+
+    def tag_zero(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "credit": pa.array(np.zeros(len(batch), np.int64)),
+                "is_edge": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    def tag_credit(batch: pa.Table) -> pa.Table:
+        if "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "credit": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                }
+            )
+        return batch.append_column(
+            "is_edge", pa.array(np.zeros(len(batch), np.int64))
+        )
+
+    return (
+        credits.map_batches(tag_credit, batch_format="pyarrow")
+        .union(oriented.map_batches(tag_zero, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("credit", alias_name="sup"),
+            Max("is_edge", alias_name="is_edge"),
+        )
+        .filter(expr="is_edge == 1")
+    )
+
+
+def _round_shuffle(canon: "ray.data.Dataset", need: int, m: int):
+    sup = _support_round_shuffle(canon)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64())}
+        )
+        if "sup" not in batch.column_names or len(batch) == 0:
+            return empty
+        s = np.asarray(batch.column("sup"), np.int64)
+        a = np.asarray(batch.column("a"), np.int64)[s >= need]
+        b = np.asarray(batch.column("b"), np.int64)[s >= need]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b)),
+                "dst": pa.array(np.maximum(a, b)),
+            }
+        )
+
+    nxt = sup.map_batches(keep, batch_format="pyarrow").materialize()
+    m_next = nxt.count()
+    return nxt, m_next == m, m_next
 
 
 def ktruss(
     edges: "ray.data.Dataset",
     k: int = 4,
     max_rounds: int = 100,
-) -> tuple[pa.Table, int]:
+    method: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    as_dataset: bool = False,
+) -> tuple:
     """Surviving canonical (src < dst) edges of the k-truss + the
     number of support rounds computed (the last round verifies the
     fixpoint). ``edges`` may be directed — the undirected simple edge
-    set is derived first."""
+    set is derived first. Edge state lives in the object store (or as
+    a Dataset) between rounds; the driver holds only scalars."""
+    from alp_ray.stages.graph import canonicalize
     from alp_ray.util import concat_blocks
 
-    t = concat_blocks(
-        edges.select_columns(["src", "dst"]).materialize(),
-        columns={"src": pa.int64(), "dst": pa.int64()},
-    )
-    a = np.asarray(t.column("src"), np.int64)
-    b = np.asarray(t.column("dst"), np.int64)
-    keep = a != b
-    a, b = a[keep], b[keep]
-    pairs = np.unique(
-        np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1), axis=0
-    ) if a.size else np.empty((0, 2), np.int64)
-    u, v = pairs[:, 0], pairs[:, 1]
-    assert u.size <= _EDGE_LIMIT, (
-        f"{u.size} edges exceed the driver-held peeling bound — "
-        "use the shuffle-join support path"
-    )
-    rounds = 0
+    canon = canonicalize(edges).materialize()
+    m = canon.count()
     need = k - 2
-    while u.size and rounds < max_rounds:
-        indptr, nbrs, keys, n, verts, klo, khi = _oriented_bundle(u, v)
-        bref = ray.put((indptr, nbrs, keys, n))
-        parts = (
-            ray.data.range(n)
-            .map_batches(
-                _SupportStage,
-                fn_constructor_args=(bref,),
-                batch_format="pyarrow",
-                batch_size=4096,
-                concurrency=(1, 8),
+    rounds = 0
+    while m and rounds < max_rounds:
+        mode = method
+        if mode == "auto":
+            mode = (
+                "broadcast" if m <= broadcast_threshold else "shuffle"
             )
-            .take_all()
-        )
-        sup = np.zeros(keys.size, np.int64)
-        for r in parts:
-            sup[r["eidx"]] += r["cnt"]
+        if mode == "broadcast":
+            canon, all_kept, m = _round_broadcast(canon, need)
+        else:
+            canon, all_kept, m = _round_shuffle(canon, need, m)
         rounds += 1
-        ok = sup >= need
-        if ok.all():
+        if all_kept:
             break
-        ou, ov = verts[klo[ok]], verts[khi[ok]]
-        u, v = np.minimum(ou, ov), np.maximum(ou, ov)
+    if as_dataset:
+        return canon, rounds
+    t = concat_blocks(
+        canon, columns={"src": pa.int64(), "dst": pa.int64()}
+    )
+    u = np.asarray(t.column("src"), np.int64)
+    v = np.asarray(t.column("dst"), np.int64)
     o = np.lexsort((v, u))
     return (
         pa.table({"src": pa.array(u[o]), "dst": pa.array(v[o])}),

@@ -312,6 +312,104 @@ def fold(
     raise ValueError(monoid_agg)
 
 
+def apply_mask(
+    x: "ray.data.Dataset",
+    mask: "ray.data.Dataset",
+    invert: bool = False,
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Structural output mask — ≙ the reference's masked overloads
+    (base/blas1.hpp:208-1796) and the ``structural_complement``
+    descriptor (descriptors.hpp:117) when ``invert=True``: keep x's
+    entries whose vertex IS (complement: is NOT) present in ``mask``.
+    Implemented as union + groupby marker (one shuffle, no hash join —
+    the Ray 2.49 join empty-partition workaround): mask rows carry
+    −inf values so they can never win the Max and are dropped by the
+    finite-value filter."""
+    from ray.data.aggregate import Max
+
+    def tag(flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            val = (
+                np.asarray(batch.column(value_col), np.float64)
+                if flag == 0 else np.full(n, -np.inf)
+            )
+            return pa.table(
+                {
+                    "vertex": batch.column("vertex").cast(pa.int64()),
+                    value_col: pa.array(val),
+                    "__m": pa.array(np.full(n, flag, np.int64)),
+                }
+            )
+
+        return fn
+
+    u = x.map_batches(tag(0), batch_format="pyarrow").union(
+        mask.map_batches(tag(1), batch_format="pyarrow")
+    )
+    g = u.groupby("vertex").aggregate(
+        Max(value_col, alias_name=value_col),
+        Max("__m", alias_name="__m"),
+    )
+    want = 0 if invert else 1
+
+    def fin(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vertex": pa.array([], pa.int64()),
+                value_col: pa.array([], pa.float64()),
+            }
+        )
+        if "__m" not in batch.column_names or len(batch) == 0:
+            return empty
+        v = np.asarray(batch.column(value_col), np.float64)
+        m = np.asarray(batch.column("__m"), np.int64)
+        keep = (m == want) & np.isfinite(v)
+        return pa.table(
+            {
+                "vertex": batch.column("vertex").filter(pa.array(keep)),
+                value_col: pa.array(v[keep]),
+            }
+        )
+
+    return g.map_batches(fin, batch_format="pyarrow")
+
+
+def ewise_inner_masked(
+    x: "ray.data.Dataset",
+    y: "ray.data.Dataset",
+    mask: "ray.data.Dataset",
+    op,
+    invert_mask: bool = False,
+    value_col: str = "val",
+) -> "ray.data.Dataset":
+    """Masked eWiseApply (op variant) — ≙ grb::eWiseApply's
+    mask-taking overloads (base/blas1.hpp:208): intersection eWise,
+    then the structural output mask (inverted = the
+    structural_complement descriptor)."""
+    return apply_mask(
+        ewise_inner(x, y, op, value_col=value_col),
+        mask, invert=invert_mask, value_col=value_col,
+    )
+
+
+def fold_masked(
+    x: "ray.data.Dataset",
+    mask: "ray.data.Dataset",
+    monoid_agg: str = "sum",
+    invert_mask: bool = False,
+    value_col: str = "val",
+):
+    """Masked foldl → scalar — ≙ grb::foldl(scalar, vector, mask,
+    monoid) (base/blas1.hpp's masked fold overloads): reduce only the
+    entries the (possibly complemented) structural mask admits."""
+    return fold(
+        apply_mask(x, mask, invert=invert_mask, value_col=value_col),
+        monoid_agg=monoid_agg, value_col=value_col,
+    )
+
+
 def ewise_inner(
     x: "ray.data.Dataset",
     y: "ray.data.Dataset",

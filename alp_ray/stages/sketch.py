@@ -101,9 +101,11 @@ def heavy_hitters(
     approximating. Ties broken (count DESC, token ASC) to match the
     SQL ``ORDER BY cnt DESC, tok LIMIT k`` twin.
 
-    At 100 TB the driver merge is O(#blocks · m); cap it with a tree
-    merge (an intermediate map_batches over summary blocks) — same
-    guarantee, documented here as the scale path.
+    A tree-merge level between pass 1 and the driver (one map_batches
+    folding ~64 block summaries per task) bounds the driver's input to
+    O(#blocks/64 · m) rows; MG summaries are mergeable under
+    sum-then-compress, and the pass-2 exactness assert holds
+    regardless of merge topology.
     """
     import pyarrow.compute as pc
 
@@ -141,23 +143,74 @@ def heavy_hitters(
             }
         )
 
+    def _mg_compress(uniq: np.ndarray, cnt: np.ndarray):
+        if uniq.size > counters:
+            order = np.lexsort((uniq, -cnt))
+            uniq, cnt = uniq[order], cnt[order]
+            sub = int(cnt[counters])
+            uniq, cnt = uniq[:counters], cnt[:counters] - sub
+            keep = cnt > 0
+            uniq, cnt = uniq[keep], cnt[keep]
+        return uniq, cnt
+
+    def mg_merge(batch: pa.Table) -> pa.Table:
+        """Tree-merge level: fold many block summaries into one MG
+        summary (sum per token, compress to ``counters``)."""
+        if "tok" not in batch.column_names or len(batch) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "n_block": pa.array([], pa.int64()),
+                }
+            )
+        toks = np.asarray(batch.column("tok"))
+        cnts = np.asarray(batch.column("cnt"), np.int64)
+        nb = int(np.asarray(batch.column("n_block"), np.int64).sum())
+        uniq, inv = np.unique(toks, return_inverse=True)
+        cnt = np.bincount(
+            inv, weights=cnts, minlength=uniq.size
+        ).astype(np.int64)
+        uniq, cnt = _mg_compress(uniq, cnt)
+        nbv = np.zeros(uniq.size, np.int64)
+        if uniq.size:
+            nbv[0] = nb
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(cnt),
+                "n_block": pa.array(nbv),
+            }
+        )
+
+    from alp_ray.util import concat_blocks
+
     p1 = (
         ds.select_columns([text_col])
         .map_batches(pass1, batch_format="pyarrow")
-        .take_all()
+        .map_batches(
+            mg_merge, batch_size=counters * 64, batch_format="pyarrow"
+        )
     )
-    merged: dict[str, int] = {}
-    n_total = 0
-    for r in p1:
-        merged[r["tok"]] = merged.get(r["tok"], 0) + int(r["cnt"])
-        n_total += int(r["n_block"])
-    items = sorted(merged.items(), key=lambda t: (-t[1], t[0]))
-    if len(items) > counters:
-        sub = items[counters][1]
-        items = [
-            (t, c - sub) for t, c in items[:counters] if c - sub > 0
-        ]
-    cand = np.array([t for t, _ in items])
+    t1 = concat_blocks(
+        p1,
+        columns={
+            "tok": pa.string(), "cnt": pa.int64(), "n_block": pa.int64()
+        },
+    )
+    toks = np.asarray(t1.column("tok"))
+    cnts = np.asarray(t1.column("cnt"), np.int64)
+    n_total = int(
+        np.asarray(t1.column("n_block"), np.int64).sum()
+    )
+    if toks.size:
+        uniq, inv = np.unique(toks, return_inverse=True)
+        merged_cnt = np.bincount(
+            inv, weights=cnts, minlength=uniq.size
+        ).astype(np.int64)
+        cand, _ = _mg_compress(uniq, merged_cnt)
+    else:
+        cand = np.array([], dtype=object)
     cref = ray.put(np.sort(cand))
 
     def pass2(batch: pa.Table) -> pa.Table:

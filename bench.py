@@ -121,160 +121,261 @@ def scale_probe_pagerank(
     }
 
 
+def ktruss_probe(num_cpus: int) -> dict:
+    """k-truss peel at >10M edges through the all-Dataset shuffle path
+    (no broadcast CSR, no driver edge arrays): 3.3M disjoint triangles
+    (all survive k=3) + 0.5M hash-noise edges (support 0, peeled in
+    round 1; round 2 verifies the fixpoint). Exercises degree
+    orientation, wedge emission, closing-edge match and credit
+    aggregation at scale."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from alp_ray.pipelines.ktruss import ktruss
+
+    n_tri = int(os.environ.get("GRAFT_KTRUSS_TRI", 3_333_334))
+    n_noise = n_tri // 6
+    n_v = 3 * n_tri
+
+    def gen_tri(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("id"), np.int64)
+        base = 3 * i
+        src = np.concatenate([base, base, base + 1])
+        dst = np.concatenate([base + 1, base + 2, base + 2])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def gen_noise(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("id"), np.int64)
+        u = (i * 2654435761) % n_v
+        v = (i * 40503 + 7919) % n_v
+        keep = u != v
+        return pa.table(
+            {"src": pa.array(u[keep]), "dst": pa.array(v[keep])}
+        )
+
+    edges = (
+        ray.data.range(n_tri)
+        .map_batches(gen_tri, batch_format="pyarrow")
+        .union(
+            ray.data.range(n_noise).map_batches(
+                gen_noise, batch_format="pyarrow"
+            )
+        )
+    )
+    t0 = time.perf_counter()
+    surv, rounds = ktruss(edges, k=3, as_dataset=True)
+    n_surv = surv.count()
+    dt = time.perf_counter() - t0
+    m_total = 3 * n_tri + n_noise
+    return {
+        "n_edges_in": m_total,
+        "n_survivors": n_surv,
+        "rounds": rounds,
+        "sec": round(dt, 3),
+        "edges_per_sec": round(m_total * rounds / dt),
+    }
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    """Interleaved inner×outer timing (the reference Benchmarker
+    protocol, base/benchmark.hpp:64-79,227-252): the probe list runs
+    ``RAY_GRAFT_REPS`` outer passes in round-robin order; per query we
+    report the MEDIAN with min/max/sdev spread, so cross-round BENCH
+    comparisons see through this VM's documented ±40% co-tenant
+    noise. Heavy one-shot probes declare reps=1."""
     import ray
 
     import ray.data
 
-    sf = _sf_of(sf_dir)
-    P = max(4, min(16, num_cpus // 2))
-    queries: dict[str, float] = {}
-    extras: dict = {}
-
-    # 1. Headline: corpus PageRank.
-    t0 = time.perf_counter()
-    headline = corpus_pagerank_bench(sf, P=P)
-    queries["corpus_pagerank"] = round(time.perf_counter() - t0, 3)
-    extras["corpus_pagerank"] = headline
-
-    # 2. Scale probe (synthetic 32M-edge graph).
-    t0 = time.perf_counter()
-    probe = scale_probe_pagerank(n=2_000_000, m=32_000_000, P=P)
-    queries["scale_probe_pagerank"] = round(time.perf_counter() - t0, 3)
-    extras["scale_probe_pagerank"] = probe
-
-    # 3. Derived-edge graph algorithms at this sf.
-    from alp_ray.pipelines.components import connected_components
-    from alp_ray.pipelines.triangles import triangle_count
-    from alp_ray.sources.tables import derived_edges
-    from alp_ray.stages.graph import symmetrize
-    from alp_ray.state.engine import GraphEngine
-
-    t0 = time.perf_counter()
-    edges = symmetrize(
-        derived_edges(sf_dir, mod=20011, sparse=False, dedup=False),
-        dedup=False,
-    )
-    eng = GraphEngine.from_dataset(edges, n=20011, P=P,
-                                   num_cpus_per_shard=0, dedupe=True)
-    cc_res = connected_components(eng)
-    eng.shutdown()
-    queries["connected_components"] = round(time.perf_counter() - t0, 3)
-    extras["connected_components"] = {
-        "edges": eng.m, "iterations": cc_res.iterations
-    }
-
-    t0 = time.perf_counter()
-    tri = triangle_count(derived_edges(sf_dir, mod=2003, sparse=True))
-    queries["triangle_count"] = round(time.perf_counter() - t0, 3)
-    extras["triangle_count"] = {"n_triangles": tri}
-
-    # 4. Training-data operators over documents/embeddings/events.
     from alp_ray.pipelines.ann import cosine_topk
+    from alp_ray.pipelines.components import connected_components
     from alp_ray.pipelines.dedup import exact_dedup, minhash_lsh_pairs
-    from alp_ray.stages.text import QualityScoreStage, TokenCountStage
-    from alp_ray.stages.window import tumbling_window
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.perf_counter()
-    n_kept = exact_dedup(docs).count()
-    queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(docs).count()
-    queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
-    extras["dedup"] = {"kept": n_kept, "lsh_pairs": n_pairs}
-
-    t0 = time.perf_counter()
-    docs.map_batches(
-        TokenCountStage, batch_format="pyarrow", concurrency=(1, num_cpus)
-    ).map_batches(
-        QualityScoreStage, batch_format="pyarrow",
-        concurrency=(1, num_cpus),
-    ).count()
-    queries["text_analysis"] = round(time.perf_counter() - t0, 3)
-
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
-    t0 = time.perf_counter()
-    cosine_topk(emb, q, k=10)
-    queries["ann_top10"] = round(time.perf_counter() - t0, 3)
-
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
-    t0 = time.perf_counter()
-    tumbling_window(ev).count()
-    queries["window_hourly"] = round(time.perf_counter() - t0, 3)
-
-    # 5. HPCG probe: one multigrid V-cycle on a 40³ 27-point system
-    # (3 levels, red-black GS smoothing; ~1.6M nnz fine level). The
-    # metric is smoother-applied nonzeros per second — each V-cycle
-    # runs 8 fine + 8 mid + 4 coarse color-step spmvs + 2 transfers.
     from alp_ray.pipelines.hpcg import (
         build_hpcg_levels, shutdown as hpcg_shutdown, v_cycle,
     )
-
-    t0 = time.perf_counter()
-    hl = build_hpcg_levels((40, 40, 40), levels=3, P=min(P, 8))
-    hpcg_build = time.perf_counter() - t0
-    r = ((np.arange(hl[0].n) % 9) + 1) / 10.0
-    hl[0].engine.set_state_by_vertex("r", r)
-    v_cycle(hl, 0, 1, 1)  # warm
-    t0 = time.perf_counter()
-    v_cycle(hl, 0, 1, 1)
-    cycle_sec = time.perf_counter() - t0
-    nnz_applied = 9 * hl[0].engine.m + 9 * hl[1].engine.m + 4 * hl[2].engine.m
-    queries["hpcg_vcycle"] = round(hpcg_build + 2 * cycle_sec, 3)
-    extras["hpcg_vcycle"] = {
-        "n": hl[0].n,
-        "nnz": hl[0].engine.m,
-        "levels": 3,
-        "build_sec": round(hpcg_build, 3),
-        "cycle_sec": round(cycle_sec, 3),
-        "smoother_nnz_per_sec": round(nnz_applied / cycle_sec),
-    }
-    hpcg_shutdown(hl)
-
-    # 6. Sparse-DNN probe (GraphChallenge shape, ref
-    # sparse_nn_single_inference.hpp): L sparse weight matrices stashed
-    # per shard, one superstep per layer (the _edges_key scalar swaps
-    # the active layer in-actor — no rebuilds, no driver round-trips).
     from alp_ray.pipelines.linalg import sparse_nn_engine
+    from alp_ray.pipelines.triangles import triangle_count
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.stages.text import QualityScoreStage, TokenCountStage
+    from alp_ray.stages.window import tumbling_window
     from alp_ray.state.engine import GraphEngine
 
-    nn_n, nn_l, nn_fan = 16384, 60, 32
-    keys = [f"w{i}" for i in range(nn_l)]
-    t0 = time.perf_counter()
-    nn_eng = GraphEngine.synth_layer_stack(
-        nn_n, P=min(P, 16), keys=keys, fan=nn_fan, seed=5
-    )
-    nn_build = time.perf_counter() - t0
-    x0 = np.ones(nn_n)
-    t0 = time.perf_counter()
-    xv, _ = sparse_nn_engine(
-        nn_eng, keys, biases=[0.0] * nn_l,
-        x0=(x0, np.arange(nn_n, dtype=np.int64)), threshold=32.0,
-    )
-    nn_infer = time.perf_counter() - t0
-    nn_eng.shutdown()
-    queries["sparse_nn_probe"] = round(nn_build + nn_infer, 3)
-    extras["sparse_nn_probe"] = {
-        "n_neurons": nn_n,
-        "n_layers": nn_l,
-        "total_nnz": nn_eng.m,
-        "final_active": int(xv.size),
-        "build_sec": round(nn_build, 3),
-        "infer_sec": round(nn_infer, 3),
-        "layers_per_sec": round(nn_l / nn_infer, 1),
-        "edges_per_sec": round(nn_eng.m / nn_infer),
-    }
+    sf = _sf_of(sf_dir)
+    P = max(4, min(16, num_cpus // 2))
+    outer = int(os.environ.get("RAY_GRAFT_REPS", "3"))
+
+    def p_corpus():
+        return None, corpus_pagerank_bench(sf, P=P)
+
+    def p_scale_probe():
+        return None, scale_probe_pagerank(n=2_000_000, m=32_000_000, P=P)
+
+    def p_cc():
+        edges = symmetrize(
+            derived_edges(sf_dir, mod=20011, sparse=False, dedup=False),
+            dedup=False,
+        )
+        eng = GraphEngine.from_dataset(
+            edges, n=20011, P=P, num_cpus_per_shard=0, dedupe=True
+        )
+        cc_res = connected_components(eng)
+        eng.shutdown()
+        return None, {"edges": eng.m, "iterations": cc_res.iterations}
+
+    def p_triangles():
+        tri = triangle_count(derived_edges(sf_dir, mod=2003, sparse=True))
+        return None, {"n_triangles": tri}
+
+    def p_dedup_exact():
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return None, {"kept": exact_dedup(docs).count()}
+
+    def p_minhash():
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return None, {"lsh_pairs": minhash_lsh_pairs(docs).count()}
+
+    def p_text():
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        docs.map_batches(
+            TokenCountStage, batch_format="pyarrow",
+            concurrency=(1, num_cpus),
+        ).map_batches(
+            QualityScoreStage, batch_format="pyarrow",
+            concurrency=(1, num_cpus),
+        ).count()
+        return None, None
+
+    def p_ann():
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+        cosine_topk(emb, q, k=10)
+        return None, None
+
+    def p_window():
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+        tumbling_window(ev).count()
+        return None, None
+
+    def p_hpcg():
+        # One multigrid V-cycle on a 40-cubed 27-point system (3 levels,
+        # red-black GS smoothing; ~1.6M nnz fine level); metric =
+        # smoother-applied nonzeros per second.
+        t0 = time.perf_counter()
+        hl = build_hpcg_levels((40, 40, 40), levels=3, P=min(P, 8))
+        hpcg_build = time.perf_counter() - t0
+        r = ((np.arange(hl[0].n) % 9) + 1) / 10.0
+        hl[0].engine.set_state_by_vertex("r", r)
+        v_cycle(hl, 0, 1, 1)  # warm
+        t0 = time.perf_counter()
+        v_cycle(hl, 0, 1, 1)
+        cycle_sec = time.perf_counter() - t0
+        nnz = 9 * hl[0].engine.m + 9 * hl[1].engine.m + 4 * hl[2].engine.m
+        extra = {
+            "n": hl[0].n,
+            "nnz": hl[0].engine.m,
+            "levels": 3,
+            "build_sec": round(hpcg_build, 3),
+            "cycle_sec": round(cycle_sec, 3),
+            "smoother_nnz_per_sec": round(nnz / cycle_sec),
+        }
+        hpcg_shutdown(hl)
+        return hpcg_build + 2 * cycle_sec, extra
+
+    def p_sparse_nn():
+        # GraphChallenge sparse-DNN forward pass, one superstep/layer.
+        nn_n, nn_l, nn_fan = 16384, 60, 32
+        keys = [f"w{i}" for i in range(nn_l)]
+        t0 = time.perf_counter()
+        nn_eng = GraphEngine.synth_layer_stack(
+            nn_n, P=min(P, 16), keys=keys, fan=nn_fan, seed=5
+        )
+        nn_build = time.perf_counter() - t0
+        x0 = np.ones(nn_n)
+        t0 = time.perf_counter()
+        xv, _ = sparse_nn_engine(
+            nn_eng, keys, biases=[0.0] * nn_l,
+            x0=(x0, np.arange(nn_n, dtype=np.int64)), threshold=32.0,
+        )
+        nn_infer = time.perf_counter() - t0
+        nn_eng.shutdown()
+        extra = {
+            "n_neurons": nn_n,
+            "n_layers": nn_l,
+            "total_nnz": nn_eng.m,
+            "final_active": int(xv.size),
+            "build_sec": round(nn_build, 3),
+            "infer_sec": round(nn_infer, 3),
+            "layers_per_sec": round(nn_l / nn_infer, 1),
+            "edges_per_sec": round(nn_eng.m / nn_infer),
+        }
+        return nn_build + nn_infer, extra
+
+    def p_ktruss():
+        return None, ktruss_probe(num_cpus)
+
+    probes = [
+        ("corpus_pagerank", p_corpus, outer),
+        ("scale_probe_pagerank", p_scale_probe, outer),
+        ("connected_components", p_cc, outer),
+        ("triangle_count", p_triangles, outer),
+        ("dedup_exact", p_dedup_exact, outer),
+        ("minhash_lsh", p_minhash, outer),
+        ("text_analysis", p_text, outer),
+        ("ann_top10", p_ann, outer),
+        ("window_hourly", p_window, outer),
+        ("hpcg_vcycle", p_hpcg, outer),
+        ("sparse_nn_probe", p_sparse_nn, outer),
+        ("ktruss_probe", p_ktruss, 1),  # heavy one-shot (>10M edges)
+    ]
+    times: dict[str, list] = {name: [] for name, _, _ in probes}
+    extras: dict = {}
+    headline_eps: list = []
+    for rep in range(outer):
+        for name, fn, reps in probes:
+            if rep >= reps:
+                continue
+            t0 = time.perf_counter()
+            override, extra = fn()
+            dt = override if override is not None else (
+                time.perf_counter() - t0
+            )
+            times[name].append(dt)
+            if extra is not None:
+                prev = extras.setdefault(name, extra)
+                # keep the extras of the median-time rep
+                med = sorted(times[name])[len(times[name]) // 2]
+                if dt == med:
+                    extras[name] = extra
+            if name == "corpus_pagerank":
+                headline_eps.append(extra["edges_per_sec"])
+
+    queries: dict[str, float] = {}
+    spread: dict = {}
+    for name, ts in times.items():
+        ts_sorted = sorted(ts)
+        queries[name] = round(ts_sorted[len(ts_sorted) // 2], 3)
+        spread[name] = {
+            "n": len(ts),
+            "min": round(ts_sorted[0], 3),
+            "max": round(ts_sorted[-1], 3),
+            "sdev": round(float(np.std(ts, ddof=1)), 3)
+            if len(ts) > 1 else 0.0,
+        }
+    eps_sorted = sorted(headline_eps)
+    value = eps_sorted[len(eps_sorted) // 2]
 
     return {
         "metric": "PageRank traversed-edges/sec to 1e-6 conv "
-                  "(corpus import graph; iteration loop only)",
-        "value": headline["edges_per_sec"],
+                  "(corpus import graph; iteration loop only; "
+                  f"median of {outer} interleaved reps)",
+        "value": value,
         "unit": "edges/sec",
-        "total_sec": round(sum(queries.values()), 3),
+        "total_sec": round(sum(sum(ts) for ts in times.values()), 3),
         "queries": queries,
+        "spread": spread,
+        "reps": outer,
         "sf": sf,
         "num_cpus": num_cpus,
         "detail": extras,

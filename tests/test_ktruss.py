@@ -32,6 +32,21 @@ def test_ktruss_matches_oracle():
         assert rounds >= 1
 
 
+def test_ktruss_shuffle_path_matches_oracle():
+    """The all-Dataset scale path (no broadcast CSR, no driver edge
+    arrays) must peel identically to the sequential oracle. k=3 keeps
+    the fixpoint at 2 rounds (k=4 needs 7 — pure fixed shuffle
+    overhead on this VM; round semantics are identical)."""
+    src, dst = _graph()
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got, rounds = ktruss(ds, k=3, method="shuffle")
+    have = set(
+        zip(got.column("src").to_pylist(), got.column("dst").to_pylist())
+    )
+    assert have == ktruss_numpy(src, dst, 3)
+    assert rounds == 2
+
+
 def test_ktruss_clique_survives():
     # A 5-clique is a 5-truss; a pendant edge never survives k>=3.
     cl = [(i, j) for i in range(5) for j in range(i + 1, 5)]

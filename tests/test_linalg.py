@@ -162,3 +162,44 @@ def test_pca_matches_numpy_oracle():
     )
     assert ratio[0] > 0.5  # the planted direction dominates
     assert abs(ratio.sum()) <= 1.0 + 1e-9
+
+
+def test_conjugate_gradient_complex_embedding():
+    """Complex HPD CG via the symmetric 2n real embedding must equal a
+    genuine complex128 CG recurrence iterate-for-iterate (α/β are real
+    for HPD systems, so the planes decouple exactly)."""
+    rng = np.random.RandomState(7)
+    n = 18
+    re = rng.rand(n, n) * (rng.rand(n, n) < 0.4)
+    im = rng.rand(n, n) * (rng.rand(n, n) < 0.4)
+    H = (re + re.T) + 1j * (im - im.T)
+    np.fill_diagonal(H, np.abs(H).sum(axis=1).real + 1.0)
+    b = rng.rand(n) + 1j * rng.rand(n)
+    K = 9
+
+    # Oracle: textbook complex CG, fixed K steps (tol=0 semantics).
+    x = np.zeros(n, complex)
+    r = b.copy()
+    p = r.copy()
+    rr = float(np.vdot(r, r).real)
+    for _ in range(K):
+        Ap = H @ p
+        alpha = rr / float(np.vdot(p, Ap).real)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rr_new = float(np.vdot(r, r).real)
+        p = r + (rr_new / rr) * p
+        rr = rr_new
+
+    # Engine: real CG on M = [[Ar, -Ai], [Ai, Ar]], x2 = (Re; Im).
+    M = np.block([[H.real, -H.imag], [H.imag, H.real]])
+    src, dst = np.nonzero(M)
+    engine = GraphEngine.from_arrays(
+        src.astype(np.int64), dst.astype(np.int64), M[src, dst],
+        n=2 * n, P=3,
+    )
+    b2 = np.concatenate([b.real, b.imag])
+    x2, iters, _ = conjugate_gradient(engine, b2, tol=0.0, max_iters=K)
+    engine.shutdown()
+    assert iters == K
+    np.testing.assert_allclose(x2[:n] + 1j * x2[n:], x, rtol=1e-10)
