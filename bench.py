@@ -327,8 +327,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         ("window_hourly", p_window, outer),
         ("hpcg_vcycle", p_hpcg, outer),
         ("sparse_nn_probe", p_sparse_nn, outer),
-        ("ktruss_probe", p_ktruss, 1),  # heavy one-shot (>10M edges)
     ]
+    # The >10M-edge k-truss shuffle-path probe runs ~10 min on this VM
+    # (two peel rounds × four groupby shuffles at 10M vertices) — far
+    # beyond the per-round bench budget, so it is opt-in; its one-shot
+    # completed result is recorded in BASELINE.md.
+    if os.environ.get("GRAFT_KTRUSS_PROBE"):
+        probes.append(("ktruss_probe", p_ktruss, 1))
     times: dict[str, list] = {name: [] for name, _, _ in probes}
     extras: dict = {}
     headline_eps: list = []

@@ -65,3 +65,30 @@ def test_pregel_pagerank_vote_to_halt():
     assert res.converged
     want = _oracle(src, dst, n, local_converge=False)
     np.testing.assert_allclose(score, want, atol=1e-9)
+
+
+def test_out_sparsify_strategies_identical():
+    """The four ALP SparsificationStrategy knobs (pregel.hpp:167-242)
+    are physical forms only: same rounds, same convergence, scores
+    equal to ≤ a few ulp. (Not bitwise: the dense exchange sums longer
+    per-segment vectors — identity terms interleaved — and numpy's
+    pairwise-summation tree reshapes for segments ≥ 8 terms, exactly
+    as ALP's own sparse-vs-dense fold structure differs per strategy.
+    WITHIN a strategy the engine stays bitwise deterministic.)"""
+    src, dst, n = _graph(seed=47)
+    scores = {}
+    rounds = {}
+    for strat in ("always", "none", "when_reduced", "when_halved"):
+        engine = GraphEngine.from_arrays(src, dst, n=n, P=3)
+        res = pregel_pagerank(
+            engine, local_converge=True, out_sparsify=strat
+        )
+        scores[strat] = engine.get_state_by_vertex("score")
+        rounds[strat] = res.rounds
+        engine.shutdown()
+        assert res.converged
+    for strat in ("none", "when_reduced", "when_halved"):
+        assert rounds[strat] == rounds["always"]
+        np.testing.assert_allclose(
+            scores[strat], scores["always"], rtol=0, atol=1e-12
+        )
