@@ -32,7 +32,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
 
 
 class _SupportStage:
@@ -169,7 +168,9 @@ def _support_round_shuffle(
     groupby/map_groups stages (no driver state). Degrees are
     broadcast once per round (O(n) ints; at 10^12-vertex scale this
     becomes a join on src/dst — same note as triangles.py)."""
-    from alp_ray.util import concat_blocks
+    from alp_ray.util import coarse_parts, concat_blocks
+
+    n_deg_parts = coarse_parts()
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -177,12 +178,34 @@ def _support_round_shuffle(
             np.asarray(batch.column("dst"), np.int64),
         ])
         vv, cc = np.unique(both, return_counts=True)
-        return pa.table({"v": pa.array(vv), "c": pa.array(cc)})
+        return pa.table(
+            {
+                "v": pa.array(vv),
+                "c": pa.array(cc),
+                "__part": pa.array(vv % n_deg_parts),
+            }
+        )
+
+    def deg_fold(group: pa.Table) -> pa.Table:
+        # Coarse-partition fold (cheaper than an exact groupby-sum at
+        # 10M+ vertices — Ray's sort shuffle orders only the part key).
+        if "v" not in group.column_names or group.num_rows == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}
+            )
+        v = np.asarray(group.column("v"), np.int64)
+        c = np.asarray(group.column("c"), np.int64)
+        uniq, inv = np.unique(v, return_inverse=True)
+        deg = np.bincount(inv, weights=c, minlength=uniq.size)
+        return pa.table(
+            {"v": pa.array(uniq), "deg": pa.array(deg.astype(np.int64))}
+        )
 
     deg_ds = (
         canon.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="deg"))
+        .groupby("__part")
+        .map_groups(deg_fold, batch_format="pyarrow")
     )
     deg_tbl = concat_blocks(
         deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
@@ -216,9 +239,7 @@ def _support_round_shuffle(
         concurrency=(1, 8),
     ).materialize()
 
-    from alp_ray.util import coarse_parts
-
-    n_parts = coarse_parts()
+    n_parts = n_deg_parts
 
     def tag_src(batch: pa.Table) -> pa.Table:
         part = np.asarray(batch.column("a"), np.int64) % n_parts
@@ -349,12 +370,15 @@ def _support_round_shuffle(
     )
 
     def tag_zero(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), np.int64)
+        b = np.asarray(batch.column("b"), np.int64)
         return pa.table(
             {
                 "a": batch.column("a"),
                 "b": batch.column("b"),
                 "credit": pa.array(np.zeros(len(batch), np.int64)),
                 "is_edge": pa.array(np.ones(len(batch), np.int64)),
+                "__part": pa.array((a * 2654435761 + b) % n_parts),
             }
         )
 
@@ -366,21 +390,57 @@ def _support_round_shuffle(
                     "b": pa.array([], pa.int64()),
                     "credit": pa.array([], pa.int64()),
                     "is_edge": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int64()),
                 }
             )
+        a = np.asarray(batch.column("a"), np.int64)
+        b = np.asarray(batch.column("b"), np.int64)
         return batch.append_column(
             "is_edge", pa.array(np.zeros(len(batch), np.int64))
+        ).append_column(
+            "__part", pa.array((a * 2654435761 + b) % n_parts)
+        )
+
+    def support_fold(group: pa.Table) -> pa.Table:
+        """Coarse-partition fold of credit + edge-marker rows: exact
+        per-(a,b) support via one lexsort + segment bincount, keeping
+        only pairs that carry an edge marker (same result as the exact
+        groupby-Sum/Max, minus the full-key sort shuffle)."""
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "sup": pa.array([], pa.int64()),
+            }
+        )
+        if "a" not in group.column_names or group.num_rows == 0:
+            return empty
+        a = np.asarray(group.column("a"), np.int64)
+        b = np.asarray(group.column("b"), np.int64)
+        cr = np.asarray(group.column("credit"), np.int64)
+        ie = np.asarray(group.column("is_edge"), np.int64)
+        order = np.lexsort((b, a))
+        a, b, cr, ie = a[order], b[order], cr[order], ie[order]
+        new_seg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        seg_id = np.cumsum(new_seg) - 1
+        n_seg = int(seg_id[-1]) + 1
+        sup = np.bincount(seg_id, weights=cr, minlength=n_seg)
+        has_edge = np.bincount(seg_id, weights=ie, minlength=n_seg) > 0
+        starts = np.flatnonzero(new_seg)
+        keep = has_edge
+        return pa.table(
+            {
+                "a": pa.array(a[starts[keep]]),
+                "b": pa.array(b[starts[keep]]),
+                "sup": pa.array(sup[keep].astype(np.int64)),
+            }
         )
 
     return (
         credits.map_batches(tag_credit, batch_format="pyarrow")
         .union(oriented.map_batches(tag_zero, batch_format="pyarrow"))
-        .groupby(["a", "b"])
-        .aggregate(
-            Sum("credit", alias_name="sup"),
-            Max("is_edge", alias_name="is_edge"),
-        )
-        .filter(expr="is_edge == 1")
+        .groupby("__part")
+        .map_groups(support_fold, batch_format="pyarrow")
     )
 
 
