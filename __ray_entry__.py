@@ -1637,6 +1637,25 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs)
 
 
+def _q_minhash_poly_pairs(sf_dir: str):
+    """MinHash-LSH pairs from the SQL-expressible polynomial hash
+    family (word-fingerprint triples + literal affine permutations mod
+    M31) — upgrades the LSH dedup family from rows-only to HASH-EXACT:
+    the twin recomputes every signature in BIGINT arithmetic and emits
+    pairs where some band of 2 consecutive signatures agrees. Same
+    band-bucket first-match-band physical plan as minhash_pairs
+    (`max_bucket` lifted so the skew guard can't diverge from the
+    brute twin at gate scales)."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import minhash_poly_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_poly_pairs(docs, max_bucket=10**9)
+
+
 # Planted near-duplicates: the synthetic embeddings contain NO natural
 # pairs at cosine ≥ 0.95 (max natural cosine is far below — the round-2
 # query returned 0 rows at every sf, proving nothing). Every vec_id
@@ -4114,6 +4133,59 @@ def _quality_sql() -> str:
     )
 
 
+def _minhash_poly_sql(K: int = 8, bands: int = 4) -> str:
+    """Brute-force twin of `_q_minhash_poly_pairs`: recompute every
+    signature in BIGINT arithmetic (the hash family is designed to be
+    SQL-expressible — word fingerprints via the _FINGERPRINT_SQL
+    Horner law, shingle = word-triple polynomial, K literal affine
+    permutations mod M31), then emit every doc pair where some band of
+    K/bands consecutive signatures agrees. The Ray side's band-bucket
+    plan emits exactly that set (first-match-band + in-group chunk
+    compare filters pure bucket collisions)."""
+    R = K // bands
+    norm = (
+        "regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), "
+        "'\\s+', ' ', 'g')"
+    )
+    band_pred = " OR ".join(
+        "(" + " AND ".join(
+            f"a.sig[{bd * R + r + 1}] = b.sig[{bd * R + r + 1}]"
+            for r in range(R)
+        ) + ")"
+        for bd in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(K)
+    )
+    return (
+        "WITH w AS MATERIALIZED (SELECT doc_id, "
+        f"generate_subscripts(string_split({norm}, ' '), 1) AS wi, "
+        f"unnest(string_split({norm}, ' ')) AS word FROM documents), "
+        "f AS MATERIALIZED (SELECT doc_id, wi, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(word, '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(h, c) -> (h * 1000003 + c) % 2147483647) AS fv FROM w), "
+        "sh AS MATERIALIZED (SELECT a.doc_id, "
+        "((a.fv * 1000003 + b.fv) % 2147483647 * 1000003 + c.fv) "
+        "% 2147483647 AS h0 "
+        "FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.wi = a.wi + 1 "
+        "JOIN f c ON c.doc_id = a.doc_id AND c.wi = a.wi + 2), "
+        f"perm AS (SELECT range AS i, 999983 - 2 * range AS pa, "
+        f"12289 * (range + 1) AS pb FROM range({K})), "
+        "sg AS MATERIALIZED (SELECT doc_id, i, "
+        "MIN((pa * h0 + pb) % 2147483647) AS s "
+        "FROM sh CROSS JOIN perm GROUP BY doc_id, i), "
+        "sv AS MATERIALIZED (SELECT doc_id, list(s ORDER BY i) AS sig "
+        "FROM sg GROUP BY doc_id) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"CAST({agree} AS DOUBLE) / {K} AS est_jaccard "
+        "FROM sv a JOIN sv b ON b.doc_id > a.doc_id "
+        f"WHERE {band_pred}"
+    )
+
+
 _FINGERPRINT_SQL = (
     "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(regexp_extract_all(regexp_replace(regexp_replace("
@@ -4268,6 +4340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewise_masked": _q_ewise_masked,
         "fold_masked_complement": _q_fold_masked_complement,
         "conjugate_gradient_complex": _q_conjugate_gradient_complex,
+        "minhash_poly_pairs": _q_minhash_poly_pairs,
     }
 
 
@@ -4798,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
+        "minhash_poly_pairs": _minhash_poly_sql(),
         "bicgstab": _bicgstab_sql(_BI_K),
         "embedding_near_dup": (
             "WITH base AS MATERIALIZED (SELECT vec_id, "

@@ -20,6 +20,7 @@ and verification joins group only within buckets.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -193,7 +194,6 @@ def minhash_lsh_pairs(
     shingle sets), which exact_dedup already collapses. ≙ the
     degree-based skew guard of SURVEY §7.8.
     """
-    rows = num_perm // bands
     sigs = docs.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(
@@ -206,6 +206,23 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    return _lsh_pairs_from_sigs(
+        sigs, num_perm=num_perm, bands=bands, id_col=id_col,
+        max_bucket=max_bucket,
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: "ray.data.Dataset",
+    num_perm: int,
+    bands: int,
+    id_col: str,
+    max_bucket: int,
+) -> "ray.data.Dataset":
+    """Band-bucket + first-match-band pair emission shared by every
+    signature family (seeded-permutation MinHash, polynomial MinHash):
+    input rows are (id_col, sig fixed_size_list<int64>[num_perm])."""
+    rows = num_perm // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), np.int64)
@@ -337,6 +354,140 @@ def minhash_lsh_pairs(
     # aggregate carries seconds of fixed overhead per run).
     return tagged.groupby("part").map_groups(
         emit_part, batch_format="pyarrow"
+    )
+
+
+class MinHashPolyStage:
+    """MinHash signatures from a FULLY SQL-EXPRESSIBLE hash family —
+    unlike ``MinHashStage``'s seeded permutations, every value here is
+    reproducible in DuckDB BIGINT arithmetic, so the LSH pair set gets
+    a hash-exact oracle:
+
+    - word fingerprint F(w): Horner ``h·B + codepoint (mod M31)``
+      (the FingerprintStage law — twin: list_reduce over ord()),
+    - shingle hash over word TRIPLES: ``((F₁·B + F₂)·B + F₃) mod M31``,
+    - K permutations: ``hᵢ = (aᵢ·h₀ + bᵢ) mod M31``, aᵢ/bᵢ literal
+      constants; signature i = min over the document's shingles.
+
+    Documents with < 3 words have no shingles and emit NO signature
+    (mirrored by the twin). Vectorized: one numpy step per char
+    POSITION across all words of the batch, triple hashing by flat
+    shifted slices, per-doc minima via ``np.minimum.reduceat``.
+    Intermediates < 2⁵² stay exact in int64 (M31 · B < 2⁵¹)."""
+
+    BASE = 1000003
+    MOD = (1 << 31) - 1
+
+    def __init__(
+        self,
+        num_perm: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.num_perm = num_perm
+        self.id_col = id_col
+        self.text_col = text_col
+        self._ws = re.compile(r"\s+")
+        # Affine permutation constants — literal (no RNG), < 2²⁰ so
+        # aᵢ·h₀ < 2⁵¹; the SQL twin carries the same VALUES table.
+        self.a = np.array(
+            [999983 - 2 * i for i in range(num_perm)], np.int64
+        )
+        self.b = np.array(
+            [12289 * (i + 1) for i in range(num_perm)], np.int64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col), np.int64)
+        texts = batch.column(self.text_col).to_pylist()
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), self.num_perm
+                ),
+            }
+        )
+        if not texts:
+            return empty
+        words_per_doc = [
+            self._ws.sub(" ", t.strip()).split(" ") for t in texts
+        ]
+        wc = np.array([len(ws) for ws in words_per_doc], np.int64)
+        flat_words = [w for ws in words_per_doc for w in ws]
+        lens = np.array([len(w) for w in flat_words], np.int64)
+        chars = (
+            np.frombuffer(
+                "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if flat_words
+            else np.empty(0, np.int64)
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        F = np.zeros(len(flat_words), np.int64)
+        for j in range(int(lens.max()) if lens.size else 0):
+            active = lens > j
+            F[active] = (
+                F[active] * self.BASE + chars[starts[active] + j]
+            ) % self.MOD
+        # Word triples within each document (no doc-crossing triples).
+        doc_of_word = np.repeat(np.arange(ids.size), wc)
+        ok = np.zeros(F.size, bool)
+        if F.size >= 3:
+            ok[: F.size - 2] = (
+                doc_of_word[: F.size - 2] == doc_of_word[2:]
+            )
+        ti = np.flatnonzero(ok)
+        if ti.size == 0:
+            return empty
+        h0 = (
+            (F[ti] * self.BASE + F[ti + 1]) % self.MOD * self.BASE
+            + F[ti + 2]
+        ) % self.MOD
+        tdoc = doc_of_word[ti]
+        seg = np.flatnonzero(np.r_[True, tdoc[1:] != tdoc[:-1]])
+        docs_with = tdoc[seg]
+        sig = np.empty((docs_with.size, self.num_perm), np.int64)
+        for i in range(self.num_perm):
+            hi = (self.a[i] * h0 + self.b[i]) % self.MOD
+            sig[:, i] = np.minimum.reduceat(hi, seg)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[docs_with]),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.ravel(), pa.int64()), self.num_perm
+                ),
+            }
+        )
+
+
+def minhash_poly_pairs(
+    docs: "ray.data.Dataset",
+    num_perm: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 512,
+) -> "ray.data.Dataset":
+    """MinHash-LSH near-duplicate pairs over the polynomial hash
+    family — the SAME band-bucket + first-match-band physical plan as
+    ``minhash_lsh_pairs`` (no pair-dedup shuffle, no all-pairs), but
+    every signature value is DuckDB-reproducible, so the emitted pair
+    set has a hash-exact SQL oracle: pair (a, b) appears iff some band
+    agrees on all rows (pure 62-bit bucket collisions are filtered by
+    the in-group chunk compare), with est_jaccard = exact dyadic
+    agreeing-signature fraction."""
+    sigs = docs.map_batches(
+        MinHashPolyStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _lsh_pairs_from_sigs(
+        sigs, num_perm=num_perm, bands=bands, id_col=id_col,
+        max_bucket=max_bucket,
     )
 
 

@@ -149,3 +149,79 @@ def test_dup_spans_short_docs_and_within_doc_repeat():
         _docs([(1, w + " " + w), (2, "too short"), (3, "")]), k=8
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_minhash_poly_matches_python_oracle():
+    """Polynomial MinHash signatures + first-match-band pair set must
+    equal a direct per-doc Python computation of the same hash law
+    (the law the DuckDB twin re-implements in BIGINT arithmetic)."""
+    import re as _re
+
+    import ray.data
+    from alp_ray.pipelines.dedup import (
+        MinHashPolyStage, minhash_poly_pairs,
+    )
+
+    B, P, K, BANDS = 1000003, (1 << 31) - 1, 8, 4
+    R = K // BANDS
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+        "xy",          # 1 word -> no shingles
+        "   ",         # empty after norm -> no shingles
+        "a b",         # 2 words -> no shingles
+    ]
+    ids = list(range(len(texts)))
+
+    def F(w):
+        h = 0
+        for c in w:
+            h = (h * B + ord(c)) % P
+        return h
+
+    def sig_of(t):
+        ws = _re.sub(r"\s+", " ", t.strip()).split(" ")
+        if len(ws) < 3:
+            return None
+        h0 = [
+            ((F(ws[i]) * B + F(ws[i + 1])) % P * B + F(ws[i + 2])) % P
+            for i in range(len(ws) - 2)
+        ]
+        return [
+            min(((999983 - 2 * i) * h + 12289 * (i + 1)) % P for h in h0)
+            for i in range(K)
+        ]
+
+    want = {i: sig_of(t) for i, t in enumerate(texts)}
+    stage = MinHashPolyStage(num_perm=K)
+    got = stage(pa.table({"doc_id": ids, "text": texts}))
+    got_map = {
+        r["doc_id"]: list(r["sig"]) for r in got.to_pylist()
+    }
+    assert set(got_map) == {i for i, s in want.items() if s is not None}
+    for i, s in got_map.items():
+        assert s == want[i], i
+
+    # Pair set: (a,b) iff some band of R consecutive sigs agrees.
+    expected = set()
+    keys = sorted(got_map)
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            a, b = keys[x], keys[y]
+            sa, sb = want[a], want[b]
+            if any(
+                sa[bd * R:(bd + 1) * R] == sb[bd * R:(bd + 1) * R]
+                for bd in range(BANDS)
+            ):
+                expected.add((a, b))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})
+    )
+    pairs = minhash_poly_pairs(ds, num_perm=K, bands=BANDS)
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in pairs.take_all()
+    }
+    assert got_pairs == expected
+    assert (0, 3) in got_pairs  # the exact dup must collide
