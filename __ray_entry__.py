@@ -1637,6 +1637,21 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs)
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (scale / Σcodes / max dequant error) — elementwise float64
+    expressions mirrored op-for-op by the twin, so ROUND sees equal
+    doubles on both sides."""
+    import ray.data
+
+    from alp_ray.pipelines.ann import quantize_embeddings
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(emb)
+
+
 def _q_minhash_poly_pairs(sf_dir: str):
     """MinHash-LSH pairs from the SQL-expressible polynomial hash
     family (word-fingerprint triples + literal affine permutations mod
@@ -4341,6 +4356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fold_masked_complement": _q_fold_masked_complement,
         "conjugate_gradient_complex": _q_conjugate_gradient_complex,
         "minhash_poly_pairs": _q_minhash_poly_pairs,
+        "embedding_quantize": _q_embedding_quantize,
     }
 
 
@@ -4872,6 +4888,21 @@ def oracle_sql() -> dict[str, str]:
         "conjugate_gradient": _cg_sql(_CG_K),
         "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
         "minhash_poly_pairs": _minhash_poly_sql(),
+        "embedding_quantize": (
+            "WITH e AS MATERIALIZED (SELECT vec_id, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "s AS MATERIALIZED (SELECT vec_id, MAX(ABS(x)) AS scale "
+            "FROM e GROUP BY vec_id), "
+            "c AS MATERIALIZED (SELECT e.vec_id, e.x, s.scale, "
+            "CASE WHEN s.scale > 0 THEN s.scale ELSE 1 END AS safe, "
+            "CASE WHEN s.scale > 0 THEN ROUND(e.x / s.scale * 127) "
+            "ELSE 0 END AS code "
+            "FROM e JOIN s USING (vec_id)) "
+            "SELECT vec_id, ROUND(MIN(scale), 6) AS scale, "
+            "CAST(SUM(code) AS BIGINT) AS sum_codes, "
+            "ROUND(MAX(ABS(code / 127 * safe - x)), 6) AS max_err "
+            "FROM c GROUP BY vec_id"
+        ),
         "bicgstab": _bicgstab_sql(_BI_K),
         "embedding_near_dup": (
             "WITH base AS MATERIALIZED (SELECT vec_id, "

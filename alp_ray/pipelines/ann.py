@@ -305,3 +305,45 @@ def norm2(emb: "ray.data.Dataset", vec_col: str = "embedding") -> float:
 
     total = emb.map_batches(sq, batch_format="pyarrow").sum("ss")
     return float(np.sqrt(total or 0.0))
+
+
+def quantize_embeddings(
+    emb: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> "ray.data.Dataset":
+    """Symmetric per-vector int8-style quantization of an embedding
+    column — the storage-reduction pass of a large-scale vector
+    pipeline: ``scale = max|x|``, ``code = round_half_away(x/scale·Q)``
+    with Q = 2^(bits−1) − 1, dequant error ``|code/Q·scale − x|``.
+
+    Emits per-vector (scale, sum of codes, max abs error) — elementwise
+    float64 expressions in one fixed op order, so the DuckDB twin
+    computes bitwise-identical doubles (no iterative drift; the ROUND
+    inputs are equal on both sides by construction). Zero vectors
+    quantize to all-zero codes with scale 0.
+    """
+    from alp_ray.util import round_half_away
+
+    q = float((1 << (bits - 1)) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch.column(vec_col))
+        scale = np.abs(x).max(axis=1)
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = round_half_away(x / safe[:, None] * q, 0)
+        codes[scale == 0] = 0.0
+        err = np.abs(codes / q * safe[:, None] - x).max(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "scale": pa.array(round_half_away(scale, 6)),
+                "sum_codes": pa.array(
+                    codes.sum(axis=1).astype(np.int64)
+                ),
+                "max_err": pa.array(round_half_away(err, 6)),
+            }
+        )
+
+    return emb.map_batches(fn, batch_format="pyarrow")

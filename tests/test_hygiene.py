@@ -225,3 +225,26 @@ def test_minhash_poly_matches_python_oracle():
     }
     assert got_pairs == expected
     assert (0, 3) in got_pairs  # the exact dup must collide
+
+
+def test_quantize_embeddings_zero_vector_and_roundtrip():
+    import ray.data
+    from alp_ray.pipelines.ann import quantize_embeddings
+
+    vecs = [
+        [0.5, -1.0, 0.25, 0.0],
+        [0.0, 0.0, 0.0, 0.0],   # zero vector: scale 0, codes 0
+        [2.0, 2.0, 2.0, 2.0],   # uniform: codes all 127, err 0
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": [0, 1, 2], "embedding": vecs})
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(ds).take_all()}
+    assert out[1]["scale"] == 0.0
+    assert out[1]["sum_codes"] == 0
+    assert out[1]["max_err"] == 0.0
+    assert out[2]["sum_codes"] == 4 * 127
+    assert out[2]["max_err"] == 0.0
+    assert out[0]["scale"] == 1.0
+    # codes: round(0.5*127)=64 (63.5 half-away), -127, round(31.75)=32
+    assert out[0]["sum_codes"] == 64 - 127 + 32
