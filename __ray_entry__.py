@@ -1637,6 +1637,21 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs)
 
 
+def _q_simhash_poly_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) over the 31-bit polynomial
+    word-fingerprint family — HASH-EXACT twin (pure BIGINT bit
+    arithmetic both sides); the Ray plan keeps the pigeonhole 4-band
+    bucketing + first-match-band emission of simhash_pairs."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import simhash_poly_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_poly_pairs(docs)
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization of the embedding column
     (scale / Σcodes / max dequant error) — elementwise float64
@@ -4201,6 +4216,36 @@ def _minhash_poly_sql(K: int = 8, bands: int = 4) -> str:
     )
 
 
+def _simhash_poly_sql() -> str:
+    """Brute-force twin of `_q_simhash_poly_pairs`: per-word
+    fingerprints (the _FINGERPRINT_SQL law), bit j of the 31-bit
+    signature = sign of Σ(2·((fv>>j)&1) − 1), pairs where
+    bit_count(xor) ≤ 3 — by pigeonhole exactly the 4-band LSH set."""
+    norm = (
+        "regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), "
+        "'\\s+', ' ', 'g')"
+    )
+    return (
+        "WITH w AS MATERIALIZED (SELECT doc_id, "
+        f"unnest(string_split({norm}, ' ')) AS word FROM documents), "
+        "f AS MATERIALIZED (SELECT doc_id, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(word, '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(h, c) -> (h * 1000003 + c) % 2147483647) AS fv FROM w), "
+        "bits AS MATERIALIZED (SELECT doc_id, b.range AS b, "
+        "SUM(((fv >> b.range) & 1) * 2 - 1) AS s "
+        "FROM f CROSS JOIN range(31) b GROUP BY doc_id, b.range), "
+        "sh AS MATERIALIZED (SELECT doc_id, "
+        "SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) "
+        "AS h FROM bits GROUP BY doc_id) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON b.doc_id > a.doc_id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 3"
+    )
+
+
 _FINGERPRINT_SQL = (
     "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(regexp_extract_all(regexp_replace(regexp_replace("
@@ -4356,6 +4401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fold_masked_complement": _q_fold_masked_complement,
         "conjugate_gradient_complex": _q_conjugate_gradient_complex,
         "minhash_poly_pairs": _q_minhash_poly_pairs,
+        "simhash_poly_pairs": _q_simhash_poly_pairs,
         "embedding_quantize": _q_embedding_quantize,
     }
 
@@ -4888,6 +4934,7 @@ def oracle_sql() -> dict[str, str]:
         "conjugate_gradient": _cg_sql(_CG_K),
         "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
         "minhash_poly_pairs": _minhash_poly_sql(),
+        "simhash_poly_pairs": _simhash_poly_sql(),
         "embedding_quantize": (
             "WITH e AS MATERIALIZED (SELECT vec_id, "
             "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "

@@ -357,6 +357,35 @@ def _lsh_pairs_from_sigs(
     )
 
 
+_WS_RE = re.compile(r"\s+")
+
+
+def _word_fingerprints(texts: list[str]):
+    """Per-word polynomial fingerprints for a whole batch, vectorized
+    by char POSITION (the FingerprintStage Horner law, mod M31):
+    returns (F flat word hashes, doc_of_word). Normalization: strip +
+    collapse whitespace + split(' ') — an empty doc yields one empty
+    word with F = 0 (the SQL twins mirror all of this exactly)."""
+    B, P = 1000003, (1 << 31) - 1
+    words_per_doc = [_WS_RE.sub(" ", t.strip()).split(" ") for t in texts]
+    wc = np.array([len(ws) for ws in words_per_doc], np.int64)
+    flat_words = [w for ws in words_per_doc for w in ws]
+    lens = np.array([len(w) for w in flat_words], np.int64)
+    chars = (
+        np.frombuffer(
+            "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        if flat_words
+        else np.empty(0, np.int64)
+    )
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    F = np.zeros(len(flat_words), np.int64)
+    for j in range(int(lens.max()) if lens.size else 0):
+        active = lens > j
+        F[active] = (F[active] * B + chars[starts[active] + j]) % P
+    return F, np.repeat(np.arange(len(texts)), wc)
+
+
 class MinHashPolyStage:
     """MinHash signatures from a FULLY SQL-EXPRESSIBLE hash family —
     unlike ``MinHashStage``'s seeded permutations, every value here is
@@ -387,7 +416,6 @@ class MinHashPolyStage:
         self.num_perm = num_perm
         self.id_col = id_col
         self.text_col = text_col
-        self._ws = re.compile(r"\s+")
         # Affine permutation constants — literal (no RNG), < 2²⁰ so
         # aᵢ·h₀ < 2⁵¹; the SQL twin carries the same VALUES table.
         self.a = np.array(
@@ -410,28 +438,8 @@ class MinHashPolyStage:
         )
         if not texts:
             return empty
-        words_per_doc = [
-            self._ws.sub(" ", t.strip()).split(" ") for t in texts
-        ]
-        wc = np.array([len(ws) for ws in words_per_doc], np.int64)
-        flat_words = [w for ws in words_per_doc for w in ws]
-        lens = np.array([len(w) for w in flat_words], np.int64)
-        chars = (
-            np.frombuffer(
-                "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            if flat_words
-            else np.empty(0, np.int64)
-        )
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        F = np.zeros(len(flat_words), np.int64)
-        for j in range(int(lens.max()) if lens.size else 0):
-            active = lens > j
-            F[active] = (
-                F[active] * self.BASE + chars[starts[active] + j]
-            ) % self.MOD
+        F, doc_of_word = _word_fingerprints(texts)
         # Word triples within each document (no doc-crossing triples).
-        doc_of_word = np.repeat(np.arange(ids.size), wc)
         ok = np.zeros(F.size, bool)
         if F.size >= 3:
             ok[: F.size - 2] = (
@@ -488,6 +496,153 @@ def minhash_poly_pairs(
     return _lsh_pairs_from_sigs(
         sigs, num_perm=num_perm, bands=bands, id_col=id_col,
         max_bucket=max_bucket,
+    )
+
+
+class SimHashPolyStage:
+    """31-bit SimHash over the SQL-expressible word-fingerprint family
+    (`_word_fingerprints`): bit j of the signature is the sign of
+    Σ_words (2·((F(w)>>j)&1) − 1) — pure BIGINT arithmetic the DuckDB
+    twin replays bit-for-bit. Vectorized: the (words × 31) bit matrix
+    folds per document with np.add.reduceat."""
+
+    BITS = 31
+
+    def __init__(
+        self, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col), np.int64)
+        texts = batch.column(self.text_col).to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        F, doc_of_word = _word_fingerprints(texts)
+        bits = (
+            (F[:, None] >> np.arange(self.BITS)[None, :]) & 1
+        ) * 2 - 1
+        seg = np.flatnonzero(
+            np.r_[True, doc_of_word[1:] != doc_of_word[:-1]]
+        )
+        sums = np.add.reduceat(bits, seg, axis=0)
+        sh = (
+            (sums > 0).astype(np.int64)
+            << np.arange(self.BITS, dtype=np.int64)[None, :]
+        ).sum(axis=1, dtype=np.int64)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[doc_of_word[seg]]),
+                "simhash": pa.array(sh),
+            }
+        )
+
+
+def simhash_poly_pairs(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Near-dup pairs (Hamming ≤ max_hamming) over the 31-bit
+    polynomial SimHash — same pigeonhole banding as ``simhash_pairs``
+    (4 bands of ≤8 bits: any pair within distance 3 shares ≥1 exact
+    band) but with a HASH-EXACT brute-force DuckDB twin, since every
+    signature is BIGINT-reproducible. First-match-band emission keeps
+    the plan free of a pair-dedup shuffle."""
+    sigs = docs.map_batches(
+        SimHashPolyStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    n_parts = coarse_parts()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), np.int64)
+        hs = np.asarray(batch.column("simhash"), np.int64)
+        n = ids.size
+        key = np.empty((n, 4), np.int64)
+        for b in range(4):
+            key[:, b] = (hs >> (8 * b)) & 0xFF
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(key.ravel()),
+                "simhash": pa.array(np.repeat(hs, 4)),
+                "part": pa.array(
+                    (key.ravel() * 4 + np.tile(np.arange(4), n))
+                    % n_parts
+                ),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
+    def emit_part(group: pa.Table) -> pa.Table:
+        if "band" not in group.column_names or group.num_rows == 0:
+            return empty_pairs
+        ids_all = np.asarray(group.column(id_col), np.int64)
+        band_all = np.asarray(group.column("band"), np.int64)
+        key_all = np.asarray(group.column("key"), np.int64)
+        hs_all = np.asarray(group.column("simhash"), np.int64)
+        order = np.lexsort((ids_all, key_all, band_all))
+        ids_all, band_all = ids_all[order], band_all[order]
+        key_all, hs_all = key_all[order], hs_all[order]
+        new_seg = np.r_[
+            True,
+            (band_all[1:] != band_all[:-1]) | (key_all[1:] != key_all[:-1]),
+        ]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.r_[seg_starts[1:], ids_all.size]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            hs = hs_all[s:e]
+            band = int(band_all[s])
+            ia, ib = np.triu_indices(int(e - s), 1)
+            x = hs[ia] ^ hs[ib]
+            ham = _popcount64(x.view(np.uint64))
+            # First-match-band: emit only from the smallest band whose
+            # 8-bit chunk agrees (chunk equality is derivable from the
+            # pair's simhashes — all bands visible here).
+            first = np.full(ia.size, 4, np.int64)
+            for b in range(3, -1, -1):
+                eq = ((x >> (8 * b)) & 0xFF) == 0
+                first[eq] = b
+            keep = (ham <= max_hamming) & (first == band)
+            if not keep.any():
+                continue
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return empty_pairs
+        return pa.table(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_part, batch_format="pyarrow")
     )
 
 

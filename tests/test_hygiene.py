@@ -248,3 +248,57 @@ def test_quantize_embeddings_zero_vector_and_roundtrip():
     assert out[0]["scale"] == 1.0
     # codes: round(0.5*127)=64 (63.5 half-away), -127, round(31.75)=32
     assert out[0]["sum_codes"] == 64 - 127 + 32
+
+
+def test_simhash_poly_matches_python_oracle():
+    """31-bit polynomial SimHash signatures + Hamming<=3 pair set must
+    equal a direct Python computation of the same BIGINT law."""
+    import re as _re
+
+    import ray.data
+    from alp_ray.pipelines.dedup import (
+        SimHashPolyStage, simhash_poly_pairs,
+    )
+
+    B, P = 1000003, (1 << 31) - 1
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # close
+        "one two three four five six seven eight nine",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+        "",
+    ]
+    ids = list(range(len(texts)))
+
+    def F(w):
+        h = 0
+        for c in w:
+            h = (h * B + ord(c)) % P
+        return h
+
+    def simhash(t):
+        ws = _re.sub(r"\s+", " ", t.strip()).split(" ")
+        sh = 0
+        for j in range(31):
+            s = sum(2 * ((F(w) >> j) & 1) - 1 for w in ws)
+            if s > 0:
+                sh |= 1 << j
+        return sh
+
+    want = [simhash(t) for t in texts]
+    got = SimHashPolyStage()(pa.table({"doc_id": ids, "text": texts}))
+    got_map = {r["doc_id"]: r["simhash"] for r in got.to_pylist()}
+    assert got_map == dict(enumerate(want))
+
+    expected = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if bin(want[a] ^ want[b]).count("1") <= 3:
+                expected.add((a, b))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_poly_pairs(ds).take_all()
+    }
+    assert pairs == expected
+    assert (0, 3) in pairs
