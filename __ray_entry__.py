@@ -1652,6 +1652,30 @@ def _q_simhash_poly_pairs(sf_dir: str):
     return simhash_poly_pairs(docs)
 
 
+def _q_approx_distinct_poly(sf_dir: str):
+    """HLL sketch STATE over the polynomial text fingerprint — the
+    register array is pure BIGINT arithmetic, so the (m, Σreg, zeros,
+    checksum) summary is hash-exact vs the twin; the float estimate
+    stays out of the gate (libm log in the small-range branch) and is
+    tolerance-tested in pytest."""
+    import ray.data
+
+    from alp_ray.stages.sketch import approx_distinct_poly
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    state, _est = approx_distinct_poly(docs)
+    return pa.table(
+        {
+            "m": pa.array([state["m"]], pa.int64()),
+            "sum_reg": pa.array([state["sum_reg"]], pa.int64()),
+            "zero_reg": pa.array([state["zero_reg"]], pa.int64()),
+            "checksum": pa.array([state["checksum"]], pa.int64()),
+        }
+    )
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization of the embedding column
     (scale / Σcodes / max dequant error) — elementwise float64
@@ -4216,6 +4240,48 @@ def _minhash_poly_sql(K: int = 8, bands: int = 4) -> str:
     )
 
 
+def _hll_poly_sql(p: int = 6) -> str:
+    """Twin of `_q_approx_distinct_poly`: the HLL register array in
+    pure BIGINT arithmetic — fingerprint (the _FINGERPRINT_SQL law),
+    index = low p bits, rank = (31−p)+1 − bit_length(suffix) via an
+    integer CASE ladder (no FP log), per-register MAX, then the same
+    order-checksum fold."""
+    m = 1 << p
+    w = 31 - p
+    norm = (
+        "regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), "
+        "'\\s+', ' ', 'g')"
+    )
+    ladder = "CASE " + " ".join(
+        f"WHEN v >= {1 << (w - 1 - k)} THEN {w - k}"
+        for k in range(w)
+    ) + " ELSE 0 END"
+    return (
+        "WITH f AS MATERIALIZED (SELECT "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_extract_all({norm}, '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(h, c) -> (h * 1000003 + c) % 2147483647) AS fv "
+        "FROM documents), "
+        f"r AS MATERIALIZED (SELECT fv & {m - 1} AS idx, "
+        f"fv >> {p} AS v FROM f), "
+        f"rk AS MATERIALIZED (SELECT idx, {w + 1} - ({ladder}) AS rank "
+        "FROM r), "
+        "regs AS MATERIALIZED (SELECT t.range AS idx, "
+        "COALESCE(MAX(rk.rank), 0) AS reg "
+        f"FROM range({m}) t LEFT JOIN rk ON rk.idx = t.range "
+        "GROUP BY t.range) "
+        f"SELECT CAST({m} AS BIGINT) AS m, "
+        "CAST(SUM(reg) AS BIGINT) AS sum_reg, "
+        "CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS zero_reg, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list(reg ORDER BY idx)), "
+        "(h, c) -> (h * 1000003 + c) % 2147483647) AS checksum "
+        "FROM regs"
+    )
+
+
 def _simhash_poly_sql() -> str:
     """Brute-force twin of `_q_simhash_poly_pairs`: per-word
     fingerprints (the _FINGERPRINT_SQL law), bit j of the 31-bit
@@ -4403,6 +4469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_poly_pairs": _q_minhash_poly_pairs,
         "simhash_poly_pairs": _q_simhash_poly_pairs,
         "embedding_quantize": _q_embedding_quantize,
+        "approx_distinct_poly": _q_approx_distinct_poly,
     }
 
 
@@ -4935,6 +5002,7 @@ def oracle_sql() -> dict[str, str]:
         "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
         "minhash_poly_pairs": _minhash_poly_sql(),
         "simhash_poly_pairs": _simhash_poly_sql(),
+        "approx_distinct_poly": _hll_poly_sql(),
         "embedding_quantize": (
             "WITH e AS MATERIALIZED (SELECT vec_id, "
             "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "

@@ -247,3 +247,69 @@ def heavy_hitters(
             "cnt": pa.array([c for _, c in top], pa.int64()),
         }
     )
+
+
+def approx_distinct_poly(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    p: int = 6,
+) -> tuple[dict, float]:
+    """HyperLogLog over the SQL-EXPRESSIBLE polynomial fingerprint of
+    the whitespace-normalized text (FingerprintStage law, 31-bit):
+    register index = low p bits, rank = 1 + leading-zero count of the
+    remaining 31−p bits (pure BIGINT arithmetic — the DuckDB twin
+    replays the register array bit-for-bit). Returns the integer
+    sketch STATE summary (m, Σregisters, zero count, order-checksum)
+    — the gate-comparable object — plus the float estimate (tested by
+    tolerance in pytest, not hashed: its small-range branch takes a
+    libm log).
+
+    Same distribution contract as ``approx_distinct``: per-block
+    register partials (2^p ints/block), elementwise-max merge."""
+    from alp_ray.stages.text import FingerprintStage
+
+    m = 1 << p
+    w = 31 - p
+    mask = m - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fv = np.asarray(batch.column("fingerprint"), np.int64)
+        idx = fv & mask
+        v = fv >> p
+        bl = np.zeros(v.size, np.int64)
+        for k in range(w):
+            bl[v >= (1 << k)] = k + 1
+        rank = (w + 1) - bl  # v == 0 -> rank w+1 (all suffix bits zero)
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pa.table(
+            {"idx": pa.array(np.arange(m)), "reg": pa.array(regs)}
+        )
+
+    parts = (
+        ds.map_batches(
+            FingerprintStage, fn_constructor_args=(text_col,),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+        .select_columns(["fingerprint"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    regs = np.zeros(m, np.int64)
+    for r in parts:
+        regs[r["idx"]] = max(regs[r["idx"]], r["reg"])
+    checksum = 0
+    for x in regs:
+        checksum = (checksum * 1000003 + int(x)) % ((1 << 31) - 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    state = {
+        "m": m,
+        "sum_reg": int(regs.sum()),
+        "zero_reg": zeros,
+        "checksum": int(checksum),
+    }
+    return state, float(e)

@@ -57,3 +57,26 @@ def test_heavy_hitters_exact_topk():
     have = list(zip(got.column("tok").to_pylist(),
                     got.column("cnt").to_pylist()))
     assert have == want
+
+
+def test_approx_distinct_poly_estimate_accuracy():
+    """The poly-hash HLL estimate must land within the standard HLL
+    error envelope (~1.04/sqrt(m) ~ 13% at m=64; allow 3 sigma) on a
+    corpus of distinct texts, and the state summary must be stable
+    across block splits (mergeable by elementwise max)."""
+    import ray.data
+    from alp_ray.stages.sketch import approx_distinct_poly
+
+    n = 400
+    texts = [f"document number {i} with unique payload {i*i}"
+             for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+    state, est = approx_distinct_poly(ds)
+    assert state["m"] == 64
+    assert abs(est - n) / n < 0.40
+    # Split into many blocks: identical registers (max-merge law).
+    ds4 = ray.data.from_arrow(
+        pa.table({"text": texts})
+    ).repartition(7)
+    state4, est4 = approx_distinct_poly(ds4)
+    assert state4 == state and est4 == est
