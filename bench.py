@@ -76,9 +76,18 @@ def corpus_pagerank_bench(sf: float, P: int, conv: float = 1e-6) -> dict:
         dense, n=n_v, P=P, num_cpus_per_shard=0, dedupe=True
     )
     build_s = time.perf_counter() - t0
-    # Warm the actor pool (cold numpy import etc.), then measure.
+    # Warm the actor pool (cold numpy import etc.), then measure with
+    # INNER repetitions (the reference Benchmarker's inner×outer loop,
+    # base/benchmark.hpp:227-252): the converged loop is ~1 s at bench
+    # sf, so a single timing is at the mercy of a co-tenant scheduling
+    # blip; keep the best (min-time) of the inner calls.
     pagerank(engine, conv=conv, max_iters=3)
-    res = pagerank(engine, conv=conv, sync_every=16)
+    inner = int(os.environ.get("RAY_GRAFT_INNER", "3"))
+    res = None
+    for _ in range(inner):
+        r = pagerank(engine, conv=conv, sync_every=16)
+        if res is None or r.iter_seconds < res.iter_seconds:
+            res = r
     engine.shutdown()
     return {
         "n_files": n_repos * fpr,
