@@ -1652,6 +1652,61 @@ def _q_simhash_poly_pairs(sf_dir: str):
     return simhash_poly_pairs(docs)
 
 
+def _q_ann_pq_recall(sf_dir: str):
+    """Product-quantization ADC search quality: recall@10 of PQ codes
+    (16 subspaces × 64 centroids = 96-bit codes, ~10× the float32
+    storage) vs brute-force L2 top-10 for the standard query. Rows-only like
+    ann_ivf_recall: PQ is approximate BY DESIGN, so the honest oracle
+    is the measured recall, asserted ≥ 0.5 in-query (fails loudly if
+    quantization ever degenerates)."""
+    import ray.data
+
+    from alp_ray.pipelines.ann import (
+        _as_matrix, pq_encode, pq_topk, pq_train,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = np.asarray(
+        emb.filter(expr="vec_id == 0").take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+
+    def l2_part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        V = _as_matrix(batch.column("embedding"))
+        d = ((V - q[None, :]) ** 2).sum(axis=1)
+        top = np.lexsort((ids, d))[:10]
+        return pa.table(
+            {"vec_id": pa.array(ids[top]), "d": pa.array(d[top])}
+        )
+
+    parts = emb.map_batches(
+        l2_part, batch_format="pyarrow"
+    ).take_all()
+    ids = np.array([r["vec_id"] for r in parts], np.int64)
+    dd = np.array([r["d"] for r in parts])
+    exact = set(ids[np.lexsort((ids, dd))[:10]].tolist())
+
+    books = pq_train(emb, m_sub=16, k=64)
+    codes = pq_encode(emb, books).materialize()
+    approx = set(
+        np.asarray(
+            pq_topk(codes, books, q, k=10).column("vec_id")
+        ).tolist()
+    )
+    recall = len(exact & approx) / 10.0
+    assert recall >= 0.5, f"PQ recall degenerated: {recall}"
+    return pa.table(
+        {
+            "k": pa.array([10], pa.int64()),
+            "m_sub": pa.array([16], pa.int64()),
+            "recall": pa.array([recall], pa.float64()),
+        }
+    )
+
+
 def _q_approx_distinct_poly(sf_dir: str):
     """HLL sketch STATE over the polynomial text fingerprint — the
     register array is pure BIGINT arithmetic, so the (m, Σreg, zeros,
@@ -4470,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_poly_pairs": _q_simhash_poly_pairs,
         "embedding_quantize": _q_embedding_quantize,
         "approx_distinct_poly": _q_approx_distinct_poly,
+        "ann_pq_recall": _q_ann_pq_recall,
     }
 
 

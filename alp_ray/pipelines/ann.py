@@ -347,3 +347,116 @@ def quantize_embeddings(
         )
 
     return emb.map_batches(fn, batch_format="pyarrow")
+
+
+def pq_train(
+    emb: "ray.data.Dataset",
+    m_sub: int = 4,
+    k: int = 16,
+    sample_size: int = 512,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split d dims into ``m_sub``
+    subspaces, independent mini k-means per subspace over a BOUNDED
+    sample (the same bounded-sample contract as build_ivf — at 100 TB
+    the training set never exceeds ``sample_size`` vectors). Returns
+    (m_sub, k, d_sub) float64 codebooks."""
+    sample = emb.limit(sample_size).to_pandas()
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    assert d % m_sub == 0, (d, m_sub)
+    ds = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, k, ds))
+    for s in range(m_sub):
+        Xs = X[:, s * ds:(s + 1) * ds]
+        C = Xs[rng.choice(Xs.shape[0], size=min(k, Xs.shape[0]),
+                          replace=False)]
+        for _ in range(iters):
+            dist = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            for c in range(C.shape[0]):
+                pts = Xs[a == c]
+                if pts.size:
+                    C[c] = pts.mean(0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    emb: "ray.data.Dataset",
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Encode every vector as m_sub uint8-style codes (argmin centroid
+    per subspace) — the 8-32× storage-reduction pass; codebooks ride a
+    single ray.put broadcast."""
+    bref = ray.put(books)
+    m_sub, k, ds = books.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        Bm = ray.get(bref)
+        V = _as_matrix(batch.column(vec_col))
+        codes = np.empty((V.shape[0], m_sub), np.int64)
+        for s in range(m_sub):
+            Vs = V[:, s * ds:(s + 1) * ds]
+            dist = ((Vs[:, None, :] - Bm[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = dist.argmin(1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.int64()), m_sub
+                ),
+            }
+        )
+
+    return emb.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes_ds: "ray.data.Dataset",
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: one (m_sub × k)
+    query-to-centroid distance table, then per-batch table LOOKUPS
+    (never reconstructing vectors); per-block partial top-k combined
+    driver-side (O(#blocks·k) rows, same as cosine_topk)."""
+    m_sub, kc, ds = books.shape
+    q = np.asarray(query, np.float64)
+    table = np.empty((m_sub, kc))
+    for s in range(m_sub):
+        table[s] = (
+            (books[s] - q[s * ds:(s + 1) * ds][None, :]) ** 2
+        ).sum(-1)
+    tref = ray.put(table)
+
+    def part(batch: pa.Table) -> pa.Table:
+        T = ray.get(tref)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        C = np.asarray(
+            batch.column("codes").combine_chunks().flatten(), np.int64
+        ).reshape(ids.size, m_sub)
+        dist = T[np.arange(m_sub)[None, :], C].sum(axis=1)
+        # id tiebreaker: partial top-k independent of block splits.
+        top = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[top]),
+                "dist": pa.array(dist[top]),
+            }
+        )
+
+    parts = codes_ds.map_batches(part, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in parts], np.int64)
+    dist = np.array([r["dist"] for r in parts])
+    top = np.lexsort((ids, dist))[:k]
+    return pa.table(
+        {id_col: pa.array(ids[top]), "dist": pa.array(dist[top])}
+    )

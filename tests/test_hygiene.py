@@ -302,3 +302,29 @@ def test_simhash_poly_matches_python_oracle():
     }
     assert pairs == expected
     assert (0, 3) in pairs
+
+
+def test_pq_adc_recall_on_separable_clusters():
+    """PQ encode + ADC top-k must retrieve the query's own cluster on
+    well-separated synthetic clusters (recall@k = 1 there), and codes
+    must be within [0, k)."""
+    import ray.data
+    from alp_ray.pipelines.ann import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 10
+    X = np.concatenate(
+        [centers[i] + 0.01 * rng.randn(25, 8) for i in range(4)]
+    )
+    ids = np.arange(100)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": X.tolist()})
+    )
+    books = pq_train(ds, m_sub=4, k=8, sample_size=100)
+    assert books.shape == (4, 8, 2)
+    codes = pq_encode(ds, books).materialize()
+    got = pq_topk(codes, books, X[0], k=10)
+    top_ids = set(np.asarray(got.column("vec_id")).tolist())
+    # All 10 nearest by ADC must be from cluster 0 (ids 0..24).
+    assert top_ids <= set(range(25))
+    assert len(top_ids) == 10
