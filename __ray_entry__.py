@@ -1652,6 +1652,22 @@ def _q_simhash_poly_pairs(sf_dir: str):
     return simhash_poly_pairs(docs)
 
 
+def _q_length_buckets(sf_dir: str):
+    """Length-bucketed batch assignment (pad-efficiency batching, the
+    counterpart of sequence_pack's concat-and-chunk): bucket =
+    #boundaries ≤ n_tokens, batch = within-bucket doc_id-ordered
+    ROW_NUMBER // 8 — all-integer, one range sort + O(#blocks)
+    offsets, no join."""
+    import ray.data
+
+    from alp_ray.stages.text import length_bucket_batches
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return length_bucket_batches(docs)
+
+
 def _q_ann_pq_recall(sf_dir: str):
     """Product-quantization ADC search quality: recall@10 of PQ codes
     (16 subspaces × 64 centroids = 96-bit codes, ~10× the float32
@@ -4526,6 +4542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "approx_distinct_poly": _q_approx_distinct_poly,
         "ann_pq_recall": _q_ann_pq_recall,
+        "length_buckets": _q_length_buckets,
     }
 
 
@@ -5059,6 +5076,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_poly_pairs": _minhash_poly_sql(),
         "simhash_poly_pairs": _simhash_poly_sql(),
         "approx_distinct_poly": _hll_poly_sql(),
+        "length_buckets": (
+            "WITH f AS MATERIALIZED (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "b AS MATERIALIZED (SELECT doc_id, n_tokens, "
+            "CAST(CASE WHEN n_tokens >= 512 THEN 5 "
+            "WHEN n_tokens >= 256 THEN 4 WHEN n_tokens >= 128 THEN 3 "
+            "WHEN n_tokens >= 64 THEN 2 WHEN n_tokens >= 32 THEN 1 "
+            "ELSE 0 END AS BIGINT) AS bucket FROM f) "
+            "SELECT doc_id, n_tokens, bucket, "
+            "CAST((ROW_NUMBER() OVER (PARTITION BY bucket "
+            "ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx FROM b"
+        ),
         "embedding_quantize": (
             "WITH e AS MATERIALIZED (SELECT vec_id, "
             "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "

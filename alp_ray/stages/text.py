@@ -742,3 +742,93 @@ def sequence_pack(
         _assign.remote(r, int(offsets[i])) for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def length_bucket_batches(
+    docs: "ray.data.Dataset",
+    boundaries: tuple = (32, 64, 128, 256, 512),
+    batch_docs: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Length-bucketed batch assignment — the pad-efficiency batching
+    strategy complementary to ``sequence_pack`` (concat-and-chunk):
+    docs are bucketed by token count (bucket i = #boundaries ≤ n) and
+    batched ``batch_docs`` at a time within each bucket in doc_id
+    order, so every batch pads to its bucket's bound instead of the
+    corpus max. Emits (doc_id, n_tokens, bucket, batch_idx) — all
+    integer, deterministic, ROW_NUMBER-twinnable.
+
+    Distributed form: ONE range sort by (bucket, doc_id) carrying the
+    payload columns, per-block local ranks shifted by O(#blocks)
+    driver count scalars (the global_rank pattern), within-bucket
+    ranks from a ≤|boundaries|+1-entry bucket-start broadcast — no
+    join, no second shuffle."""
+    import ray
+
+    bnd = np.asarray(boundaries, np.int64)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n = np.asarray(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        )
+        bucket = np.searchsorted(bnd, n, side="right").astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(n),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    sorted_ds = (
+        docs.map_batches(feats, batch_format="pyarrow")
+        .sort(["bucket", id_col])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _meta(tbl: pa.Table):
+        if id_col not in tbl.column_names or tbl.num_rows == 0:
+            return 0, np.zeros(bnd.size + 1, np.int64)
+        bk = np.asarray(tbl.column("bucket"), np.int64)
+        return tbl.num_rows, np.bincount(bk, minlength=bnd.size + 1)
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+    counts = np.array([m[0] for m in metas], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    per_bucket = np.sum([m[1] for m in metas], axis=0)
+    bucket_starts = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+    sref = ray.put(bucket_starts)
+
+    @ray.remote
+    def _tag(tbl: pa.Table, offset: int) -> pa.Table:
+        if id_col not in tbl.column_names or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "batch_idx": pa.array([], pa.int64()),
+                }
+            )
+        st = ray.get(sref)
+        bk = np.asarray(tbl.column("bucket"), np.int64)
+        rank = np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+        local = rank - st[bk]
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "n_tokens": tbl.column("n_tokens"),
+                "bucket": pa.array(bk),
+                "batch_idx": pa.array(local // batch_docs),
+            }
+        )
+
+    import ray.data
+
+    return ray.data.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

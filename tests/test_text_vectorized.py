@@ -219,3 +219,37 @@ def test_sequence_pack_boundary_straddle():
     assert out.loc[0].tolist() == [3, 0, 0]
     assert out.loc[1].tolist() == [4, 0, 1]   # straddles seqs 0 and 1
     assert out.loc[2].tolist() == [2, 1, 2]   # tokens 7-8 -> seqs 1..2
+
+
+def test_length_bucket_batches_matches_row_number_law():
+    """bucket = #boundaries <= n_tokens; within-bucket doc_id-ordered
+    ranks // batch_docs — must equal the plain sequential law."""
+    import ray.data
+
+    from alp_ray.stages.text import length_bucket_batches
+
+    texts = [
+        " ".join(["w"] * n)
+        for n in [5, 40, 70, 33, 600, 200, 1, 64, 65, 128, 31, 32]
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = {
+        r["doc_id"]: r
+        for r in length_bucket_batches(ds, batch_docs=2).take_all()
+    }
+    bnd = [32, 64, 128, 256, 512]
+    want_bucket = {
+        i: sum(1 for b in bnd if len(t.split()) >= b)
+        for i, t in zip(ids, texts)
+    }
+    # sequential law
+    ranks = {}
+    for b in sorted(set(want_bucket.values())):
+        members = sorted(i for i in ids if want_bucket[i] == b)
+        for j, i in enumerate(members):
+            ranks[i] = j // 2
+    for i in ids:
+        assert out[i]["bucket"] == want_bucket[i], i
+        assert out[i]["batch_idx"] == ranks[i], i
+        assert out[i]["n_tokens"] == len(texts[i].split())
