@@ -1620,6 +1620,44 @@ def _q_norm2(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs — since round 5 this windowed row
+    runs the SQL-expressible polynomial-hash family (hash-exact twin,
+    proven at both sfs as q `minhash_poly_pairs` in round 4) so the
+    driver's hard-signal window carries a full oracle instead of
+    `no_oracle`.  Identical band-bucket first-match-band physical
+    plan; the seeded blake2b production default stays available as
+    `minhash_seeded_pairs` (appended after the window)."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import minhash_poly_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_poly_pairs(docs, max_bucket=10**9)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs — since round 5 this windowed row runs
+    the 31-bit polynomial word-fingerprint family (hash-exact twin,
+    proven at both sfs as q `simhash_poly_pairs` in round 4).  Same
+    pigeonhole 4-band bucketing + first-match-band emission; the
+    seeded blake2b production default stays available as
+    `simhash_seeded_pairs` (appended after the window)."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import simhash_poly_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_poly_pairs(docs)
+
+
+def _q_minhash_seeded_pairs(sf_dir: str):
+    """Production blake2b-seeded MinHash-LSH variant (rows-only: the
+    seeded permutation family is not SQL-expressible).  This was the
+    windowed `minhash_pairs` implementation through round 4."""
     import ray.data
 
     from alp_ray.pipelines.dedup import minhash_lsh_pairs
@@ -1628,7 +1666,9 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(docs)
 
 
-def _q_simhash_pairs(sf_dir: str):
+def _q_simhash_seeded_pairs(sf_dir: str):
+    """Production blake2b-seeded SimHash variant (rows-only).  This
+    was the windowed `simhash_pairs` implementation through round 4."""
     import ray.data
 
     from alp_ray.pipelines.dedup import simhash_pairs
@@ -4543,6 +4583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_poly": _q_approx_distinct_poly,
         "ann_pq_recall": _q_ann_pq_recall,
         "length_buckets": _q_length_buckets,
+        # Round-5 additions (appended AFTER the window as always)
+        "minhash_seeded_pairs": _q_minhash_seeded_pairs,
+        "simhash_seeded_pairs": _q_simhash_seeded_pairs,
     }
 
 
@@ -4836,7 +4879,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(GROUPING(o_orderpriority) + "
             "2 * GROUPING(o_orderstatus) AS BIGINT) AS grouping_id, "
             "COUNT(*) AS n_rows, "
-            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
             "FROM orders "
             "GROUP BY CUBE(o_orderpriority, o_orderstatus)"
         ),
@@ -4848,16 +4891,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 - GROUPING(o_orderpriority) - "
             "GROUPING(o_orderstatus) AS BIGINT) AS level, "
             "COUNT(*) AS n_rows, "
-            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
             "FROM orders "
             "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
         "pivot_events": (
             "SELECT user_id, "
             + ", ".join(
+                # CAST the SUM itself: DuckDB SUM(BIGINT) returns
+                # HUGEINT, which pandas materializes as float64 and
+                # the driver's value hash is dtype-sensitive (the
+                # round-4 red row — values were exactly equal).
                 f"COUNT(*) FILTER (WHERE event_type = '{c}') AS n_{c}, "
-                f"COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
-                f"FILTER (WHERE event_type = '{c}'), 0) AS cents_{c}"
+                f"CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+                f"FILTER (WHERE event_type = '{c}'), 0) AS BIGINT) "
+                f"AS cents_{c}"
                 for c in _EVENT_TYPES
             )
             + " FROM events GROUP BY user_id"
@@ -4958,7 +5006,7 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN EXISTS (SELECT 1 FROM ed r "
             "WHERE r.src = ed.dst AND r.dst = ed.src) "
             "THEN 1 ELSE 0 END) AS n_reciprocal FROM ed) "
-            "SELECT n_edges, n_reciprocal, "
+            "SELECT n_edges, CAST(n_reciprocal AS BIGINT) AS n_reciprocal, "
             "ROUND(n_reciprocal::DOUBLE / n_edges, 6) AS reciprocity "
             "FROM m"
         ),
@@ -5073,6 +5121,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conjugate_gradient": _cg_sql(_CG_K),
         "conjugate_gradient_complex": _cg_complex_sql(_CG_K),
+        "minhash_pairs": _minhash_poly_sql(),
+        "simhash_pairs": _simhash_poly_sql(),
         "minhash_poly_pairs": _minhash_poly_sql(),
         "simhash_poly_pairs": _simhash_poly_sql(),
         "approx_distinct_poly": _hll_poly_sql(),
@@ -5148,8 +5198,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(_DEDUP_CC_ROUNDS),
         "nation_revenue": (
             "SELECT n.n_name AS nation, "
-            "SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) "
-            "AS revenue_cents, COUNT(*) AS n_orders "
+            "CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents, COUNT(*) AS n_orders "
             "FROM orders o "
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
@@ -5160,8 +5210,8 @@ def oracle_sql() -> dict[str, str]:
             "range * 10000.0 AS lo, (range + 1) * 10000.0 AS hi "
             "FROM range(11)) "
             "SELECT b.band, COUNT(*) AS n_items, "
-            "SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) "
-            "AS cents FROM lineitem l JOIN bands b "
+            "CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem l JOIN bands b "
             "ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi "
             "GROUP BY b.band"
         ),

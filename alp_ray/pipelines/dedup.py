@@ -1090,11 +1090,18 @@ def embedding_cosine_pairs(
     also lands in its 1-bit-flip neighbour buckets so near-misses across
     a hyperplane still collide.
 
-    Scale shape: the ×(planes+1) multi-probe replication carries IDS
-    ONLY (8 bytes each, not the vectors); buckets emit candidate id
-    pairs under a ``max_bucket`` skew guard (oversized buckets drop with
-    a log line, ≙ the MinHash guard); exact cosines come from joining
-    the two vectors back to the DEDUPED pair list — O(candidate pairs)
+    Scale shape (same physical plan as ``minhash_lsh_pairs``): the
+    ×(planes+1) multi-probe replication carries (id, bucket, base-key)
+    ONLY — 24 bytes each, not the vectors; whole buckets are co-located
+    under a coarse ``bucket % n_parts`` partition and processed in ONE
+    vectorized map_groups call per partition (no per-bucket dispatch);
+    multi-probe duplicates are resolved IN-KERNEL — a colliding pair's
+    full co-occurring-bucket set is derivable from the two base keys
+    (their XOR has popcount ≤ 2), so the pair is emitted only from its
+    canonical (minimal) co-bucket and the global ``groupby(id_a, id_b)``
+    dedup shuffle is gone. Buckets over ``max_bucket`` drop with a log
+    line (≙ the MinHash skew guard); exact cosines come from joining the
+    two vectors back to the candidate pair list — O(candidate pairs)
     vector traffic instead of O(n·planes)."""
     if dims is None:
         first = emb.take(1)[0]
@@ -1107,6 +1114,8 @@ def embedding_cosine_pairs(
          "id_b": pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())}
     )
+
+    n_parts = coarse_parts()
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         Hm = ray.get(href)
@@ -1126,39 +1135,97 @@ def embedding_cosine_pairs(
         for p in range(planes):  # multi-probe neighbours, ids only
             out_ids.append(ids)
             out_keys.append(key ^ (1 << p))
+        bucket = np.concatenate(out_keys)
         return pa.table(
             {
                 id_col: np.concatenate(out_ids),
-                "bucket": np.concatenate(out_keys),
+                "bucket": bucket,
+                # base sign-key rides along so the kernel can derive a
+                # pair's full co-occurring-bucket set (XOR popcount ≤ 2)
+                # and dedup multi-probe collisions without a shuffle.
+                "base": np.concatenate([key] * (planes + 1)),
+                "part": bucket % n_parts,
             }
         )
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group.column(id_col)))
-        if ids.size > max_bucket:
-            import logging
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(
+            x.astype(np.uint64).view(np.uint8).reshape(x.size, 8), axis=1
+        ).sum(axis=1, dtype=np.int64)
 
-            logging.getLogger(__name__).warning(
-                "embedding_cosine: dropping oversized bucket "
-                "(%d > %d vectors)", ids.size, max_bucket,
-            )
-            ids = ids[:0]
-        if ids.size < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64())}
-            )
-        ia, ib = np.triu_indices(ids.size, 1)
-        return pa.table({"id_a": ids[ia], "id_b": ids[ib]})
+    empty_cand = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64())}
+    )
 
+    def emit_part(group: pa.Table) -> pa.Table:
+        if "bucket" not in group.column_names or len(group) == 0:
+            return empty_cand
+        ids_all = np.asarray(group.column(id_col), np.int64)
+        bucket_all = np.asarray(group.column("bucket"), np.int64)
+        base_all = np.asarray(group.column("base"), np.int64)
+        order = np.lexsort((ids_all, bucket_all))
+        ids_all, bucket_all, base_all = (
+            ids_all[order], bucket_all[order], base_all[order]
+        )
+        new_seg = np.r_[True, bucket_all[1:] != bucket_all[:-1]]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.r_[seg_starts[1:], ids_all.size]
+        out_a, out_b = [], []
+        for s, e in zip(seg_starts, seg_ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            if sz > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "embedding_cosine: dropping oversized bucket "
+                    "(%d > %d vectors)", sz, max_bucket,
+                )
+                continue
+            ids = ids_all[s:e]
+            base = base_all[s:e]
+            K = int(bucket_all[s])
+            ia, ib = np.triu_indices(int(sz), 1)
+            ba, bb = base[ia], base[ib]
+            xor = ba ^ bb
+            pc = _popcount(xor)
+            # Canonical co-bucket of the pair, derived from the base
+            # keys alone (deterministic, partition-independent):
+            #   pc=0 → both probes of the shared base bucket → base;
+            #   pc=1 → co-buckets {base_a, base_b} → min;
+            #   pc=2 → co-buckets {base_a^low, base_a^high} → min
+            #          (base_b^low == base_a^high).
+            low = xor & -xor
+            canon = np.where(
+                pc == 0,
+                ba,
+                np.where(
+                    pc == 1,
+                    np.minimum(ba, bb),
+                    np.minimum(ba ^ low, bb ^ low),
+                ),
+            )
+            keep = (pc <= 2) & (canon == K)
+            if not keep.any():
+                continue
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        if not out_a:
+            return empty_cand
+        return pa.table(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    # Each colliding pair is emitted exactly once (from its canonical
+    # co-bucket), so no (id_a, id_b) dedup aggregate runs afterwards —
+    # that shuffle carried seconds of fixed overhead per run.
     cand = (
         emb.select_columns([id_col, vec_col])
         .map_batches(to_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(emit, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__nb"))
-        .drop_columns(["__nb"])
+        .groupby("part")
+        .map_groups(emit_part, batch_format="pyarrow")
         .materialize()
     )
     if cand.count() == 0:
@@ -1195,23 +1262,33 @@ def embedding_cosine_pairs(
     ).materialize()
     j2 = j1.join(vb, join_type="inner", num_partitions=parts, on=("id_b",))
 
+    def _bin_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+        """binary column of equal-width float64 blobs → (n, d) matrix,
+        zero-copy off the Arrow data buffer when offsets are uniform
+        (always true for freshly-built join output; per-row fallback
+        otherwise)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            flat = np.frombuffer(col.buffers()[2], np.uint8)[
+                offs[0] : offs[-1]
+            ]
+            return flat.view(np.float64).reshape(len(col), -1)
+        return np.stack(
+            [np.frombuffer(x, np.float64) for x in col.to_pylist()]
+        )
+
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return empty
         a = np.asarray(batch.column("id_a"), np.int64)
         b = np.asarray(batch.column("id_b"), np.int64)
-        Va = np.stack(
-            [
-                np.frombuffer(x, np.float64)
-                for x in batch.column("__va").to_pylist()
-            ]
-        )
-        Vb = np.stack(
-            [
-                np.frombuffer(x, np.float64)
-                for x in batch.column("__vb").to_pylist()
-            ]
-        )
+        Va = _bin_matrix(batch.column("__va"))
+        Vb = _bin_matrix(batch.column("__vb"))
         na = np.maximum(np.linalg.norm(Va, axis=1), 1e-12)
         nb = np.maximum(np.linalg.norm(Vb, axis=1), 1e-12)
         cos = (Va * Vb).sum(axis=1) / (na * nb)

@@ -62,10 +62,52 @@ def con():
 
 
 @pytest.mark.parametrize("name", ORACLED)
+def test_oracle_no_hugeint(name, con):
+    """DuckDB SUM(BIGINT) returns HUGEINT, which pandas materializes
+    as float64 while the Ray side emits int64 — the driver's value
+    hash is dtype-sensitive, so any HUGEINT column in a twin is a
+    latent red row (the round-4 pivot_events failure).  Every
+    aggregate must carry an explicit CAST."""
+    desc = con.execute(f"DESCRIBE {entrymod.oracle_sql()[name]}").df()
+    bad = [
+        (c, t)
+        for c, t in zip(desc["column_name"], desc["column_type"])
+        if "HUGEINT" in t.upper()
+    ]
+    assert not bad, f"{name}: HUGEINT oracle columns {bad}"
+
+
+def _dtype_kind(dtype) -> str:
+    if np.issubdtype(dtype, np.floating):
+        return "f"
+    if np.issubdtype(dtype, np.integer):
+        return "i"
+    if np.issubdtype(dtype, np.bool_):
+        return "b"
+    return "o"
+
+
+@pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(name, con):
     q = entrymod.queries()[name]
-    got = _normalize(_to_df(q(SF)))
-    want = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    got_raw = _to_df(q(SF))
+    want_raw = con.execute(entrymod.oracle_sql()[name]).df()
+    # Dtype-KIND parity before normalization: the driver hashes raw
+    # values, so an int64-vs-float64 column with equal values still
+    # hash-mismatches (round-4 pivot_events).
+    for c in got_raw.columns:
+        if c in want_raw.columns:
+            gk, wk = _dtype_kind(got_raw[c].dtype), _dtype_kind(
+                want_raw[c].dtype
+            )
+            assert gk == wk, (
+                f"{name}.{c}: Ray dtype kind {gk} "
+                f"({got_raw[c].dtype}) vs oracle {wk} "
+                f"({want_raw[c].dtype}) — equal values would still "
+                f"fail the driver's value hash"
+            )
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     )
