@@ -215,10 +215,23 @@ def greedy_init(
         best = int(np.argmax(mind2))  # first max = smallest id on ties
         top2 = np.partition(mind2, -2)[-2:]
         gap = float(top2[1] - top2[0])
-        if gap > 0:  # exact ties are fine (id tiebreak matches SQL)
+        if gap > 0:
             assert gap > margin * max(float(top2[1]), 1e-300), (
                 f"greedy init near-tie (gap={gap:.3e}): pick not robust "
                 f"to cross-engine FP drift"
+            )
+        else:
+            # An exact FP tie in THIS engine's pairwise-summed d² need
+            # not be a tie in the twin's sequential list_sum — the twin
+            # could pick a different farthest point and every downstream
+            # assignment would diverge. Only provably identical vectors
+            # (same d² under ANY summation order) may tie.
+            tied = np.flatnonzero(mind2 == mind2[best])
+            assert all(
+                np.array_equal(X[best], X[int(t)]) for t in tied
+            ), (
+                "greedy init exact d² tie between non-identical "
+                "vectors: twin pick is summation-order dependent"
             )
         picks.append(best)
         d2 = ((X - X[best]) ** 2).sum(-1)

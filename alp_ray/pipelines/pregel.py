@@ -58,7 +58,14 @@ def pregel(
     vertex (matches reference: first superstep sees no messages).
 
     ``out_sparsify`` ≙ grb::interfaces::config::SparsificationStrategy
-    (pregel.hpp:167-242) — a PHYSICAL knob only, results are identical:
+    (pregel.hpp:167-242) — a PHYSICAL knob; results are identical up to
+    ~1 ulp: the dense exchange interleaves combiner-identity terms,
+    which reshapes numpy's pairwise summation tree. Hash-gated queries
+    must therefore stay on a FIXED strategy (the ``"always"`` default);
+    ``when_reduced``/``when_halved`` switch physical forms on a
+    data-dependent condition and are for throughput experiments only
+    (CLAUDE.md: dense vs masked scatter are not bitwise
+    interchangeable).
     - ``"always"``: the exchange masks+re-segments edges by the active
       set every round (ALP's ALWAYS; the masked vxm form).
     - ``"none"``: the exchange runs the dense precomputed-segment path;

@@ -59,6 +59,15 @@ class ImportExtractor:
     # extraction is exact; branches are disjoint (anchored py/c vs the
     # unanchored js call), so at most one named group is non-empty per
     # line and the lang mask picks the row's own syntax.
+    # Known divergence from a per-language pass: alternation is
+    # leftmost-first, so a line that matches an ANCHORED c/py branch
+    # from column 0 shadows a js require() later on the same line
+    # (e.g. a js file containing `#include "require('./x')"`) — the c
+    # group wins, the row's lang mask then drops it, and the edge the
+    # per-language pass would have emitted is lost. Exact for the
+    # synthetic corpus (one clean import per line); gate the c/py
+    # branches on the row language before extraction if real-world
+    # inputs ever matter.
     _LANGS = ("py", "js", "c")
     _FUSED = (
         r"^import (?P<py>[\w.]+)\s*$"

@@ -130,16 +130,21 @@ def heavy_hitters(
             uniq, cnt = uniq[:counters], cnt[:counters] - sub
             keep = cnt > 0
             uniq, cnt = uniq[keep], cnt[keep]
-        # n_block rides the first row (0 elsewhere) so the driver can
-        # recover the total token count without a separate pass.
-        nb = np.zeros(uniq.size, np.int64)
-        if uniq.size:
-            nb[0] = n_block
+        # n_block rides an UNCONDITIONAL sentinel row (tok="", cnt=0 —
+        # real tokens are never empty) so the total token count
+        # survives even when compression empties the summary (top
+        # counters+1 counts all equal); riding row 0 of the summary
+        # dropped it in that case and silently shrank the exactness
+        # bound n_total/(counters+1).
         return pa.table(
             {
-                "tok": pa.array(uniq.tolist(), pa.string()),
-                "cnt": pa.array(cnt.astype(np.int64)),
-                "n_block": pa.array(nb),
+                "tok": pa.array([""] + uniq.tolist(), pa.string()),
+                "cnt": pa.array(
+                    np.r_[0, cnt].astype(np.int64)
+                ),
+                "n_block": pa.array(
+                    np.r_[n_block, np.zeros(uniq.size, np.int64)]
+                ),
             }
         )
 
@@ -167,19 +172,21 @@ def heavy_hitters(
         toks = np.asarray(batch.column("tok"))
         cnts = np.asarray(batch.column("cnt"), np.int64)
         nb = int(np.asarray(batch.column("n_block"), np.int64).sum())
-        uniq, inv = np.unique(toks, return_inverse=True)
+        real = toks != ""  # drop incoming sentinel rows before merging
+        uniq, inv = np.unique(toks[real], return_inverse=True)
         cnt = np.bincount(
-            inv, weights=cnts, minlength=uniq.size
+            inv, weights=cnts[real], minlength=uniq.size
         ).astype(np.int64)
         uniq, cnt = _mg_compress(uniq, cnt)
-        nbv = np.zeros(uniq.size, np.int64)
-        if uniq.size:
-            nbv[0] = nb
+        # Sentinel row carries the folded token count unconditionally
+        # (an emptied summary must not drop it).
         return pa.table(
             {
-                "tok": pa.array(uniq.tolist(), pa.string()),
-                "cnt": pa.array(cnt),
-                "n_block": pa.array(nbv),
+                "tok": pa.array([""] + uniq.tolist(), pa.string()),
+                "cnt": pa.array(np.r_[0, cnt].astype(np.int64)),
+                "n_block": pa.array(
+                    np.r_[nb, np.zeros(uniq.size, np.int64)]
+                ),
             }
         )
 
@@ -203,6 +210,8 @@ def heavy_hitters(
     n_total = int(
         np.asarray(t1.column("n_block"), np.int64).sum()
     )
+    real = toks != ""  # sentinel count-carrier rows are not tokens
+    toks, cnts = toks[real], cnts[real]
     if toks.size:
         uniq, inv = np.unique(toks, return_inverse=True)
         merged_cnt = np.bincount(
