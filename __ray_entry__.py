@@ -51,6 +51,16 @@ _LPA_K = 5       # community LPA steps (fixpoint-safe)
 _PPR_ROUNDS = 26  # pregel pagerank rounds (round 0 = init → 25 updates)
 _CG_K = 12       # conjugate-gradient steps (fixed; tol=0 on both sides)
 _BI_K = 8        # bicgstab steps (fixed; tol=0 on both sides)
+_BIC_K = 8       # complex bicgstab steps (fixed; tol=0 on both sides)
+MOD_CPLX = 600   # complex-bicgstab system size (P=4 must divide it —
+                 # plane co-sharding; 601 is prime so the dense mod is
+                 # unusable here)
+
+_E_CPLX = (
+    "SELECT DISTINCT l_orderkey % {m} AS src, "
+    "(l_partkey * 7 + l_suppkey) % {m} AS dst "
+    "FROM lineitem WHERE l_orderkey % {m} != (l_partkey * 7 + l_suppkey) % {m}"
+).format(m=MOD_CPLX)
 _COLOR_K = 45    # Jones-Plassmann rounds (29 needed at sf0.01; both
                  # sides run exactly K rounds, unconverged stay -1)
 _HITS_K = 12     # HITS full iterations (2K half-steps on both sides)
@@ -2231,6 +2241,114 @@ def _q_bicgstab(sf_dir: str):
     )
 
 
+def _q_bicgstab_complex(sf_dir: str):
+    """BiCGstab over a general COMPLEX (non-Hermitian) diagonally-
+    dominant system C = W + diag(1 + Σ(|Re w| + |Im w|)) — ≙ the
+    reference's bicgstab.hpp templated over ``std::complex`` (the last
+    complex-domain capability after round 4's HPD CG). The engine holds
+    the 2n real embedding [[Cr, −Ci], [Ci, Cr]] in for_linear_system
+    orientation with P=4 | n=600 (plane co-sharding), and the solver's
+    ρ/α/ω are genuinely complex scalar collectives.
+
+    Fixture weights: Re w = (u+v)%10+1, Im w = (2u+v)%7−3 (integers →
+    the diag groupby sums exactly in any order)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from alp_ray.pipelines.linalg import bicgstab_complex
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.state.engine import GraphEngine
+
+    n = MOD_CPLX
+    e = derived_edges(sf_dir, mod=n).materialize()
+
+    def cw(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("src"), np.int64)
+        v = np.asarray(batch.column("dst"), np.int64)
+        return pa.table(
+            {
+                "src": u,
+                "dst": v,
+                "cr": ((u + v) % 10 + 1).astype(np.float64),
+                "ci": ((2 * u + v) % 7 - 3).astype(np.float64),
+            }
+        )
+
+    ew = e.map_batches(cw, batch_format="pyarrow")
+    ar = np.arange(n, dtype=np.int64)
+    base_diag = ray.data.from_arrow(
+        pa.table(
+            {"src": ar, "dst": ar,
+             "cr": np.ones(n), "ci": np.zeros(n)}
+        )
+    )
+
+    def dom_diag(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("src"), np.int64)
+        cr = np.asarray(batch.column("cr"), np.float64)
+        ci = np.asarray(batch.column("ci"), np.float64)
+        return pa.table(
+            {
+                "src": u,
+                "dst": u,
+                "cr": np.abs(cr) + np.abs(ci),
+                "ci": np.zeros(u.size),
+            }
+        )
+
+    entries = (
+        ew.union(base_diag)
+        .union(ew.map_batches(dom_diag, batch_format="pyarrow"))
+        .groupby(["src", "dst"])
+        .aggregate(Sum("cr", alias_name="cr"), Sum("ci", alias_name="ci"))
+    )
+
+    def embed_swap(batch: pa.Table) -> pa.Table:
+        # Entry (row=src, col=dst, cr+i·ci) → the 4 embedding edges in
+        # for_linear_system orientation (engine src=col, dst=row):
+        # M[r,c]=cr, M[r+n,c+n]=cr, M[r,c+n]=−ci, M[r+n,c]=ci.
+        r = np.asarray(batch.column("src"), np.int64)
+        c = np.asarray(batch.column("dst"), np.int64)
+        cr = np.asarray(batch.column("cr"), np.float64)
+        ci = np.asarray(batch.column("ci"), np.float64)
+        return pa.table(
+            {
+                "src": np.concatenate([c, c + n, c + n, c]),
+                "dst": np.concatenate([r, r + n, r, r + n]),
+                "weight": np.concatenate([cr, cr, -ci, ci]),
+            }
+        )
+
+    engine = GraphEngine.from_dataset(
+        entries.map_batches(embed_swap, batch_format="pyarrow"),
+        n=2 * n, P=4, weighted=True,
+    )
+    br = ((np.arange(n) % 7) + 1).astype(np.float64) / n
+    bi = ((np.arange(n) % 5) - 2).astype(np.float64) / n
+    xr, xi, iters, res = bicgstab_complex(
+        engine, br, bi, tol=0.0, max_iters=_BIC_K
+    )
+    engine.shutdown()
+    # Gate-robustness invariant (the CG pattern): no rounded digit may
+    # sit near a .5 half-boundary, so engine-vs-twin dot-order drift
+    # can never flip a ROUND(·, 6) value.
+    for plane, name in ((xr, "xr"), (xi, "xi")):
+        frac = np.abs(plane) * 1e6 % 1.0
+        margin = float(np.min(np.abs(frac - 0.5)))
+        assert margin > 1e-4, (
+            f"complex-bicgstab fixture too close to a rounding "
+            f"half-boundary on {name} (margin={margin:.2e}); rescale b "
+            f"in _q_bicgstab_complex"
+        )
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(n, dtype=np.int64)),
+            "xr": pa.array(_round_half_away(xr, 6)),
+            "xi": pa.array(_round_half_away(xi, 6)),
+        }
+    )
+
+
 def _q_ngram_jaccard(sf_dir: str):
     import ray.data
 
@@ -3987,6 +4105,195 @@ def _bicgstab_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _bicgstab_complex_sql(K: int) -> str:
+    """Twin of `_q_bicgstab_complex`: K unrolled COMPLEX BiCGstab steps
+    over (re, im) column pairs. Every complex scalar op mirrors the
+    engine's explicit naive formulas (`_cmul`/`_cdiv` in
+    alp_ray/pipelines/linalg.py — never Python's Smith-scaled builtin),
+    every order-sensitive SUM is a sequential ``list_sum`` (thread-
+    invariant), and dots are conjugate-left (ρ = r̂ᴴr, ω = tᴴs/tᴴt)
+    with r̂ = b throughout. Engine-vs-twin summation-order drift is
+    absorbed by ROUND(·, 6) under the query's asserted half-boundary
+    margin."""
+    n = MOD_CPLX
+
+    def cdot(left_re, left_im, tbl, re_col, im_col, join):
+        """Conjugate-left complex dot ⟨left, right⟩ as (re, im) SQL
+        expression pair, plane sums sequential like the engine's
+        (uᵣ·vᵣ + uᵢ·vᵢ, uᵣ·vᵢ − uᵢ·vᵣ)."""
+        re = (
+            f"(SELECT list_sum(list({left_re} * {re_col} ORDER BY s.v)) "
+            f"FROM {tbl} s {join}) + "
+            f"(SELECT list_sum(list({left_im} * {im_col} ORDER BY s.v)) "
+            f"FROM {tbl} s {join})"
+        )
+        im = (
+            f"(SELECT list_sum(list({left_re} * {im_col} ORDER BY s.v)) "
+            f"FROM {tbl} s {join}) - "
+            f"(SELECT list_sum(list({left_im} * {re_col} ORDER BY s.v)) "
+            f"FROM {tbl} s {join})"
+        )
+        return re, im
+
+    bjoin = "JOIN b ON b.v = s.v"
+    parts = [
+        f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({n})), ",
+        f"ew AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 10 + 1 AS DOUBLE) AS cr, "
+        "CAST((2 * src + dst) % 7 - 3 AS DOUBLE) AS ci "
+        f"FROM ({_E_CPLX})), ",
+        # Complex entries (r=row, c=col): off-diag + base diag 1 +
+        # row-dominance diag — integer-valued, sums exact in any order.
+        "A AS MATERIALIZED (SELECT r, c, "
+        "CAST(SUM(cr) AS DOUBLE) AS cr, CAST(SUM(ci) AS DOUBLE) AS ci "
+        "FROM ("
+        "SELECT src AS r, dst AS c, cr, ci FROM ew "
+        "UNION ALL SELECT v, v, 1.0, 0.0 FROM verts "
+        "UNION ALL SELECT src, src, ABS(cr) + ABS(ci), 0.0 FROM ew"
+        ") GROUP BY 1, 2), ",
+        "b AS MATERIALIZED (SELECT v, "
+        f"CAST((v % 7) + 1 AS DOUBLE) / {n} AS br, "
+        f"CAST((v % 5) - 2 AS DOUBLE) / {n} AS bi FROM verts), ",
+        # state: x, r, p, vv (each as re/im pair); rhat == b throughout
+        "s0 AS MATERIALIZED (SELECT v, 0.0 AS xr, 0.0 AS xi, "
+        "br AS rre, bi AS rim, 0.0 AS pr, 0.0 AS pi, "
+        "0.0 AS vr, 0.0 AS vi FROM b), ",
+        "sc0 AS MATERIALIZED (SELECT 1.0 AS rho_re, 0.0 AS rho_im, "
+        "1.0 AS al_re, 0.0 AS al_im, 1.0 AS om_re, 0.0 AS om_im)",
+    ]
+    for k in range(1, K + 1):
+        p = f"s{k - 1}"
+        sc = f"sc{k - 1}"
+        rho_re, rho_im = cdot("b.br", "b.bi", p, "s.rre", "s.rim", bjoin)
+        rv_re, rv_im = cdot("b.br", "b.bi", f"v_{k}", "s.vr", "s.vi", bjoin)
+        parts.append(
+            # rho_new = <b, r>
+            f", r1_{k} AS MATERIALIZED (SELECT {rho_re} AS nre, "
+            f"{rho_im} AS nim)"
+            # beta = cmul(cdiv(rho_new, rho), cdiv(alpha, omega))
+            f", be_{k} AS MATERIALIZED (WITH q AS (SELECT "
+            f"((SELECT nre FROM r1_{k}) * (SELECT rho_re FROM {sc}) + "
+            f"(SELECT nim FROM r1_{k}) * (SELECT rho_im FROM {sc})) / "
+            f"((SELECT rho_re FROM {sc}) * (SELECT rho_re FROM {sc}) + "
+            f"(SELECT rho_im FROM {sc}) * (SELECT rho_im FROM {sc})) "
+            "AS qre, "
+            f"((SELECT nim FROM r1_{k}) * (SELECT rho_re FROM {sc}) - "
+            f"(SELECT nre FROM r1_{k}) * (SELECT rho_im FROM {sc})) / "
+            f"((SELECT rho_re FROM {sc}) * (SELECT rho_re FROM {sc}) + "
+            f"(SELECT rho_im FROM {sc}) * (SELECT rho_im FROM {sc})) "
+            "AS qim), "
+            "aw AS (SELECT "
+            f"((SELECT al_re FROM {sc}) * (SELECT om_re FROM {sc}) + "
+            f"(SELECT al_im FROM {sc}) * (SELECT om_im FROM {sc})) / "
+            f"((SELECT om_re FROM {sc}) * (SELECT om_re FROM {sc}) + "
+            f"(SELECT om_im FROM {sc}) * (SELECT om_im FROM {sc})) "
+            "AS awre, "
+            f"((SELECT al_im FROM {sc}) * (SELECT om_re FROM {sc}) - "
+            f"(SELECT al_re FROM {sc}) * (SELECT om_im FROM {sc})) / "
+            f"((SELECT om_re FROM {sc}) * (SELECT om_re FROM {sc}) + "
+            f"(SELECT om_im FROM {sc}) * (SELECT om_im FROM {sc})) "
+            "AS awim) "
+            "SELECT q.qre * aw.awre - q.qim * aw.awim AS bre, "
+            "q.qre * aw.awim + q.qim * aw.awre AS bim FROM q, aw)"
+            # t = p − ω·vv ; p = r + β·t   (caxpy expression order)
+            f", p_{k} AS MATERIALIZED (SELECT v, "
+            f"rre + ((SELECT bre FROM be_{k}) * "
+            f"(pr + ((-(SELECT om_re FROM {sc})) * vr - "
+            f"(-(SELECT om_im FROM {sc})) * vi)) - "
+            f"(SELECT bim FROM be_{k}) * "
+            f"(pi + ((-(SELECT om_re FROM {sc})) * vi + "
+            f"(-(SELECT om_im FROM {sc})) * vr))) AS pr, "
+            f"rim + ((SELECT bre FROM be_{k}) * "
+            f"(pi + ((-(SELECT om_re FROM {sc})) * vi + "
+            f"(-(SELECT om_im FROM {sc})) * vr)) + "
+            f"(SELECT bim FROM be_{k}) * "
+            f"(pr + ((-(SELECT om_re FROM {sc})) * vr - "
+            f"(-(SELECT om_im FROM {sc})) * vi))) AS pi "
+            f"FROM {p})"
+            # vv = C·p (complex spmv; real plane then imag plane terms,
+            # each a sequential col-ordered reduction like the engine's
+            # src-ordered gather)
+            f", v_{k} AS MATERIALIZED (SELECT A.r AS v, "
+            f"list_sum(list(A.cr * p.pr ORDER BY A.c)) + "
+            f"list_sum(list((0.0 - A.ci) * p.pi ORDER BY A.c)) AS vr, "
+            f"list_sum(list(A.ci * p.pr ORDER BY A.c)) + "
+            f"list_sum(list(A.cr * p.pi ORDER BY A.c)) AS vi "
+            f"FROM A JOIN p_{k} p ON p.v = A.c GROUP BY A.r)"
+            # alpha = cdiv(rho_new, <b, vv>)
+            f", al_{k} AS MATERIALIZED (WITH rv AS (SELECT "
+            f"{rv_re} AS rvre, {rv_im} AS rvim) "
+            "SELECT "
+            f"((SELECT nre FROM r1_{k}) * rv.rvre + "
+            f"(SELECT nim FROM r1_{k}) * rv.rvim) / "
+            "(rv.rvre * rv.rvre + rv.rvim * rv.rvim) AS al_re, "
+            f"((SELECT nim FROM r1_{k}) * rv.rvre - "
+            f"(SELECT nre FROM r1_{k}) * rv.rvim) / "
+            "(rv.rvre * rv.rvre + rv.rvim * rv.rvim) AS al_im "
+            "FROM rv)"
+            # s = r − α·vv
+            f", sv_{k} AS MATERIALIZED (SELECT s.v, "
+            f"s.rre + ((-(SELECT al_re FROM al_{k})) * v.vr - "
+            f"(-(SELECT al_im FROM al_{k})) * v.vi) AS sre, "
+            f"s.rim + ((-(SELECT al_re FROM al_{k})) * v.vi + "
+            f"(-(SELECT al_im FROM al_{k})) * v.vr) AS sim "
+            f"FROM {p} s JOIN v_{k} v ON v.v = s.v)"
+            # t = C·s
+            f", t_{k} AS MATERIALIZED (SELECT A.r AS v, "
+            f"list_sum(list(A.cr * s.sre ORDER BY A.c)) + "
+            f"list_sum(list((0.0 - A.ci) * s.sim ORDER BY A.c)) AS tr, "
+            f"list_sum(list(A.ci * s.sre ORDER BY A.c)) + "
+            f"list_sum(list(A.cr * s.sim ORDER BY A.c)) AS ti "
+            f"FROM A JOIN sv_{k} s ON s.v = A.c GROUP BY A.r)"
+            # omega = cdiv(<t,s>, tt) with tt real: (ts·tt)/(tt·tt)
+            f", om_{k} AS MATERIALIZED (WITH d AS (SELECT "
+            f"(SELECT list_sum(list(t.tr * s.sre ORDER BY t.v)) "
+            f"FROM t_{k} t JOIN sv_{k} s ON s.v = t.v) + "
+            f"(SELECT list_sum(list(t.ti * s.sim ORDER BY t.v)) "
+            f"FROM t_{k} t JOIN sv_{k} s ON s.v = t.v) AS tsre, "
+            f"(SELECT list_sum(list(t.tr * s.sim ORDER BY t.v)) "
+            f"FROM t_{k} t JOIN sv_{k} s ON s.v = t.v) - "
+            f"(SELECT list_sum(list(t.ti * s.sre ORDER BY t.v)) "
+            f"FROM t_{k} t JOIN sv_{k} s ON s.v = t.v) AS tsim, "
+            f"(SELECT list_sum(list(t.tr * t.tr ORDER BY t.v)) "
+            f"FROM t_{k} t) + "
+            f"(SELECT list_sum(list(t.ti * t.ti ORDER BY t.v)) "
+            f"FROM t_{k} t) AS tt) "
+            "SELECT (d.tsre * d.tt) / (d.tt * d.tt) AS om_re, "
+            "(d.tsim * d.tt) / (d.tt * d.tt) AS om_im FROM d)"
+            # x += α·p + ω·s ; r = s − ω·t
+            f", s{k} AS MATERIALIZED (SELECT o.v, "
+            f"(o.xr + ((SELECT al_re FROM al_{k}) * p.pr - "
+            f"(SELECT al_im FROM al_{k}) * p.pi)) + "
+            f"((SELECT om_re FROM om_{k}) * s.sre - "
+            f"(SELECT om_im FROM om_{k}) * s.sim) AS xr, "
+            f"(o.xi + ((SELECT al_re FROM al_{k}) * p.pi + "
+            f"(SELECT al_im FROM al_{k}) * p.pr)) + "
+            f"((SELECT om_re FROM om_{k}) * s.sim + "
+            f"(SELECT om_im FROM om_{k}) * s.sre) AS xi, "
+            f"s.sre + ((-(SELECT om_re FROM om_{k})) * t.tr - "
+            f"(-(SELECT om_im FROM om_{k})) * t.ti) AS rre, "
+            f"s.sim + ((-(SELECT om_re FROM om_{k})) * t.ti + "
+            f"(-(SELECT om_im FROM om_{k})) * t.tr) AS rim, "
+            "p.pr AS pr, p.pi AS pi, v.vr AS vr, v.vi AS vi "
+            f"FROM {p} o JOIN p_{k} p ON p.v = o.v "
+            f"JOIN sv_{k} s ON s.v = o.v JOIN t_{k} t ON t.v = o.v "
+            f"JOIN v_{k} v ON v.v = o.v)"
+            f", sc{k} AS MATERIALIZED (SELECT "
+            f"(SELECT nre FROM r1_{k}) AS rho_re, "
+            f"(SELECT nim FROM r1_{k}) AS rho_im, "
+            f"(SELECT al_re FROM al_{k}) AS al_re, "
+            f"(SELECT al_im FROM al_{k}) AS al_im, "
+            f"(SELECT om_re FROM om_{k}) AS om_re, "
+            f"(SELECT om_im FROM om_{k}) AS om_im)"
+        )
+    parts.append(
+        f" SELECT v AS vertex, ROUND(xr, 6) AS xr, ROUND(xi, 6) AS xi "
+        f"FROM s{K}"
+    )
+    return "".join(parts)
+
+
 def _kcore_sql(K: int) -> str:
     """Coreness via the h-index fixpoint (Lü et al. 2016): c₀ = degree,
     c_{t+1}(v) = H-index of neighbours' c_t — converges to the exact
@@ -4586,6 +4893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Round-5 additions (appended AFTER the window as always)
         "minhash_seeded_pairs": _q_minhash_seeded_pairs,
         "simhash_seeded_pairs": _q_simhash_seeded_pairs,
+        "bicgstab_complex": _q_bicgstab_complex,
     }
 
 
@@ -5155,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY vec_id"
         ),
         "bicgstab": _bicgstab_sql(_BI_K),
+        "bicgstab_complex": _bicgstab_complex_sql(_BIC_K),
         "embedding_near_dup": (
             "WITH base AS MATERIALIZED (SELECT vec_id, "
             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "

@@ -192,6 +192,190 @@ def bicgstab(
     return engine.get_state_by_vertex("x"), it, float(np.sqrt(rr))
 
 
+def _cmul(ar, ai, br, bi):
+    """(ar+i·ai)(br+i·bi) with the naive textbook formula — mirrored
+    term-for-term in the SQL twin (CLAUDE.md: mirror the EXPRESSION,
+    never a simplification; Python's builtin complex uses Smith's
+    scaled division, which differs at the ulp)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cdiv(ar, ai, br, bi):
+    d = br * br + bi * bi
+    if d == 0.0:
+        return 0.0, 0.0
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
+def bicgstab_complex(
+    engine: GraphEngine,
+    b_re: np.ndarray,
+    b_im: np.ndarray,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+) -> tuple[np.ndarray, np.ndarray, int, float]:
+    """BiCGstab over a general COMPLEX matrix C — ≙ algorithms/
+    bicgstab.hpp templated over any field incl. ``std::complex``
+    (smoke `bicgstab_complex`, tests/smoke/smoketests.sh). Unlike the
+    HPD-CG case, the scalar collectives (ρ, β, α, ω) are genuinely
+    COMPLEX ratios, so the real-embedding trick alone is not enough:
+    the shard partials must compute complex conjugated dots.
+
+    Physical form: the engine holds the 2n×2n real embedding
+    M = [[Cr, −Ci], [Ci, Cr]] in ``for_linear_system`` orientation, so
+    one real superstep IS one complex matrix apply on the stacked
+    (Re; Im) state. Complex dots decompose into plane dots —
+    ⟨u,v⟩ = (uᵣ·vᵣ + uᵢ·vᵢ) + i(uᵣ·vᵢ − uᵢ·vᵣ) — which are
+    shard-local iff each shard holds ALIGNED plane halves: REQUIRES
+    P | n (vertex j and j+n then share shard j%P at local offsets
+    (j//P, j//P + n/P)). Asserted. Scalars ride the existing float
+    collectives as (re, im) pairs; all complex scalar arithmetic uses
+    the explicit naive formulas (`_cmul`/`_cdiv`) so an unrolled SQL
+    twin can mirror every expression.
+
+    Dot convention (matches grb::dot's conjugate-left for complex):
+    ρ = r̂ᴴr, α = ρ / r̂ᴴv, ω = tᴴs / tᴴt.
+
+    Returns (x_re, x_im, iterations, final_residual_norm)."""
+    n2 = engine.n
+    assert n2 % 2 == 0, "embedding engine must have 2n vertices"
+    n = n2 // 2
+    assert n % engine.P == 0, (
+        f"bicgstab_complex needs P | n for plane co-sharding "
+        f"(n={n}, P={engine.P}); pad the system to a multiple of P"
+    )
+    b2 = np.concatenate(
+        [np.asarray(b_re, np.float64), np.asarray(b_im, np.float64)]
+    )
+    engine.set_state_by_vertex("b", b2)
+    engine.set_state("x", 0.0)
+
+    def _planes(a: np.ndarray):
+        h = a.size // 2
+        return a[:h], a[h:]
+
+    def _cdot(u: np.ndarray, v: np.ndarray):
+        """Shard-local partial of ⟨u, v⟩ = Σ conj(u)·v."""
+        ur, ui = _planes(u)
+        vr, vi = _planes(v)
+        return (
+            float(ur @ vr) + float(ui @ vi),
+            float(ur @ vi) - float(ui @ vr),
+        )
+
+    def _caxpy(x: np.ndarray, ar: float, ai: float, y: np.ndarray):
+        """x + (ar+i·ai)·y on stacked planes (new array)."""
+        xr, xi = _planes(x)
+        yr, yi = _planes(y)
+        return np.concatenate(
+            [xr + (ar * yr - ai * yi), xi + (ar * yi + ai * yr)]
+        )
+
+    def init_fn(state, ctx):
+        state["r"] = state["b"].copy()
+        state["rhat"] = state["r"].copy()
+        state["p"] = np.zeros_like(state["r"])
+        state["v"] = np.zeros_like(state["r"])
+        rho_re, rho_im = _cdot(state["rhat"], state["r"])
+        return {
+            "rr": float(state["r"] @ state["r"]),
+            "rho_re": rho_re,
+            "rho_im": rho_im,
+        }
+
+    parts = engine.map_local(init_fn)
+    rr = sum(d["rr"] for d in parts)
+    rho_next = (
+        sum(d["rho_re"] for d in parts),
+        sum(d["rho_im"] for d in parts),
+    )
+    rho = (1.0, 0.0)
+    alpha = (1.0, 0.0)
+    omega = (1.0, 0.0)
+
+    def post1(state, y, ctx):
+        state["v"] = y
+        re, im = _cdot(state["rhat"], y)
+        return {"rhat_v_re": re, "rhat_v_im": im}
+
+    def post2(state, y, ctx):
+        state["t"] = y
+        ts_re, ts_im = _cdot(y, state["s"])
+        return {
+            "ts_re": ts_re,
+            "ts_im": ts_im,
+            "tt": float(y @ y),  # tᴴt = Σ|tᵢ|² (real)
+        }
+
+    it = 0
+    while it < max_iters and np.sqrt(rr) > tol:
+        rho_new = rho_next
+        if rho == (0.0, 0.0):
+            beta = (0.0, 0.0)
+        else:
+            q = _cdiv(rho_new[0], rho_new[1], rho[0], rho[1])
+            a_w = _cdiv(alpha[0], alpha[1], omega[0], omega[1])
+            beta = _cmul(q[0], q[1], a_w[0], a_w[1])
+        rho = rho_new
+
+        def pre1(state, ctx, beta=beta, omega=omega):
+            # p = r + beta·(p − omega·v)
+            t = _caxpy(state["p"], -omega[0], -omega[1], state["v"])
+            state["p"] = _caxpy(state["r"], beta[0], beta[1], t)
+            return state["p"]
+
+        sc1 = engine.superstep(pre1, "plus_times", post1)
+        rhat_v = (sc1["rhat_v_re"], sc1["rhat_v_im"])
+        alpha = _cdiv(rho[0], rho[1], rhat_v[0], rhat_v[1])
+
+        def pre2(state, ctx, alpha=alpha):
+            state["s"] = _caxpy(
+                state["r"], -alpha[0], -alpha[1], state["v"]
+            )
+            return (
+                state["s"],
+                None,
+                {"ss": float(state["s"] @ state["s"])},
+            )
+
+        sc = engine.superstep(pre2, "plus_times", post2)
+        if np.sqrt(sc["ss"]) <= tol:
+            engine.map_local(
+                lambda st, c, alpha=alpha: st.__setitem__(
+                    "x", _caxpy(st["x"], alpha[0], alpha[1], st["p"])
+                )
+            )
+            rr = sc["ss"]
+            it += 1
+            break
+        omega = _cdiv(sc["ts_re"], sc["ts_im"], sc["tt"], 0.0)
+
+        def upd_xr(state, ctx, alpha=alpha, omega=omega):
+            state["x"] = _caxpy(
+                _caxpy(state["x"], alpha[0], alpha[1], state["p"]),
+                omega[0], omega[1], state["s"],
+            )
+            state["r"] = _caxpy(
+                state["s"], -omega[0], -omega[1], state["t"]
+            )
+            rho_re, rho_im = _cdot(state["rhat"], state["r"])
+            return {
+                "rr": float(state["r"] @ state["r"]),
+                "rho_re": rho_re,
+                "rho_im": rho_im,
+            }
+
+        parts = engine.map_local(upd_xr)
+        rr = sum(d["rr"] for d in parts)
+        rho_next = (
+            sum(d["rho_re"] for d in parts),
+            sum(d["rho_im"] for d in parts),
+        )
+        it += 1
+    x = engine.get_state_by_vertex("x")
+    return x[:n], x[n:], it, float(np.sqrt(rr))
+
+
 # --------------------------------------------------------------- kmeans --
 
 

@@ -203,3 +203,70 @@ def test_conjugate_gradient_complex_embedding():
     engine.shutdown()
     assert iters == K
     np.testing.assert_allclose(x2[:n] + 1j * x2[n:], x, rtol=1e-10)
+
+
+def test_bicgstab_complex_matches_complex128_oracle():
+    """Engine bicgstab_complex (2n real embedding + complex scalar
+    collectives) must track a genuine complex128 BiCGstab with the
+    same conjugate-left dot convention, iterate for iterate."""
+    from alp_ray.pipelines.linalg import bicgstab_complex
+
+    rng = np.random.RandomState(11)
+    n = 18  # P=3 divides n (plane co-sharding requirement)
+    Cr = rng.rand(n, n) * (rng.rand(n, n) < 0.35)
+    Ci = rng.rand(n, n) * (rng.rand(n, n) < 0.35)
+    C = Cr + 1j * Ci
+    np.fill_diagonal(
+        C, (np.abs(C.real) + np.abs(C.imag)).sum(axis=1) + 1.0
+    )
+    b = rng.rand(n) + 1j * rng.rand(n)
+    K = 7
+
+    # Oracle: textbook complex BiCGstab, fixed K steps (tol=0).
+    x = np.zeros(n, complex)
+    r = b.copy()
+    rhat = r.copy()
+    p = np.zeros(n, complex)
+    v = np.zeros(n, complex)
+    rho = alpha = omega = 1.0 + 0.0j
+    rho_next = np.vdot(rhat, r)
+    for _ in range(K):
+        rho_new = rho_next
+        beta = (rho_new / rho) * (alpha / omega)
+        rho = rho_new
+        p = r + beta * (p - omega * v)
+        v = C @ p
+        alpha = rho / np.vdot(rhat, v)
+        s = r - alpha * v
+        t = C @ s
+        omega = np.vdot(t, s) / np.vdot(t, t)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_next = np.vdot(rhat, r)
+
+    M = np.block([[C.real, -C.imag], [C.imag, C.real]])
+    rows, cols = np.nonzero(M)
+    engine = GraphEngine.for_linear_system(
+        rows.astype(np.int64), cols.astype(np.int64), M[rows, cols],
+        n=2 * n, P=3,
+    )
+    xr, xi, iters, res = bicgstab_complex(
+        engine, b.real, b.imag, tol=0.0, max_iters=K
+    )
+    engine.shutdown()
+    assert iters == K
+    np.testing.assert_allclose(xr + 1j * xi, x, rtol=1e-9)
+
+
+def test_bicgstab_complex_requires_plane_cosharding():
+    from alp_ray.pipelines.linalg import bicgstab_complex
+
+    engine = GraphEngine.from_arrays(
+        np.array([0, 1]), np.array([1, 0]), np.array([1.0, 1.0]),
+        n=10, P=4,
+    )
+    with pytest.raises(AssertionError, match="plane co-sharding"):
+        bicgstab_complex(
+            engine, np.ones(5), np.zeros(5), max_iters=1
+        )
+    engine.shutdown()
