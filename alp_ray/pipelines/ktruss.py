@@ -160,15 +160,19 @@ def _round_broadcast(canon: "ray.data.Dataset", need: int):
 
 def _support_round_shuffle(
     canon: "ray.data.Dataset",
+    degree_broadcast_limit: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-edge triangle support as a Dataset of oriented
     (a, b, sup) rows — the all-Dataset scale path. Degree-rank
     orientation bounds wedge emission by out-degree O(√m); the
     closing-edge match and the 3-way credit both run as
-    groupby/map_groups stages (no driver state). Degrees are
-    broadcast once per round (O(n) ints; at 10^12-vertex scale this
-    becomes a join on src/dst — same note as triangles.py)."""
-    from alp_ray.util import coarse_parts, concat_blocks
+    groupby/map_groups stages (no driver state). Degrees broadcast
+    below the vertex limit and attach by hash JOIN above it
+    (stages/graph.py orient_by_degree_rank — the 10^12-vertex
+    route); either way oriented rows carry bd = deg(b) so wedge
+    emission needs no degree lookup."""
+    from alp_ray.stages.graph import orient_by_degree_rank
+    from alp_ray.util import coarse_parts
 
     n_deg_parts = coarse_parts()
 
@@ -207,37 +211,10 @@ def _support_round_shuffle(
         .groupby("__part")
         .map_groups(deg_fold, batch_format="pyarrow")
     )
-    deg_tbl = concat_blocks(
-        deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
-    )
-    dv = np.asarray(deg_tbl.column("v"), np.int64)
-    dc = np.asarray(deg_tbl.column("deg"), np.int64)
-    order = np.argsort(dv)
-    deg_ref = ray.put((dv[order], dc[order]))
-
-    class Orient:
-        def __init__(self, deg_ref) -> None:
-            self.dv, self.dc = ray.get(deg_ref)
-
-        def _deg(self, x: np.ndarray) -> np.ndarray:
-            return self.dc[np.searchsorted(self.dv, x)]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch.column("src"), np.int64)
-            b = np.asarray(batch.column("dst"), np.int64)
-            da, db = self._deg(a), self._deg(b)
-            a_first = (da < db) | ((da == db) & (a < b))
-            return pa.table(
-                {
-                    "a": pa.array(np.where(a_first, a, b)),
-                    "b": pa.array(np.where(a_first, b, a)),
-                }
-            )
-
-    oriented = canon.map_batches(
-        Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()
+    kw = {}
+    if degree_broadcast_limit is not None:
+        kw["broadcast_limit"] = degree_broadcast_limit
+    oriented = orient_by_degree_rank(canon, deg_ds, **kw).materialize()
 
     n_parts = n_deg_parts
 
@@ -257,10 +234,9 @@ def _support_round_shuffle(
         )
         if "b" not in group.column_names or group.num_rows < 2:
             return empty
-        dv, dc = ray.get(deg_ref)
         a = np.asarray(group.column("a"), np.int64)
         b = np.asarray(group.column("b"), np.int64)
-        nd = dc[np.searchsorted(dv, b)]
+        nd = np.asarray(group.column("bd"), np.int64)
         order = np.lexsort((b, nd, a))  # by src, then nbr rank
         a, b = a[order], b[order]
         starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
@@ -444,8 +420,13 @@ def _support_round_shuffle(
     )
 
 
-def _round_shuffle(canon: "ray.data.Dataset", need: int, m: int):
-    sup = _support_round_shuffle(canon)
+def _round_shuffle(
+    canon: "ray.data.Dataset",
+    need: int,
+    m: int,
+    degree_broadcast_limit: int | None = None,
+):
+    sup = _support_round_shuffle(canon, degree_broadcast_limit)
 
     def keep(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -476,6 +457,7 @@ def ktruss(
     method: str = "auto",
     broadcast_threshold: int = 2_000_000,
     as_dataset: bool = False,
+    degree_broadcast_limit: int | None = None,
 ) -> tuple:
     """Surviving canonical (src < dst) edges of the k-truss + the
     number of support rounds computed (the last round verifies the
@@ -498,7 +480,9 @@ def ktruss(
         if mode == "broadcast":
             canon, all_kept, m = _round_broadcast(canon, need)
         else:
-            canon, all_kept, m = _round_shuffle(canon, need, m)
+            canon, all_kept, m = _round_shuffle(
+                canon, need, m, degree_broadcast_limit
+            )
         rounds += 1
         if all_kept:
             break

@@ -36,6 +36,7 @@ def triangle_count(
     edges: "ray.data.Dataset",
     method: str = "auto",
     broadcast_threshold: int = 2_000_000,
+    degree_broadcast_limit: int | None = None,
 ) -> int:
     """edges: directed or undirected (src, dst) Dataset; returns #triangles.
 
@@ -46,7 +47,10 @@ def triangle_count(
       algorithm). Wins while the oriented edge set fits comfortably in
       one object (< ``broadcast_threshold`` edges).
     - ``shuffle``: per-source wedge generation + semi-join against the
-      edge set via groupby — the all-Dataset scale path.
+      edge set via groupby — the all-Dataset scale path. Its degree
+      table broadcasts below ``degree_broadcast_limit`` vertices and
+      attaches by hash join above it (stages/graph.py
+      orient_by_degree_rank — the 10^12-vertex route).
     """
     canon = canonicalize(edges).materialize()
     m = canon.count()
@@ -56,7 +60,7 @@ def triangle_count(
         method = "broadcast" if m <= broadcast_threshold else "shuffle"
     if method == "broadcast":
         return _triangle_count_broadcast(canon)
-    return _triangle_count_shuffle(canon)
+    return _triangle_count_shuffle(canon, m, degree_broadcast_limit)
 
 
 @ray.remote(num_returns=2)
@@ -140,7 +144,12 @@ def _triangle_count_broadcast(canon: "ray.data.Dataset") -> int:
     return int(total or 0)
 
 
-def _triangle_count_shuffle(canon: "ray.data.Dataset") -> int:
+def _triangle_count_shuffle(
+    canon: "ray.data.Dataset",
+    m: int | None = None,
+    degree_broadcast_limit: int | None = None,
+) -> int:
+    from alp_ray.stages.graph import orient_by_degree_rank
 
     # Degrees in the undirected simple graph (for the rank orientation).
     sym = symmetrize(canon)
@@ -154,51 +163,19 @@ def _triangle_count_shuffle(canon: "ray.data.Dataset") -> int:
         .groupby("v")
         .aggregate(Sum("c", alias_name="deg"))
     )
-    # Broadcast the degree table once (O(n) ints). At 10^12-vertex scale
-    # this becomes a join on src/dst instead; the orientation logic is
-    # unchanged.
-    from alp_ray.util import concat_blocks
-
-    deg_tbl = concat_blocks(
-        deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
-    )
-    dv = np.asarray(deg_tbl.column("v"), dtype=np.int64)
-    dc = np.asarray(deg_tbl.column("deg"), dtype=np.int64)
-    order = np.argsort(dv)
-    dv, dc = dv[order], dc[order]
-    deg_ref = ray.put((dv, dc))
-
-    class Orient:
-        """Orient each canonical edge low-rank → high-rank."""
-
-        def __init__(self, deg_ref) -> None:
-            self.dv, self.dc = ray.get(deg_ref)
-
-        def _deg(self, v: np.ndarray) -> np.ndarray:
-            pos = np.searchsorted(self.dv, v)
-            return self.dc[pos]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch.column("src"))
-            b = np.asarray(batch.column("dst"))
-            da, db = self._deg(a), self._deg(b)
-            # rank(u) < rank(v) iff (deg,id) lexicographic order.
-            a_first = (da < db) | ((da == db) & (a < b))
-            lo = np.where(a_first, a, b)
-            hi = np.where(a_first, b, a)
-            return pa.table({"a": lo, "b": hi})
-
-    oriented = canon.map_batches(
-        Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    # Orientation: broadcast degree table below the limit, hash JOIN
+    # above it (the 10^12-vertex route) — oriented rows carry bd =
+    # deg(b) so wedge generation needs no degree lookup at all.
+    kw = {}
+    if degree_broadcast_limit is not None:
+        kw["broadcast_limit"] = degree_broadcast_limit
+    oriented = orient_by_degree_rank(canon, deg_ds, m=m, **kw)
 
     def wedges(group: pa.Table) -> pa.Table:
         # Out-neighbors of one source, sorted by (deg, id) rank so emitted
-        # pairs are themselves rank-oriented.
-        dv, dc = ray.get(deg_ref)
+        # pairs are themselves rank-oriented (bd carried by orientation).
         nbr = np.asarray(group.column("b"), dtype=np.int64)
-        nd = dc[np.searchsorted(dv, nbr)]
+        nd = np.asarray(group.column("bd"), dtype=np.int64)
         nbr = nbr[np.lexsort((nbr, nd))]
         k = nbr.size
         if k < 2:

@@ -30,6 +30,104 @@ from alp_ray.functions.semiring import Semiring
 _AGG = {"sum": Sum, "min": Min, "max": Max}
 
 
+_DEGREE_BROADCAST_LIMIT = 50_000_000
+
+
+def orient_by_degree_rank(
+    canon: "ray.data.Dataset",
+    deg_ds: "ray.data.Dataset",
+    m: int | None = None,
+    broadcast_limit: int = _DEGREE_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Orient each canonical (src, dst) edge low-rank → high-rank under
+    the (degree, id)-lex rank, emitting (a, b, bd) — ``bd`` = deg(b)
+    rides along so downstream wedge stages can rank-sort out-neighbour
+    lists without re-resolving degrees.
+
+    ``deg_ds``: (v, deg) Dataset covering every endpoint. Below
+    ``broadcast_limit`` vertices the table ships ONCE via ray.put and
+    orientation is a vectorized searchsorted lookup per batch; above it
+    the degrees attach by TWO hash joins (src side, then dst side) —
+    no O(n) driver/worker materialization, the scale path for
+    10^12-vertex graphs where a broadcast degree table stops fitting
+    (the join alternative promised in triangles.py / ktruss.py)."""
+    from alp_ray.util import concat_blocks
+
+    deg_ds = deg_ds.materialize()
+    n = deg_ds.count()
+    if n <= broadcast_limit:
+        deg_tbl = concat_blocks(
+            deg_ds, columns={"v": pa.int64(), "deg": pa.int64()}
+        )
+        dv = np.asarray(deg_tbl.column("v"), np.int64)
+        dc = np.asarray(deg_tbl.column("deg"), np.int64)
+        order = np.argsort(dv)
+        deg_ref = ray.put((dv[order], dc[order]))
+
+        class Orient:
+            def __init__(self, deg_ref) -> None:
+                self.dv, self.dc = ray.get(deg_ref)
+
+            def _deg(self, x: np.ndarray) -> np.ndarray:
+                return self.dc[np.searchsorted(self.dv, x)]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = np.asarray(batch.column("src"), np.int64)
+                b = np.asarray(batch.column("dst"), np.int64)
+                da, db = self._deg(a), self._deg(b)
+                a_first = (da < db) | ((da == db) & (a < b))
+                return pa.table(
+                    {
+                        "a": pa.array(np.where(a_first, a, b)),
+                        "b": pa.array(np.where(a_first, b, a)),
+                        "bd": pa.array(np.where(a_first, db, da)),
+                    }
+                )
+
+        return canon.map_batches(
+            Orient, fn_constructor_args=(deg_ref,),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+
+    # Join path: attach deg(src) then deg(dst) by hash join.
+    def _proj(key: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: b.column("v").cast(pa.int64()),
+                    out: b.column("deg").cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    d_src = deg_ds.map_batches(_proj("src", "__da"), batch_format="pyarrow")
+    d_dst = deg_ds.map_batches(_proj("dst", "__db"), batch_format="pyarrow")
+    parts = join_partitions(m, n)
+    j1 = canon.join(
+        d_src, join_type="inner", num_partitions=parts, on=("src",)
+    ).materialize()  # Ray 2.49: materialize between chained joins
+    j2 = j1.join(
+        d_dst, join_type="inner", num_partitions=parts, on=("dst",)
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("src"), np.int64)
+        b = np.asarray(batch.column("dst"), np.int64)
+        da = np.asarray(batch.column("__da"), np.int64)
+        db = np.asarray(batch.column("__db"), np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "a": pa.array(np.where(a_first, a, b)),
+                "b": pa.array(np.where(a_first, b, a)),
+                "bd": pa.array(np.where(a_first, db, da)),
+            }
+        )
+
+    return j2.map_batches(orient, batch_format="pyarrow")
+
+
 def dedup_edges(
     edges: "ray.data.Dataset", cols: tuple[str, str] = ("src", "dst")
 ) -> "ray.data.Dataset":

@@ -196,3 +196,17 @@ def test_triangles_shuffle_path_matches_broadcast():
     got_s = triangle_count(ds, method="shuffle")
     want = oracle.triangle_count(src, dst, n)
     assert got_b == got_s == want
+
+
+def test_triangles_shuffle_degree_join_route():
+    """Force the degree table onto the hash-JOIN attachment (the
+    10^12-vertex route) with a zero broadcast limit: identical count."""
+    from alp_ray.pipelines.triangles import triangle_count
+
+    rng = np.random.RandomState(12)
+    n = 60
+    mask = rng.rand(n, n) < 0.2
+    src, dst = np.nonzero(np.triu(mask, 1))
+    ds = _tri_ds(src, dst)
+    got = triangle_count(ds, method="shuffle", degree_broadcast_limit=0)
+    assert got == oracle.triangle_count(src, dst, n)

@@ -59,3 +59,18 @@ def test_ktruss_clique_survives():
         zip(got.column("src").to_pylist(), got.column("dst").to_pylist())
     )
     assert have == set(cl)
+
+
+def test_ktruss_shuffle_degree_join_route():
+    """Shuffle path with the degree broadcast disabled (hash-JOIN
+    attachment, the 10^12-vertex route) must peel identically."""
+    src, dst = _graph()
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got, rounds = ktruss(
+        ds, k=3, method="shuffle", degree_broadcast_limit=0
+    )
+    have = set(
+        zip(got.column("src").to_pylist(), got.column("dst").to_pylist())
+    )
+    assert have == ktruss_numpy(src, dst, 3)
+    assert rounds == 2
