@@ -1787,11 +1787,47 @@ def _q_approx_distinct_poly(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     state, _est = approx_distinct_poly(docs)
+    # Fixture guard: every testdata sf has ≫ 4·m distinct docs, so the
+    # HLL++ sketch must be in dense mode here (sparse mode is gated by
+    # approx_distinct_sparse below).
+    assert state["mode"] == "dense", state
     return pa.table(
         {
             "m": pa.array([state["m"]], pa.int64()),
             "sum_reg": pa.array([state["sum_reg"]], pa.int64()),
             "zero_reg": pa.array([state["zero_reg"]], pa.int64()),
+            "checksum": pa.array([state["checksum"]], pa.int64()),
+        }
+    )
+
+
+def _q_approx_distinct_sparse(sf_dir: str):
+    """HLL++ SPARSE-mode state (Heule et al. 2013) over a ≤200-doc
+    slice: below the 4·m distinct-fingerprint threshold the sketch
+    holds the exact sorted fingerprint set, so n_exact is the true
+    distinct count and the checksum folds the sorted fingerprints —
+    both pure BIGINT, twin = COUNT(DISTINCT fv) + the same fold."""
+    import ray.data
+
+    from alp_ray.stages.sketch import approx_distinct_poly
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def take_slice(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return batch.filter(pa.array(ids < 200)).select(["text"])
+
+    state, est = approx_distinct_poly(
+        docs.map_batches(take_slice, batch_format="pyarrow")
+    )
+    assert state["mode"] == "sparse", state
+    assert est == float(state["n_exact"])  # sparse estimate is exact
+    return pa.table(
+        {
+            "m": pa.array([state["m"]], pa.int64()),
+            "n_exact": pa.array([state["n_exact"]], pa.int64()),
             "checksum": pa.array([state["checksum"]], pa.int64()),
         }
     )
@@ -4894,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_seeded_pairs": _q_minhash_seeded_pairs,
         "simhash_seeded_pairs": _q_simhash_seeded_pairs,
         "bicgstab_complex": _q_bicgstab_complex,
+        "approx_distinct_sparse": _q_approx_distinct_sparse,
     }
 
 
@@ -5434,6 +5471,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_poly_pairs": _minhash_poly_sql(),
         "simhash_poly_pairs": _simhash_poly_sql(),
         "approx_distinct_poly": _hll_poly_sql(),
+        "approx_distinct_sparse": (
+            # HLL++ sparse mode = the exact sorted fingerprint set:
+            # n_exact is COUNT(DISTINCT fv), checksum folds the sorted
+            # distinct fingerprints with the same polynomial law.
+            "WITH f AS MATERIALIZED (SELECT DISTINCT "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(regexp_extract_all(regexp_replace("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), "
+            "'\\s+', ' ', 'g'), '.'), "
+            "c -> CAST(ord(c) AS BIGINT))), "
+            "(h, c) -> (h * 1000003 + c) % 2147483647) AS fv "
+            "FROM documents WHERE doc_id < 200) "
+            "SELECT CAST(64 AS BIGINT) AS m, "
+            "CAST(COUNT(*) AS BIGINT) AS n_exact, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list(fv ORDER BY fv)), "
+            "(h, c) -> (h * 1000003 + c) % 2147483647) AS checksum "
+            "FROM f"
+        ),
         "length_buckets": (
             "WITH f AS MATERIALIZED (SELECT doc_id, "
             "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "

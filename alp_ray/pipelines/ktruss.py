@@ -262,10 +262,16 @@ def _support_round_shuffle(
             }
         )
 
+    # Materialize between the chained coarse exchanges: one fused lazy
+    # plan runs the three all-to-all ops inside a single streaming
+    # topology and measures ~25% slower than pinned intermediates at
+    # 3M+ edges (object-store pressure); the wedge set is also consumed
+    # by the close exchange only, so pinning it is free.
     wedge_ds = (
         oriented.map_batches(tag_src, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(wedges_multi, batch_format="pyarrow")
+        .materialize()
     )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
@@ -343,7 +349,7 @@ def _support_round_shuffle(
 
     credits = unioned.groupby("__part").map_groups(
         close_multi, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def tag_zero(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), np.int64)

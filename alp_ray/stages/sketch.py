@@ -262,37 +262,67 @@ def approx_distinct_poly(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     p: int = 6,
+    sparse_threshold: int | None = None,
 ) -> tuple[dict, float]:
-    """HyperLogLog over the SQL-EXPRESSIBLE polynomial fingerprint of
+    """HyperLogLog++ over the SQL-EXPRESSIBLE polynomial fingerprint of
     the whitespace-normalized text (FingerprintStage law, 31-bit):
     register index = low p bits, rank = 1 + leading-zero count of the
     remaining 31−p bits (pure BIGINT arithmetic — the DuckDB twin
-    replays the register array bit-for-bit). Returns the integer
-    sketch STATE summary (m, Σregisters, zero count, order-checksum)
-    — the gate-comparable object — plus the float estimate (tested by
-    tolerance in pytest, not hashed: its small-range branch takes a
-    libm log).
+    replays the state bit-for-bit). Returns the integer sketch STATE
+    summary — the gate-comparable object — plus the float estimate
+    (tested by tolerance in pytest, not hashed: the dense small-range
+    branch takes a libm log).
+
+    SPARSE MODE (the HLL++ refinement, Heule et al. 2013): while the
+    total distinct-fingerprint count is ≤ ``sparse_threshold``
+    (default 4·m) the sketch keeps the exact sorted fingerprint set —
+    the estimate is EXACT and the state is
+    {mode: "sparse", m, n_exact, checksum-over-sorted-fps}. Promotion
+    to dense registers is a pure function of the fingerprint SET (a
+    block whose local distinct count overflows promotes early, but
+    local > thr ⇒ global > thr, so the merged mode is
+    partition-independent — the hash-gate invariant). Dense state keeps
+    the round-4 fields (m, sum_reg, zero_reg, register checksum) plus
+    mode: "dense".
 
     Same distribution contract as ``approx_distinct``: per-block
-    register partials (2^p ints/block), elementwise-max merge."""
+    partials bounded by max(thr, 2^p) ints, union/max merge."""
     from alp_ray.stages.text import FingerprintStage
 
     m = 1 << p
     w = 31 - p
     mask = m - 1
+    thr = 4 * m if sparse_threshold is None else sparse_threshold
+    M31 = (1 << 31) - 1
 
-    def partial(batch: pa.Table) -> pa.Table:
-        fv = np.asarray(batch.column("fingerprint"), np.int64)
+    def _ranks(fv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = fv & mask
         v = fv >> p
         bl = np.zeros(v.size, np.int64)
         for k in range(w):
             bl[v >= (1 << k)] = k + 1
-        rank = (w + 1) - bl  # v == 0 -> rank w+1 (all suffix bits zero)
+        return idx, (w + 1) - bl  # v == 0 -> rank w+1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fv = np.unique(np.asarray(batch.column("fingerprint"), np.int64))
+        if fv.size <= thr:
+            # sparse partial: the exact sorted fingerprint set
+            return pa.table(
+                {
+                    "kind": pa.array(np.zeros(fv.size, np.int64)),
+                    "idx": pa.array(np.full(fv.size, -1, np.int64)),
+                    "val": pa.array(fv),
+                }
+            )
+        idx, rank = _ranks(fv)
         regs = np.zeros(m, np.int64)
         np.maximum.at(regs, idx, rank)
         return pa.table(
-            {"idx": pa.array(np.arange(m)), "reg": pa.array(regs)}
+            {
+                "kind": pa.array(np.ones(m, np.int64)),
+                "idx": pa.array(np.arange(m)),
+                "val": pa.array(regs),
+            }
         )
 
     parts = (
@@ -304,18 +334,40 @@ def approx_distinct_poly(
         .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )
+    fps: list[int] = []
     regs = np.zeros(m, np.int64)
+    any_dense = False
     for r in parts:
-        regs[r["idx"]] = max(regs[r["idx"]], r["reg"])
+        if r["kind"] == 0:
+            fps.append(r["val"])
+        else:
+            any_dense = True
+            regs[r["idx"]] = max(regs[r["idx"]], r["val"])
+    fp_set = np.unique(np.asarray(fps, np.int64))
+    if not any_dense and fp_set.size <= thr:
+        checksum = 0
+        for x in fp_set:
+            checksum = (checksum * 1000003 + int(x)) % M31
+        state = {
+            "mode": "sparse",
+            "m": m,
+            "n_exact": int(fp_set.size),
+            "checksum": int(checksum),
+        }
+        return state, float(fp_set.size)
+    if fp_set.size:  # promote the surviving sparse partials
+        idx, rank = _ranks(fp_set)
+        np.maximum.at(regs, idx, rank)
     checksum = 0
     for x in regs:
-        checksum = (checksum * 1000003 + int(x)) % ((1 << 31) - 1)
+        checksum = (checksum * 1000003 + int(x)) % M31
     alpha = 0.7213 / (1.0 + 1.079 / m)
     e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)
     state = {
+        "mode": "dense",
         "m": m,
         "sum_reg": int(regs.sum()),
         "zero_reg": zeros,

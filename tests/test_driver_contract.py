@@ -121,6 +121,26 @@ def test_query_matches_oracle(name, con):
             )
         else:
             assert (a == b).all(), f"{name}.{c} mismatch"
+    # Standing ulp audit (the round-2..4 red-row class): the driver
+    # hashes RAW values, so float columns must be EXACTLY equal, not
+    # equal-after-re-rounding — a Ray-vs-twin op-order drift that
+    # flips a ROUND(·, 6) digit, or an unrounded emission the
+    # allclose above would mask, fails here. All 130 oracled queries
+    # verified bitwise-equal when this gate was introduced.
+    key = sorted(got_raw.columns)
+    g = got_raw.sort_values(key).reset_index(drop=True)
+    w = want_raw.sort_values(key).reset_index(drop=True)
+    for c in key:
+        if not np.issubdtype(g[c].dtype, np.floating):
+            continue
+        a = g[c].to_numpy(np.float64)
+        b = w[c].to_numpy(np.float64)
+        exact = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert exact.all(), (
+            f"{name}.{c}: floats not BITWISE equal (driver hashes raw "
+            f"values); first diff at row {int(np.flatnonzero(~exact)[0])}: "
+            f"{a[~exact][0]!r} vs {b[~exact][0]!r}"
+        )
 
 
 def test_rows_only_queries_run():

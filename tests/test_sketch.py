@@ -110,3 +110,35 @@ def test_approx_distinct_poly_estimate_accuracy():
     ).repartition(7)
     state4, est4 = approx_distinct_poly(ds4)
     assert state4 == state and est4 == est
+
+
+def test_approx_distinct_poly_sparse_mode_exact():
+    """Below the 4·m distinct threshold the HLL++ sketch stays sparse:
+    the estimate is EXACT and the state is partition-independent."""
+    import ray.data
+    from alp_ray.stages.sketch import approx_distinct_poly
+
+    texts = [f"sparse doc {i}" for i in range(100)] * 3  # 100 distinct
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+    state, est = approx_distinct_poly(ds)
+    assert state["mode"] == "sparse"
+    assert state["n_exact"] == 100 and est == 100.0
+    ds9 = ray.data.from_arrow(pa.table({"text": texts})).repartition(9)
+    state9, est9 = approx_distinct_poly(ds9)
+    assert state9 == state and est9 == est
+
+
+def test_approx_distinct_poly_promotion_is_partition_independent():
+    """Crossing the threshold (here 4·64 = 256 < 300 distinct) promotes
+    to dense registers identically for any block layout, including
+    layouts where every individual block stays sparse."""
+    import ray.data
+    from alp_ray.stages.sketch import approx_distinct_poly
+
+    texts = [f"promo doc {i} x{i*i}" for i in range(300)]
+    one = ray.data.from_arrow(pa.table({"text": texts}))
+    s1, e1 = approx_distinct_poly(one)
+    assert s1["mode"] == "dense"
+    many = ray.data.from_arrow(pa.table({"text": texts})).repartition(8)
+    s8, e8 = approx_distinct_poly(many)
+    assert s8 == s1 and e8 == e1
