@@ -2895,6 +2895,106 @@ def _ktruss_sql(K: int, k: int) -> str:
     return "".join(parts)
 
 
+# Truss decomposition fixture: sparse graph + planted K7/K5 cliques so
+# several truss levels exist; twin unrolls levels k=3.._TRUSS_MAX_K with
+# _TRUSS_ROUNDS peel rounds each (extra rounds/levels are fixpoint
+# no-ops, so over-unrolling is always safe).
+_TRUSS_MAX_K = 10
+_TRUSS_ROUNDS = 8
+_TRUSS_K7 = (100, 300, 500, 700, 900, 1100, 1300)
+_TRUSS_K5 = (50, 250, 450, 650, 850)
+
+
+def _truss_clique_pairs() -> list[tuple[int, int]]:
+    pairs = []
+    for clique in (_TRUSS_K7, _TRUSS_K5):
+        for i in range(len(clique)):
+            for j in range(i + 1, len(clique)):
+                pairs.append((clique[i], clique[j]))
+    return pairs
+
+
+def _q_truss_decomposition(sf_dir: str):
+    """Full per-edge truss decomposition t(e) = max k with e in the
+    k-truss — the decomposition the reference's smoke k-truss samples
+    at one k. Sparse graph + planted K7/K5 cliques (deterministic
+    level structure); level/round counts asserted within the twin's
+    unroll bounds (extra unrolled rounds are fixpoint no-ops)."""
+    import ray.data
+
+    from alp_ray.pipelines.ktruss import truss_decomposition
+    from alp_ray.sources.tables import derived_edges
+
+    pairs = _truss_clique_pairs()
+    cl = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    edges = derived_edges(
+        sf_dir, mod=MOD_SPARSE, sparse=True, dedup=False
+    ).union(cl)
+    out, rounds = truss_decomposition(edges)
+    assert max(rounds) <= _TRUSS_MAX_K, rounds
+    assert all(r <= _TRUSS_ROUNDS for r in rounds.values()), rounds
+    return _cast(
+        out,
+        {"src": pa.int64(), "dst": pa.int64(), "trussness": pa.int64()},
+    )
+
+
+def _truss_sql(max_k: int, R: int) -> str:
+    """Twin of `_q_truss_decomposition`: levels k=3..max_k, each an
+    unrolled ``_ktruss_sql``-style support-and-peel chain of R rounds
+    starting from the previous level's fixpoint; trussness = the max
+    level an edge survives (2 if absent from every level)."""
+    vals = ", ".join(f"({a}, {b})" for a, b in _truss_clique_pairs())
+    parts = [
+        f"WITH ed AS MATERIALIZED (SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION ALL SELECT * FROM (VALUES {vals}) AS cl(src, dst)), ",
+        "lv2_0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM ed WHERE src != dst)",
+    ]
+    prev = "lv2_0"
+    survivors = []
+    for k in range(3, max_k + 1):
+        need = k - 2
+        cur = f"lv{k}_0"
+        parts.append(f", {cur} AS MATERIALIZED (SELECT u, v FROM {prev})")
+        for r in range(1, R + 1):
+            p = f"lv{k}_{r - 1}"
+            parts.append(
+                f", t{k}_{r} AS MATERIALIZED (SELECT e1.u AS a, "
+                f"e1.v AS b, e2.v AS c FROM {p} e1 "
+                f"JOIN {p} e2 ON e2.u = e1.v "
+                f"JOIN {p} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+                f", s{k}_{r} AS MATERIALIZED (SELECT u, v, COUNT(*) AS c "
+                f"FROM (SELECT a AS u, b AS v FROM t{k}_{r} "
+                f"UNION ALL SELECT b, c FROM t{k}_{r} "
+                f"UNION ALL SELECT a, c FROM t{k}_{r}) GROUP BY u, v)"
+                f", lv{k}_{r} AS MATERIALIZED (SELECT e.u, e.v "
+                f"FROM lv{k}_{r - 1} e "
+                f"JOIN s{k}_{r} s ON s.u = e.u AND s.v = e.v "
+                f"WHERE s.c >= {need})"
+            )
+        prev = f"lv{k}_{R}"
+        survivors.append((k, prev))
+    union = " UNION ALL ".join(
+        f"SELECT u, v, {k} AS k FROM {cte}" for k, cte in survivors
+    )
+    parts.append(
+        f", mx AS MATERIALIZED (SELECT u, v, MAX(k) AS k "
+        f"FROM ({union}) GROUP BY u, v) "
+        "SELECT e.u AS src, e.v AS dst, "
+        "CAST(COALESCE(mx.k, 2) AS BIGINT) AS trussness "
+        "FROM lv2_0 e LEFT JOIN mx ON mx.u = e.u AND mx.v = e.v"
+    )
+    return "".join(parts)
+
+
 _MIS_ROUNDS = 8  # unrolled select/remove rounds in the SQL twin
 
 
@@ -4931,6 +5031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_seeded_pairs": _q_simhash_seeded_pairs,
         "bicgstab_complex": _q_bicgstab_complex,
         "approx_distinct_sparse": _q_approx_distinct_sparse,
+        "truss_decomposition": _q_truss_decomposition,
     }
 
 
@@ -5583,6 +5684,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_sample": _neighbor_sample_sql(),
         "mis": _mis_sql(_MIS_ROUNDS),
         "ktruss": _ktruss_sql(_KTRUSS_ROUNDS, _KTRUSS_K),
+        "truss_decomposition": _truss_sql(_TRUSS_MAX_K, _TRUSS_ROUNDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

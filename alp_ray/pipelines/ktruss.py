@@ -506,6 +506,73 @@ def ktruss(
     )
 
 
+def truss_decomposition(
+    edges: "ray.data.Dataset",
+    method: str = "auto",
+    max_k: int = 64,
+    broadcast_threshold: int = 2_000_000,
+    degree_broadcast_limit: int | None = None,
+) -> tuple["ray.data.Dataset", dict[int, int]]:
+    """Per-edge trussness t(e) = max k such that e survives the
+    k-truss (t = 2 for triangle-free edges) — the full decomposition
+    the reference's smoke k-truss only samples at one k. Successive
+    levels reuse the previous level's fixpoint as the next start
+    (k-truss ⊆ (k−1)-truss), so level k peels only the incremental
+    drop; the per-edge max-level tag is one final groupby.
+
+    Returns ((src, dst, trussness) Dataset over the canonical edge
+    set, {k: peel_rounds}) — the rounds dict lets hash-gated callers
+    assert their unrolled-twin bounds."""
+    from ray.data.aggregate import Max
+
+    from alp_ray.stages.graph import canonicalize
+
+    canon = canonicalize(edges).materialize()
+    m = canon.count()
+
+    def tag(k: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if "src" not in batch.column_names or len(batch) == 0:
+                return pa.table(
+                    {"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64()),
+                     "k": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "src": batch.column("src").cast(pa.int64()),
+                    "dst": batch.column("dst").cast(pa.int64()),
+                    "k": pa.array(np.full(len(batch), k, np.int64)),
+                }
+            )
+
+        return fn
+
+    tagged = canon.map_batches(tag(2), batch_format="pyarrow")
+    cur = canon
+    k = 3
+    rounds_per_level: dict[int, int] = {}
+    while m and k <= max_k:
+        cur, rounds = ktruss(
+            cur, k=k, method=method, as_dataset=True,
+            broadcast_threshold=broadcast_threshold,
+            degree_broadcast_limit=degree_broadcast_limit,
+        )
+        cur = cur.materialize()
+        m = cur.count()
+        rounds_per_level[k] = rounds
+        if m:
+            tagged = tagged.union(
+                cur.map_batches(tag(k), batch_format="pyarrow")
+            )
+        k += 1
+    out = (
+        tagged.groupby(["src", "dst"])
+        .aggregate(Max("k", alias_name="trussness"))
+    )
+    return out, rounds_per_level
+
+
 def ktruss_numpy(
     src: np.ndarray, dst: np.ndarray, k: int
 ) -> set[tuple[int, int]]:

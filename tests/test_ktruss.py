@@ -74,3 +74,42 @@ def test_ktruss_shuffle_degree_join_route():
     )
     assert have == ktruss_numpy(src, dst, 3)
     assert rounds == 2
+
+
+def truss_numpy(src, dst):
+    """Per-edge trussness oracle via iterated peeling."""
+    cur = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(src, dst) if a != b
+    }
+    t = {e: 2 for e in cur}
+    k = 3
+    while cur:
+        cur = ktruss_numpy(
+            np.array([e[0] for e in cur]), np.array([e[1] for e in cur]), k
+        )
+        for e in cur:
+            t[e] = k
+        k += 1
+    return t
+
+
+def test_truss_decomposition_matches_oracle():
+    from alp_ray.pipelines.ktruss import truss_decomposition
+
+    src, dst = _graph()
+    # Plant a 6-clique so multiple truss levels exist.
+    cl = [(60 + i, 60 + j) for i in range(6) for j in range(i + 1, 6)]
+    src = np.concatenate([src, np.array([e[0] for e in cl], np.int64)])
+    dst = np.concatenate([dst, np.array([e[1] for e in cl], np.int64)])
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    out, rounds = truss_decomposition(ds)
+    df = out.to_pandas()
+    have = {
+        (int(r.src), int(r.dst)): int(r.trussness)
+        for r in df.itertuples()
+    }
+    want = truss_numpy(src, dst)
+    assert have == want
+    assert max(have.values()) >= 6  # the planted clique's level
+    assert all(r >= 1 for r in rounds.values())
