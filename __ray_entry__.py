@@ -2995,6 +2995,90 @@ def _truss_sql(max_k: int, R: int) -> str:
     return "".join(parts)
 
 
+_WTRUSS_THR = 5.0   # weighted-truss support threshold (integer-valued
+                    # weights → exact float sums on both sides)
+_WTRUSS_ROUNDS = 8  # unrolled peel rounds (extra rounds are no-ops)
+
+
+def _q_ktruss_weighted(sf_dir: str):
+    """WEIGHTED k-truss (min-weight triangle support ≥ θ) over the
+    sparse graph + planted K7/K5 cliques with w = (u+v)%10+1 — the
+    weighted generalization of the support-and-peel loop; round count
+    asserted within the twin's unroll."""
+    import ray.data
+
+    from alp_ray.pipelines.ktruss import ktruss_weighted
+    from alp_ray.sources.tables import derived_edges
+
+    pairs = _truss_clique_pairs()
+    cl = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    base = derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True, dedup=False)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        return pa.table(
+            {
+                "src": s,
+                "dst": d,
+                "weight": ((s + d) % 10 + 1).astype(np.float64),
+            }
+        )
+
+    edges = base.union(cl).map_batches(add_w, batch_format="pyarrow")
+    out, rounds = ktruss_weighted(edges, threshold=_WTRUSS_THR)
+    assert rounds <= _WTRUSS_ROUNDS, rounds
+    return pa.table(
+        {
+            "src": out.column("src").cast(pa.int64()),
+            "dst": out.column("dst").cast(pa.int64()),
+            "weight": out.column("weight").cast(pa.float64()),
+        }
+    )
+
+
+def _wtruss_sql(R: int, thr: float) -> str:
+    """Twin of `_q_ktruss_weighted`: R unrolled weighted
+    support-and-peel rounds — per-triangle LEAST of the three edge
+    weights, summed per edge over its three roles, peel below thr.
+    Integer-valued weights sum exactly in any order."""
+    vals = ", ".join(f"({a}, {b})" for a, b in _truss_clique_pairs())
+    parts = [
+        f"WITH ed AS MATERIALIZED (SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION ALL SELECT * FROM (VALUES {vals}) AS cl(src, dst)), ",
+        "w0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM ed WHERE src != dst), ",
+        "e0 AS MATERIALIZED (SELECT u, v, "
+        "CAST((u + v) % 10 + 1 AS DOUBLE) AS w FROM w0)",
+    ]
+    for r in range(1, R + 1):
+        p = r - 1
+        parts.append(
+            f", t{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, "
+            f"e2.v AS c, LEAST(e1.w, e2.w, e3.w) AS tw "
+            f"FROM e{p} e1 JOIN e{p} e2 ON e2.u = e1.v "
+            f"JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+            f", s{r} AS MATERIALIZED (SELECT u, v, SUM(tw) AS sw FROM ("
+            f"SELECT a AS u, b AS v, tw FROM t{r} "
+            f"UNION ALL SELECT b, c, tw FROM t{r} "
+            f"UNION ALL SELECT a, c, tw FROM t{r}) GROUP BY u, v)"
+            f", e{r} AS MATERIALIZED (SELECT e.u, e.v, e.w FROM e{p} e "
+            f"JOIN s{r} s ON s.u = e.u AND s.v = e.v "
+            f"WHERE s.sw >= {thr})"
+        )
+    parts.append(
+        f" SELECT u AS src, v AS dst, w AS weight FROM e{R}"
+    )
+    return "".join(parts)
+
+
 _MIS_ROUNDS = 8  # unrolled select/remove rounds in the SQL twin
 
 
@@ -5032,6 +5116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bicgstab_complex": _q_bicgstab_complex,
         "approx_distinct_sparse": _q_approx_distinct_sparse,
         "truss_decomposition": _q_truss_decomposition,
+        "ktruss_weighted": _q_ktruss_weighted,
     }
 
 
@@ -5685,6 +5770,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": _mis_sql(_MIS_ROUNDS),
         "ktruss": _ktruss_sql(_KTRUSS_ROUNDS, _KTRUSS_K),
         "truss_decomposition": _truss_sql(_TRUSS_MAX_K, _TRUSS_ROUNDS),
+        "ktruss_weighted": _wtruss_sql(_WTRUSS_ROUNDS, _WTRUSS_THR),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

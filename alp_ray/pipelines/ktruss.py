@@ -506,6 +506,150 @@ def ktruss(
     )
 
 
+@ray.remote(num_returns=2)
+def _peel_weighted(thr: float, max_rounds: int, *tables: pa.Table):
+    """Worker-resident WEIGHTED peel: per round, every edge's weighted
+    support = Σ over incident triangles of the triangle's MIN edge
+    weight; edges below ``thr`` drop; repeat to fixpoint. Triangle
+    enumeration is the same vectorized oriented-CSR wedge kernel as
+    the unweighted broadcast form; the wedge gather indices double as
+    edge indices, so the three weight lookups are pure fancy-indexing
+    (no key probes beyond the closing edge's)."""
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables),
+        columns={"src": pa.int64(), "dst": pa.int64(),
+                 "weight": pa.float64()},
+    )
+    u = np.asarray(t.column("src"), np.int64)
+    v = np.asarray(t.column("dst"), np.int64)
+    w = np.asarray(t.column("weight"), np.float64)
+    rounds = 0
+    while u.size and rounds < max_rounds:
+        rounds += 1
+        both = np.concatenate([u, v])
+        verts, inv = np.unique(both, return_inverse=True)
+        deg = np.bincount(inv, minlength=verts.size)
+        n = verts.size
+        order = np.lexsort((verts, deg))
+        rank_of = np.empty(n, np.int64)
+        rank_of[order] = np.arange(n)
+        vert_of_rank = verts[order]
+        ra, rb = rank_of[inv[: u.size]], rank_of[inv[u.size:]]
+        lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+        o2 = np.argsort(lo * n + hi)
+        lo_s, hi_s, w_s = lo[o2], hi[o2], w[o2]
+        keys = lo_s * n + hi_s
+        indptr = np.searchsorted(lo_s, np.arange(n + 1))
+        sup = np.zeros(keys.size, np.float64)
+        outdeg = np.diff(indptr)
+        for d in np.unique(outdeg):
+            if d < 2:
+                continue
+            sel = np.flatnonzero(outdeg == d)
+            idx = indptr[sel][:, None] + np.arange(d)[None, :]
+            nb = hi_s[idx]  # (n_sel, d) rank-sorted out-neighbours
+            iu, ju = np.triu_indices(int(d), 1)
+            wk = (nb[:, iu] * n + nb[:, ju]).ravel()
+            pos = np.clip(np.searchsorted(keys, wk), 0, keys.size - 1)
+            hit = keys[pos] == wk
+            if not hit.any():
+                continue
+            e_xy = idx[:, iu].ravel()[hit]
+            e_xz = idx[:, ju].ravel()[hit]
+            e_yz = pos[hit]
+            tri_w = np.minimum(
+                np.minimum(w_s[e_xy], w_s[e_xz]), w_s[e_yz]
+            )
+            for ep in (e_xy, e_xz, e_yz):
+                np.add.at(sup, ep, tri_w)
+        # Weights are integer-valued by the fixture contract, so the
+        # float sums and the >= compare are exact in any order.
+        ok = sup >= thr
+        ou, ov = vert_of_rank[lo_s[ok]], vert_of_rank[hi_s[ok]]
+        nu, nv = np.minimum(ou, ov), np.maximum(ou, ov)
+        if ok.all():
+            u, v, w = nu, nv, w_s[ok]
+            break
+        u, v, w = nu, nv, w_s[ok]
+    o = np.lexsort((v, u))
+    out = pa.table(
+        {"src": pa.array(u[o]), "dst": pa.array(v[o]),
+         "weight": pa.array(w[o])}
+    )
+    return out, rounds
+
+
+def ktruss_weighted(
+    edges: "ray.data.Dataset",
+    threshold: float,
+    weight_col: str = "weight",
+    max_rounds: int = 100,
+    broadcast_threshold: int = 2_000_000,
+) -> tuple[pa.Table, int]:
+    """WEIGHTED k-truss (min-weight triangle support): the maximal
+    subgraph where every edge's Σ(min triangle weight) ≥ ``threshold``
+    — the weighted generalization of the support-and-peel loop. Input:
+    (src, dst, weight) edges, any orientation; canonicalized to
+    (lo, hi) with MIN weight per undirected pair.
+
+    Physical form: broadcast/worker-resident only (the graph bundle is
+    built and peeled on ONE worker from block refs — same bound as the
+    unweighted broadcast form, asserted loudly). The Dataset-shuffle
+    composition at 10^12 scale is the unweighted `_support_round_shuffle`
+    with the weight carried through wedge emission and the closing-pair
+    match (min-fold in `close_multi`, sum in `support_fold`) —
+    mechanical, not wired here.
+
+    Returns (surviving canonical (src, dst, weight) table, rounds)."""
+    from ray.data.aggregate import Min
+
+    from alp_ray.util import concat_blocks
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        ww = np.asarray(batch.column(weight_col), np.float64)
+        keep = s != d
+        s, d, ww = s[keep], d[keep], ww[keep]
+        return pa.table(
+            {
+                "src": np.minimum(s, d),
+                "dst": np.maximum(s, d),
+                "weight": ww,
+            }
+        )
+
+    canonical = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Min("weight", alias_name="weight"))
+        .materialize()
+    )
+    m = canonical.count()
+    if m > broadcast_threshold:
+        raise ValueError(
+            f"ktruss_weighted's worker-resident peel holds the full "
+            f"graph on one worker; {m} edges exceeds the "
+            f"{broadcast_threshold} bound — wire the weighted shuffle "
+            "composition (see docstring) for graphs this size"
+        )
+    if m == 0:
+        return (
+            pa.table(
+                {"src": pa.array([], pa.int64()),
+                 "dst": pa.array([], pa.int64()),
+                 "weight": pa.array([], pa.float64())}
+            ),
+            0,
+        )
+    t_ref, rounds_ref = _peel_weighted.remote(
+        float(threshold), max_rounds, *canonical.to_arrow_refs()
+    )
+    return ray.get(t_ref), int(ray.get(rounds_ref))
+
+
 def truss_decomposition(
     edges: "ray.data.Dataset",
     method: str = "auto",

@@ -68,17 +68,26 @@ class DecodeImageStage:
         payloads = batch.column("payload").to_pylist()
         hs = batch.column("height").to_pylist()
         ws = batch.column("width").to_pylist()
-        pixels, means = [], []
-        for p, h, w in zip(payloads, hs, ws):
-            img = self._decode(p, h, w)
-            pixels.append(img.reshape(-1).tolist())
-            means.append(img.reshape(-1, 3).mean(axis=0).tolist())
         n = self.out_h * self.out_w * 3
+        # One contiguous uint8 buffer for the whole batch; the Arrow
+        # column is a zero-copy FixedSizeListArray view over it (no
+        # per-row Python list materialization — the decode loop itself
+        # is per-row because codecs are).
+        pix = np.empty((len(payloads), n), np.uint8)
+        means = np.empty((len(payloads), 3), np.float64)
+        for i, (p, h, w) in enumerate(zip(payloads, hs, ws)):
+            img = self._decode(p, h, w)
+            pix[i] = img.reshape(-1)
+            means[i] = img.reshape(-1, 3).mean(axis=0)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "pixels": pa.array(pixels, pa.list_(pa.uint8(), n)),
-                "channel_means": pa.array(means, pa.list_(pa.float64(), 3)),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pix.reshape(-1), pa.uint8()), n
+                ),
+                "channel_means": pa.FixedSizeListArray.from_arrays(
+                    pa.array(means.reshape(-1), pa.float64()), 3
+                ),
             }
         )
 

@@ -113,3 +113,53 @@ def test_truss_decomposition_matches_oracle():
     assert have == want
     assert max(have.values()) >= 6  # the planted clique's level
     assert all(r >= 1 for r in rounds.values())
+
+
+def wtruss_numpy(edges_w: dict, thr: float):
+    """Weighted-truss oracle: peel edges whose sum of min-triangle
+    weights is below thr, to fixpoint."""
+    cur = dict(edges_w)
+    rounds = 0
+    while True:
+        rounds += 1
+        adj = {}
+        for x, y in cur:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        sup = {e: 0.0 for e in cur}
+        for (x, y) in cur:
+            for z in adj[x] & adj[y]:
+                e1 = (min(x, z), max(x, z))
+                e2 = (min(y, z), max(y, z))
+                sup[(x, y)] += min(cur[(x, y)], cur[e1], cur[e2])
+        nxt = {e: w for e, w in cur.items() if sup[e] >= thr}
+        if set(nxt) == set(cur) or not nxt:
+            return nxt, rounds
+        cur = nxt
+
+
+def test_ktruss_weighted_matches_oracle():
+    from alp_ray.pipelines.ktruss import ktruss_weighted
+
+    src, dst = _graph()
+    w = ((src + dst) % 10 + 1).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "weight": w})
+    )
+    ew = {}
+    for a, b, x in zip(src, dst, w):
+        e = (min(int(a), int(b)), max(int(a), int(b)))
+        ew[e] = min(ew.get(e, float("inf")), float(x))
+    for thr in (4.0, 9.0):
+        got, rounds = ktruss_weighted(ds, threshold=thr)
+        have = {
+            (int(a), int(b)): float(x)
+            for a, b, x in zip(
+                got.column("src").to_pylist(),
+                got.column("dst").to_pylist(),
+                got.column("weight").to_pylist(),
+            )
+        }
+        want, _ = wtruss_numpy(ew, thr)
+        assert have == want, (thr, len(have), len(want))
+        assert rounds >= 1
