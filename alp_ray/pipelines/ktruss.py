@@ -351,19 +351,6 @@ def _support_round_shuffle(
         close_multi, batch_format="pyarrow"
     ).materialize()
 
-    def tag_zero(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("a"), np.int64)
-        b = np.asarray(batch.column("b"), np.int64)
-        return pa.table(
-            {
-                "a": batch.column("a"),
-                "b": batch.column("b"),
-                "credit": pa.array(np.zeros(len(batch), np.int64)),
-                "is_edge": pa.array(np.ones(len(batch), np.int64)),
-                "__part": pa.array((a * 2654435761 + b) % n_parts),
-            }
-        )
-
     def tag_credit(batch: pa.Table) -> pa.Table:
         if "a" not in batch.column_names:
             return pa.table(
@@ -371,23 +358,24 @@ def _support_round_shuffle(
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "credit": pa.array([], pa.int64()),
-                    "is_edge": pa.array([], pa.int64()),
                     "__part": pa.array([], pa.int64()),
                 }
             )
         a = np.asarray(batch.column("a"), np.int64)
         b = np.asarray(batch.column("b"), np.int64)
         return batch.append_column(
-            "is_edge", pa.array(np.zeros(len(batch), np.int64))
-        ).append_column(
             "__part", pa.array((a * 2654435761 + b) % n_parts)
         )
 
     def support_fold(group: pa.Table) -> pa.Table:
-        """Coarse-partition fold of credit + edge-marker rows: exact
-        per-(a,b) support via one lexsort + segment bincount, keeping
-        only pairs that carry an edge marker (same result as the exact
-        groupby-Sum/Max, minus the full-key sort shuffle)."""
+        """Coarse-partition fold of credit rows: exact per-(a,b)
+        support via one lexsort + segment bincount. Every credit row
+        is an edge by construction (apex credits are oriented edges of
+        their own wedge; pair credits matched a marker in the close
+        exchange), so the round-4 edge-marker union — which re-shipped
+        all m edge rows through this exchange just to carry is_edge —
+        is gone; zero-support edges simply don't appear, which is the
+        same peel outcome for every k ≥ 3 (need ≥ 1)."""
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
@@ -400,27 +388,23 @@ def _support_round_shuffle(
         a = np.asarray(group.column("a"), np.int64)
         b = np.asarray(group.column("b"), np.int64)
         cr = np.asarray(group.column("credit"), np.int64)
-        ie = np.asarray(group.column("is_edge"), np.int64)
         order = np.lexsort((b, a))
-        a, b, cr, ie = a[order], b[order], cr[order], ie[order]
+        a, b, cr = a[order], b[order], cr[order]
         new_seg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         seg_id = np.cumsum(new_seg) - 1
         n_seg = int(seg_id[-1]) + 1
         sup = np.bincount(seg_id, weights=cr, minlength=n_seg)
-        has_edge = np.bincount(seg_id, weights=ie, minlength=n_seg) > 0
         starts = np.flatnonzero(new_seg)
-        keep = has_edge
         return pa.table(
             {
-                "a": pa.array(a[starts[keep]]),
-                "b": pa.array(b[starts[keep]]),
-                "sup": pa.array(sup[keep].astype(np.int64)),
+                "a": pa.array(a[starts]),
+                "b": pa.array(b[starts]),
+                "sup": pa.array(sup.astype(np.int64)),
             }
         )
 
     return (
         credits.map_batches(tag_credit, batch_format="pyarrow")
-        .union(oriented.map_batches(tag_zero, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(support_fold, batch_format="pyarrow")
     )
@@ -432,6 +416,10 @@ def _round_shuffle(
     m: int,
     degree_broadcast_limit: int | None = None,
 ):
+    # The shuffle support omits zero-support edges entirely (they only
+    # existed as marker rows through the final exchange) — identical
+    # peel outcome iff they would be dropped anyway, i.e. need >= 1.
+    assert need >= 1, "shuffle path requires k >= 3"
     sup = _support_round_shuffle(canon, degree_broadcast_limit)
 
     def keep(batch: pa.Table) -> pa.Table:
