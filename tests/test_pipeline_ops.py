@@ -845,3 +845,52 @@ def test_cohort_retention_multi_cohort():
         (0, 3): 1,   # u1 in period 3
         (1, 1): 1,   # u2 in period 2 = k 1
     }
+
+
+def test_embedding_cosine_candidates_emitted_exactly_once():
+    """The in-kernel multi-probe dedup (canonical co-bucket, derived
+    from the two base sign-keys) must emit each candidate pair EXACTLY
+    once — no duplicates (the old groupby dedup is gone) and no losses
+    vs a brute-force replay of the bucket collisions."""
+    import numpy as np
+    import pandas as pd
+
+    from alp_ray.pipelines.dedup import embedding_cosine_pairs
+
+    rng = np.random.RandomState(3)
+    n, d, planes = 300, 16, 12
+    V = rng.randn(n, d)
+    # Plant exact duplicates so real candidates exist.
+    V[50] = V[10]
+    V[51] = V[11] + 1e-6 * rng.randn(d)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(V)),
+            }
+        )
+    ).repartition(7)
+    pairs = embedding_cosine_pairs(
+        ds, threshold=-1.1, planes=planes, seed=42
+    ).to_pandas()
+    # threshold=-1.1 keeps every candidate → output IS the candidate set.
+    got = list(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(got) == len(set(got)), "duplicate candidate pair emitted"
+    # Brute-force oracle: multi-probe bucket collisions.
+    H = np.random.RandomState(42).randn(d, planes)
+    signs = (V @ H) > 0
+    base = np.packbits(signs, axis=1, bitorder="little").astype(np.int64)
+    key = np.zeros(n, np.int64)
+    for b in range(base.shape[1]):
+        key |= base[:, b] << (8 * b)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            x = int(key[i] ^ key[j])
+            if bin(x).count("1") <= 2:
+                # popcount<=2 over the low `planes` bits ⇒ the probe
+                # sets intersect (0: same bucket; 1: base↔flip;
+                # 2: flip↔flip).
+                want.add((i, j))
+    assert set(got) == want
