@@ -161,3 +161,41 @@ def test_entry_smoke():
     # Utility files (high in-degree) should outrank leaf files.
     top = df.sort_values("pr", ascending=False).head(10)
     assert (top["pr"] > df["pr"].median()).all()
+
+
+# The driver gates only the FIRST 50 queries() entries in dict insertion
+# order (CLAUDE.md window discipline) — frozen here so an accidental
+# reorder can never silently drop a driver-verified row out of the
+# hard-signal window. New queries must be APPENDED after the window.
+_GATE_WINDOW = [
+    "edges_distinct", "out_degrees", "in_degrees", "spmv_plus_times",
+    "spmv_transpose", "spmv_min_plus", "spmv_masked",
+    "ewise_add_degrees", "spy_downsample", "spgemm_two_hop",
+    "triangle_count", "connected_components", "scc", "khop2",
+    "sssp_hops4", "sssp_full", "pagerank", "weighted_pagerank",
+    "pregel_pagerank", "labelprop", "conjugate_gradient", "kcore",
+    "hits", "corpus_extract", "corpus_pagerank", "corpus_components",
+    "dedup_exact", "token_counts", "doc_stats", "quality_scores",
+    "langid", "fingerprints", "minhash_pairs", "simhash_pairs",
+    "embedding_near_dup", "ann_top10", "norm2_embeddings",
+    "kmeans_assign", "window_hourly", "sessions", "running_window",
+    "copurchase_pairs", "inverted_index", "sequence_pack",
+    "bm25_search", "global_rank", "anti_join_urgent", "pivot_events",
+    "grouped_median", "zscore_outliers",
+]
+
+
+def test_gate_window_order_frozen():
+    keys = list(entrymod.queries().keys())[:50]
+    assert keys == _GATE_WINDOW, (
+        "the first 50 queries() keys changed — driver-verified rows "
+        "would fall out of the hard-signal window; append new queries "
+        "at the END"
+    )
+
+
+def test_every_window_query_is_oracled():
+    """Round-5 invariant: zero no_oracle rows inside the window."""
+    oracled = set(entrymod.oracle_sql().keys())
+    missing = [k for k in _GATE_WINDOW if k not in oracled]
+    assert not missing, f"window rows without oracle_sql: {missing}"
