@@ -452,16 +452,23 @@ def ktruss(
     broadcast_threshold: int = 2_000_000,
     as_dataset: bool = False,
     degree_broadcast_limit: int | None = None,
+    assume_canonical: bool = False,
 ) -> tuple:
     """Surviving canonical (src < dst) edges of the k-truss + the
     number of support rounds computed (the last round verifies the
     fixpoint). ``edges`` may be directed — the undirected simple edge
-    set is derived first. Edge state lives in the object store (or as
-    a Dataset) between rounds; the driver holds only scalars."""
+    set is derived first (``assume_canonical=True`` skips that dedup
+    exchange for callers whose input is already distinct (src < dst),
+    e.g. truss_decomposition's per-level survivor sets). Edge state
+    lives in the object store (or as a Dataset) between rounds; the
+    driver holds only scalars."""
     from alp_ray.stages.graph import canonicalize
     from alp_ray.util import concat_blocks
 
-    canon = canonicalize(edges).materialize()
+    canon = (
+        edges.materialize() if assume_canonical
+        else canonicalize(edges).materialize()
+    )
     m = canon.count()
     need = k - 2
     rounds = 0
@@ -638,6 +645,89 @@ def ktruss_weighted(
     return ray.get(t_ref), int(ray.get(rounds_ref))
 
 
+def _support_counts(u: np.ndarray, v: np.ndarray):
+    """Unweighted triangle support of a canonical edge set via the
+    oriented-CSR wedge kernel (worker-side numpy). Returns
+    (sup, lo_verts, hi_verts) aligned to the rank-key edge order."""
+    both = np.concatenate([u, v])
+    verts, inv = np.unique(both, return_inverse=True)
+    deg = np.bincount(inv, minlength=verts.size)
+    n = verts.size
+    order = np.lexsort((verts, deg))
+    rank_of = np.empty(n, np.int64)
+    rank_of[order] = np.arange(n)
+    vert_of_rank = verts[order]
+    ra, rb = rank_of[inv[: u.size]], rank_of[inv[u.size:]]
+    lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+    o2 = np.argsort(lo * n + hi)
+    lo_s, hi_s = lo[o2], hi[o2]
+    keys = lo_s * n + hi_s
+    indptr = np.searchsorted(lo_s, np.arange(n + 1))
+    sup = np.zeros(keys.size, np.int64)
+    outdeg = np.diff(indptr)
+    for d in np.unique(outdeg):
+        if d < 2:
+            continue
+        sel = np.flatnonzero(outdeg == d)
+        idx = indptr[sel][:, None] + np.arange(d)[None, :]
+        nb = hi_s[idx]
+        iu, ju = np.triu_indices(int(d), 1)
+        wk = (nb[:, iu] * n + nb[:, ju]).ravel()
+        pos = np.clip(np.searchsorted(keys, wk), 0, keys.size - 1)
+        hit = keys[pos] == wk
+        if not hit.any():
+            continue
+        for ep in (idx[:, iu].ravel()[hit], idx[:, ju].ravel()[hit],
+                   pos[hit]):
+            np.add.at(sup, ep, 1)
+    return sup, vert_of_rank[lo_s], vert_of_rank[hi_s]
+
+
+@ray.remote(num_returns=2)
+def _truss_decompose_worker(max_k: int, *tables: pa.Table):
+    """Worker-resident full truss decomposition: all levels' peels run
+    in ONE task over numpy arrays (zero per-level Ray round trips —
+    the Dataset level loop costs ~6 levels × ~3 rounds × ~2 s of fixed
+    exchange overhead at fixture scale). Same successive-fixpoint
+    algorithm as the Dataset path."""
+    from alp_ray.util import concat_blocks
+
+    t = concat_blocks(
+        list(tables), columns={"src": pa.int64(), "dst": pa.int64()}
+    )
+    u0 = np.asarray(t.column("src"), np.int64)
+    v0 = np.asarray(t.column("dst"), np.int64)
+    span = int(max(u0.max(initial=0), v0.max(initial=0))) + 1
+    key0 = np.sort(u0 * span + v0)
+    tr = np.full(key0.size, 2, np.int64)
+    u, v = u0, v0
+    k = 3
+    rounds: dict[int, int] = {}
+    while u.size and k <= max_k:
+        r = 0
+        while True:
+            r += 1
+            sup, ou, ov = _support_counts(u, v)
+            ok = sup >= (k - 2)
+            nu = np.minimum(ou[ok], ov[ok])
+            nv = np.maximum(ou[ok], ov[ok])
+            done = bool(ok.all())
+            u, v = nu, nv
+            if done or not u.size:
+                break
+        rounds[k] = r
+        if u.size:
+            tr[np.searchsorted(key0, u * span + v)] = k
+        k += 1
+    lo0 = key0 // span
+    hi0 = key0 % span
+    out = pa.table(
+        {"src": pa.array(lo0), "dst": pa.array(hi0),
+         "trussness": pa.array(tr)}
+    )
+    return out, rounds
+
+
 def truss_decomposition(
     edges: "ray.data.Dataset",
     method: str = "auto",
@@ -652,15 +742,23 @@ def truss_decomposition(
     (k-truss ⊆ (k−1)-truss), so level k peels only the incremental
     drop; the per-edge max-level tag is one final groupby.
 
-    Returns ((src, dst, trussness) Dataset over the canonical edge
-    set, {k: peel_rounds}) — the rounds dict lets hash-gated callers
-    assert their unrolled-twin bounds."""
+    Physical forms: below ``broadcast_threshold`` edges the WHOLE
+    decomposition runs worker-resident in one task (zero per-level
+    exchanges); above it (or with method="shuffle") each level is a
+    Dataset ktruss peel. Returns ((src, dst, trussness) Dataset over
+    the canonical edge set, {k: peel_rounds}) — the rounds dict lets
+    hash-gated callers assert their unrolled-twin bounds."""
     from ray.data.aggregate import Max
 
     from alp_ray.stages.graph import canonicalize
 
     canon = canonicalize(edges).materialize()
     m = canon.count()
+    if method == "auto" and 0 < m <= broadcast_threshold:
+        t_ref, rounds_ref = _truss_decompose_worker.remote(
+            max_k, *canon.to_arrow_refs()
+        )
+        return ray.data.from_arrow_refs([t_ref]), ray.get(rounds_ref)
 
     def tag(k: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -689,6 +787,7 @@ def truss_decomposition(
             cur, k=k, method=method, as_dataset=True,
             broadcast_threshold=broadcast_threshold,
             degree_broadcast_limit=degree_broadcast_limit,
+            assume_canonical=True,  # canon / previous survivors
         )
         cur = cur.materialize()
         m = cur.count()

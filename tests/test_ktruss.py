@@ -94,7 +94,13 @@ def truss_numpy(src, dst):
     return t
 
 
-def test_truss_decomposition_matches_oracle():
+import pytest
+
+
+@pytest.mark.parametrize("method", ["auto", "broadcast"])
+def test_truss_decomposition_matches_oracle(method):
+    """'auto' exercises the worker-resident single-task decomposition;
+    'broadcast' forces the per-level Dataset ktruss loop."""
     from alp_ray.pipelines.ktruss import truss_decomposition
 
     src, dst = _graph()
@@ -103,7 +109,7 @@ def test_truss_decomposition_matches_oracle():
     src = np.concatenate([src, np.array([e[0] for e in cl], np.int64)])
     dst = np.concatenate([dst, np.array([e[1] for e in cl], np.int64)])
     ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
-    out, rounds = truss_decomposition(ds)
+    out, rounds = truss_decomposition(ds, method=method)
     df = out.to_pandas()
     have = {
         (int(r.src), int(r.dst)): int(r.trussness)
