@@ -161,6 +161,7 @@ def _round_broadcast(canon: "ray.data.Dataset", need: int):
 def _support_round_shuffle(
     canon: "ray.data.Dataset",
     degree_broadcast_limit: int | None = None,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Per-edge triangle support as a Dataset of oriented
     (a, b, sup) rows — the all-Dataset scale path. Degree-rank
@@ -170,10 +171,18 @@ def _support_round_shuffle(
     below the vertex limit and attach by hash JOIN above it
     (stages/graph.py orient_by_degree_rank — the 10^12-vertex
     route); either way oriented rows carry bd = deg(b) so wedge
-    emission needs no degree lookup."""
+    emission needs no degree lookup.
+
+    ``weight_col``: WEIGHTED support — the edge weight rides the
+    orientation (carry column), wedges emit their two apex-edge
+    weights, the close exchange takes min(w1, w2, w_closing) per
+    triangle and credits all three edges with that minimum, and the
+    support fold sums float credits (exact for integer-valued
+    weights). sup is then float64."""
     from alp_ray.stages.graph import orient_by_degree_rank
     from alp_ray.util import coarse_parts
 
+    weighted = weight_col is not None
     n_deg_parts = coarse_parts()
 
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -214,6 +223,8 @@ def _support_round_shuffle(
     kw = {}
     if degree_broadcast_limit is not None:
         kw["broadcast_limit"] = degree_broadcast_limit
+    if weighted:
+        kw["carry"] = (weight_col,)
     oriented = orient_by_degree_rank(canon, deg_ds, **kw).materialize()
 
     n_parts = n_deg_parts
@@ -222,26 +233,38 @@ def _support_round_shuffle(
         part = np.asarray(batch.column("a"), np.int64) % n_parts
         return batch.append_column("__part", pa.array(part))
 
+    def _wedge_empty() -> pa.Table:
+        cols = {
+            "e1": pa.array([], pa.int64()),
+            "e2": pa.array([], pa.int64()),
+            "apex": pa.array([], pa.int64()),
+        }
+        if weighted:
+            cols["w1"] = pa.array([], pa.float64())
+            cols["w2"] = pa.array([], pa.float64())
+        return pa.table(cols)
+
     def wedges_multi(group: pa.Table) -> pa.Table:
         """All sources of one coarse partition, vectorized per
-        out-degree class (no per-source Python dispatch)."""
-        empty = pa.table(
-            {
-                "e1": pa.array([], pa.int64()),
-                "e2": pa.array([], pa.int64()),
-                "apex": pa.array([], pa.int64()),
-            }
-        )
+        out-degree class (no per-source Python dispatch). Weighted
+        mode additionally emits the two apex-edge weights, gathered
+        with the same fancy indices as the neighbour ids."""
         if "b" not in group.column_names or group.num_rows < 2:
-            return empty
+            return _wedge_empty()
         a = np.asarray(group.column("a"), np.int64)
         b = np.asarray(group.column("b"), np.int64)
         nd = np.asarray(group.column("bd"), np.int64)
+        w = (
+            np.asarray(group.column(weight_col), np.float64)
+            if weighted else None
+        )
         order = np.lexsort((b, nd, a))  # by src, then nbr rank
         a, b = a[order], b[order]
+        if weighted:
+            w = w[order]
         starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
         lens = np.diff(np.r_[starts, a.size])
-        e1s, e2s, apexes = [], [], []
+        e1s, e2s, apexes, w1s, w2s = [], [], [], [], []
         for d in np.unique(lens):
             if d < 2:
                 continue
@@ -252,15 +275,21 @@ def _support_round_shuffle(
             e1s.append(nb[:, iu].ravel())
             e2s.append(nb[:, ju].ravel())
             apexes.append(np.repeat(a[seg], iu.size))
+            if weighted:
+                wb = w[idx]
+                w1s.append(wb[:, iu].ravel())
+                w2s.append(wb[:, ju].ravel())
         if not e1s:
-            return empty
-        return pa.table(
-            {
-                "e1": pa.array(np.concatenate(e1s)),
-                "e2": pa.array(np.concatenate(e2s)),
-                "apex": pa.array(np.concatenate(apexes)),
-            }
-        )
+            return _wedge_empty()
+        cols = {
+            "e1": pa.array(np.concatenate(e1s)),
+            "e2": pa.array(np.concatenate(e2s)),
+            "apex": pa.array(np.concatenate(apexes)),
+        }
+        if weighted:
+            cols["w1"] = pa.array(np.concatenate(w1s))
+            cols["w2"] = pa.array(np.concatenate(w2s))
+        return pa.table(cols)
 
     # Materialize between the chained coarse exchanges: one fused lazy
     # plan runs the three all-to-all ops inside a single streaming
@@ -275,24 +304,21 @@ def _support_round_shuffle(
     )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "e1": batch.column("a"),
-                "e2": batch.column("b"),
-                "apex": pa.array(np.full(len(batch), -1, np.int64)),
-            }
-        )
+        cols = {
+            "e1": batch.column("a"),
+            "e2": batch.column("b"),
+            "apex": pa.array(np.full(len(batch), -1, np.int64)),
+        }
+        if weighted:
+            # The marker carries the CLOSING edge's weight as w1.
+            cols["w1"] = batch.column(weight_col)
+            cols["w2"] = pa.array(np.zeros(len(batch)))
+        return pa.table(cols)
 
     def tag_pair(batch: pa.Table) -> pa.Table:
         if "e1" not in batch.column_names:
-            return pa.table(
-                {
-                    "e1": pa.array([], pa.int64()),
-                    "e2": pa.array([], pa.int64()),
-                    "apex": pa.array([], pa.int64()),
-                    "__part": pa.array([], pa.int64()),
-                }
-            )
+            t = _wedge_empty()
+            return t.append_column("__part", pa.array([], pa.int64()))
         e1 = np.asarray(batch.column("e1"), np.int64)
         e2 = np.asarray(batch.column("e2"), np.int64)
         part = (e1 * 2654435761 + e2) % n_parts
@@ -306,17 +332,21 @@ def _support_round_shuffle(
         )
     )
 
+    credit_dtype = pa.float64() if weighted else pa.int64()
+
     def close_multi(group: pa.Table) -> pa.Table:
         """One coarse partition of wedge + edge-marker rows, keyed by
         the closing pair (e1, e2): pairs that carry a marker
         (apex == −1) close every wedge row in their segment — credit
-        (apex,e1), (apex,e2) one each and (e1,e2) the wedge count.
+        (apex,e1), (apex,e2) and (e1,e2). Unweighted credit: 1 per
+        triangle (pair credit = wedge count). Weighted credit: the
+        triangle's min(w1, w2, w_closing), pair credit = Σ of mins.
         Fully vectorized over segments."""
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
-                "credit": pa.array([], pa.int64()),
+                "credit": pa.array([], credit_dtype),
             }
         )
         if "e1" not in group.column_names or group.num_rows == 0:
@@ -326,6 +356,9 @@ def _support_round_shuffle(
         apex = np.asarray(group.column("apex"), np.int64)
         order = np.lexsort((apex, e2, e1))  # markers first per pair
         e1, e2, apex = e1[order], e2[order], apex[order]
+        if weighted:
+            w1 = np.asarray(group.column("w1"), np.float64)[order]
+            w2 = np.asarray(group.column("w2"), np.float64)[order]
         new_seg = np.r_[True, (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])]
         seg_id = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
@@ -334,18 +367,36 @@ def _support_round_shuffle(
         if not wr.any():
             return empty
         xs, yy, zz = apex[wr], e1[wr], e2[wr]
-        # per-pair wedge counts for the (y,z) credit
-        w_seg = np.bincount(seg_id[wr], minlength=starts.size)
+        if weighted:
+            # closing-edge weight per segment = the marker row's w1
+            # (markers sort first within their segment).
+            wm_seg = np.zeros(starts.size)
+            wm_seg[has_marker] = w1[starts[has_marker]]
+            tri = np.minimum(
+                np.minimum(w1[wr], w2[wr]), wm_seg[seg_id[wr]]
+            )
+            w_seg = np.bincount(
+                seg_id[wr], weights=tri, minlength=starts.size
+            )
+            apex_credit = np.concatenate([tri, tri])
+        else:
+            w_seg = np.bincount(seg_id[wr], minlength=starts.size)
+            apex_credit = np.ones(2 * xs.size, np.int64)
         closed = np.flatnonzero(has_marker & (w_seg > 0))
         a = np.concatenate([xs, xs, e1[starts[closed]]])
         b = np.concatenate([yy, zz, e2[starts[closed]]])
-        c = np.concatenate([
-            np.ones(2 * xs.size, np.int64),
-            w_seg[closed],
-        ])
-        return pa.table(
-            {"a": pa.array(a), "b": pa.array(b), "credit": pa.array(c)}
-        )
+        c = np.concatenate([apex_credit, w_seg[closed]])
+        if not weighted:
+            c = c.astype(np.int64)
+        cols = {"a": pa.array(a), "b": pa.array(b), "credit": pa.array(c)}
+        if weighted:
+            # Each credit row targets one specific edge whose weight is
+            # known locally — carry it so survivors keep their weights
+            # without a join back: (x,e1)→w1, (x,e2)→w2, (e1,e2)→wm.
+            cols["w_edge"] = pa.array(
+                np.concatenate([w1[wr], w2[wr], wm_seg[closed]])
+            )
+        return pa.table(cols)
 
     credits = unioned.groupby("__part").map_groups(
         close_multi, batch_format="pyarrow"
@@ -353,14 +404,15 @@ def _support_round_shuffle(
 
     def tag_credit(batch: pa.Table) -> pa.Table:
         if "a" not in batch.column_names:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "credit": pa.array([], pa.int64()),
-                    "__part": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "credit": pa.array([], credit_dtype),
+            }
+            if weighted:
+                cols["w_edge"] = pa.array([], pa.float64())
+            cols["__part"] = pa.array([], pa.int64())
+            return pa.table(cols)
         a = np.asarray(batch.column("a"), np.int64)
         b = np.asarray(batch.column("b"), np.int64)
         return batch.append_column(
@@ -376,32 +428,40 @@ def _support_round_shuffle(
         all m edge rows through this exchange just to carry is_edge —
         is gone; zero-support edges simply don't appear, which is the
         same peel outcome for every k ≥ 3 (need ≥ 1)."""
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "sup": pa.array([], pa.int64()),
-            }
-        )
+        cols0 = {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "sup": pa.array([], credit_dtype),
+        }
+        if weighted:
+            cols0["weight"] = pa.array([], pa.float64())
+        empty = pa.table(cols0)
         if "a" not in group.column_names or group.num_rows == 0:
             return empty
         a = np.asarray(group.column("a"), np.int64)
         b = np.asarray(group.column("b"), np.int64)
-        cr = np.asarray(group.column("credit"), np.int64)
+        cr = np.asarray(
+            group.column("credit"),
+            np.float64 if weighted else np.int64,
+        )
         order = np.lexsort((b, a))
         a, b, cr = a[order], b[order], cr[order]
         new_seg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         seg_id = np.cumsum(new_seg) - 1
         n_seg = int(seg_id[-1]) + 1
+        # bincount accumulates in element order (lexsorted) — exact
+        # anyway for integer-valued weights.
         sup = np.bincount(seg_id, weights=cr, minlength=n_seg)
         starts = np.flatnonzero(new_seg)
-        return pa.table(
-            {
-                "a": pa.array(a[starts]),
-                "b": pa.array(b[starts]),
-                "sup": pa.array(sup.astype(np.int64)),
-            }
-        )
+        cols = {
+            "a": pa.array(a[starts]),
+            "b": pa.array(b[starts]),
+            "sup": pa.array(sup if weighted else sup.astype(np.int64)),
+        }
+        if weighted:
+            we = np.asarray(group.column("w_edge"), np.float64)[order]
+            cols["weight"] = pa.array(we[starts])
+        return pa.table(cols)
 
     return (
         credits.map_batches(tag_credit, batch_format="pyarrow")
@@ -436,6 +496,50 @@ def _round_shuffle(
             {
                 "src": pa.array(np.minimum(a, b)),
                 "dst": pa.array(np.maximum(a, b)),
+            }
+        )
+
+    nxt = sup.map_batches(keep, batch_format="pyarrow").materialize()
+    m_next = nxt.count()
+    return nxt, m_next == m, m_next
+
+
+def _round_shuffle_weighted(
+    canon: "ray.data.Dataset",
+    thr: float,
+    m: int,
+    degree_broadcast_limit: int | None = None,
+):
+    """One weighted support-and-peel round on the all-Dataset scale
+    path: (src, dst, weight) in, survivors with Σ(min triangle
+    weight) ≥ thr out. Zero-support edges never earn a credit row in
+    the shuffle support, so they're omitted — identical peel outcome
+    for any thr > 0."""
+    assert thr > 0, "weighted shuffle path requires threshold > 0"
+    sup = _support_round_shuffle(
+        canon, degree_broadcast_limit, weight_col="weight"
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64()),
+             "weight": pa.array([], pa.float64())}
+        )
+        if "sup" not in batch.column_names or len(batch) == 0:
+            return empty
+        # Integer-valued weights ⇒ the float support sum and the >=
+        # compare are exact in any accumulation order.
+        s = np.asarray(batch.column("sup"), np.float64)
+        ok = s >= thr
+        a = np.asarray(batch.column("a"), np.int64)[ok]
+        b = np.asarray(batch.column("b"), np.int64)[ok]
+        w = np.asarray(batch.column("weight"), np.float64)[ok]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b)),
+                "dst": pa.array(np.maximum(a, b)),
+                "weight": pa.array(w),
             }
         )
 
@@ -581,7 +685,9 @@ def ktruss_weighted(
     threshold: float,
     weight_col: str = "weight",
     max_rounds: int = 100,
+    method: str = "auto",
     broadcast_threshold: int = 2_000_000,
+    degree_broadcast_limit: int | None = None,
 ) -> tuple[pa.Table, int]:
     """WEIGHTED k-truss (min-weight triangle support): the maximal
     subgraph where every edge's Σ(min triangle weight) ≥ ``threshold``
@@ -589,13 +695,15 @@ def ktruss_weighted(
     (src, dst, weight) edges, any orientation; canonicalized to
     (lo, hi) with MIN weight per undirected pair.
 
-    Physical form: broadcast/worker-resident only (the graph bundle is
-    built and peeled on ONE worker from block refs — same bound as the
-    unweighted broadcast form, asserted loudly). The Dataset-shuffle
-    composition at 10^12 scale is the unweighted `_support_round_shuffle`
-    with the weight carried through wedge emission and the closing-pair
-    match (min-fold in `close_multi`, sum in `support_fold`) —
-    mechanical, not wired here.
+    Two physical forms, like unweighted `ktruss`: ``broadcast``
+    (worker-resident vectorized peel — the whole graph on ONE worker
+    from block refs) under ``broadcast_threshold`` edges, and
+    ``shuffle`` — the all-Dataset scale path: the unweighted
+    `_support_round_shuffle` with the edge weight carried through
+    orientation and wedge emission, min-folded per triangle at the
+    closing-pair match (`close_multi`) and summed per edge in
+    `support_fold`. ``degree_broadcast_limit`` forwards to the
+    degree-attachment route choice (broadcast vs hash join).
 
     Returns (surviving canonical (src, dst, weight) table, rounds)."""
     from ray.data.aggregate import Min
@@ -623,13 +731,6 @@ def ktruss_weighted(
         .materialize()
     )
     m = canonical.count()
-    if m > broadcast_threshold:
-        raise ValueError(
-            f"ktruss_weighted's worker-resident peel holds the full "
-            f"graph on one worker; {m} edges exceeds the "
-            f"{broadcast_threshold} bound — wire the weighted shuffle "
-            "composition (see docstring) for graphs this size"
-        )
     if m == 0:
         return (
             pa.table(
@@ -639,10 +740,45 @@ def ktruss_weighted(
             ),
             0,
         )
-    t_ref, rounds_ref = _peel_weighted.remote(
-        float(threshold), max_rounds, *canonical.to_arrow_refs()
+    mode = method
+    if mode == "auto":
+        mode = "broadcast" if m <= broadcast_threshold else "shuffle"
+    if mode == "broadcast":
+        if m > broadcast_threshold:
+            raise ValueError(
+                f"ktruss_weighted broadcast peel holds the full graph "
+                f"on one worker; {m} edges exceeds the "
+                f"{broadcast_threshold} bound — use method='shuffle'"
+            )
+        t_ref, rounds_ref = _peel_weighted.remote(
+            float(threshold), max_rounds, *canonical.to_arrow_refs()
+        )
+        return ray.get(t_ref), int(ray.get(rounds_ref))
+    canon_ds = canonical
+    rounds = 0
+    while m and rounds < max_rounds:
+        canon_ds, all_kept, m = _round_shuffle_weighted(
+            canon_ds, float(threshold), m, degree_broadcast_limit
+        )
+        rounds += 1
+        if all_kept:
+            break
+    t = concat_blocks(
+        canon_ds,
+        columns={"src": pa.int64(), "dst": pa.int64(),
+                 "weight": pa.float64()},
     )
-    return ray.get(t_ref), int(ray.get(rounds_ref))
+    u = np.asarray(t.column("src"), np.int64)
+    v = np.asarray(t.column("dst"), np.int64)
+    w = np.asarray(t.column("weight"), np.float64)
+    o = np.lexsort((v, u))
+    return (
+        pa.table(
+            {"src": pa.array(u[o]), "dst": pa.array(v[o]),
+             "weight": pa.array(w[o])}
+        ),
+        rounds,
+    )
 
 
 def _support_counts(u: np.ndarray, v: np.ndarray):

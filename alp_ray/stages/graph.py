@@ -38,6 +38,7 @@ def orient_by_degree_rank(
     deg_ds: "ray.data.Dataset",
     m: int | None = None,
     broadcast_limit: int = _DEGREE_BROADCAST_LIMIT,
+    carry: tuple[str, ...] = (),
 ) -> "ray.data.Dataset":
     """Orient each canonical (src, dst) edge low-rank → high-rank under
     the (degree, id)-lex rank, emitting (a, b, bd) — ``bd`` = deg(b)
@@ -50,7 +51,9 @@ def orient_by_degree_rank(
     the degrees attach by TWO hash joins (src side, then dst side) —
     no O(n) driver/worker materialization, the scale path for
     10^12-vertex graphs where a broadcast degree table stops fitting
-    (the join alternative promised in triangles.py / ktruss.py)."""
+    (the join alternative promised in triangles.py / ktruss.py).
+    ``carry`` columns (e.g. an edge weight) pass through unchanged,
+    row-aligned with the oriented output."""
     from alp_ray.util import concat_blocks
 
     deg_ds = deg_ds.materialize()
@@ -65,8 +68,9 @@ def orient_by_degree_rank(
         deg_ref = ray.put((dv[order], dc[order]))
 
         class Orient:
-            def __init__(self, deg_ref) -> None:
+            def __init__(self, deg_ref, carry) -> None:
                 self.dv, self.dc = ray.get(deg_ref)
+                self.carry = carry
 
             def _deg(self, x: np.ndarray) -> np.ndarray:
                 return self.dc[np.searchsorted(self.dv, x)]
@@ -76,16 +80,17 @@ def orient_by_degree_rank(
                 b = np.asarray(batch.column("dst"), np.int64)
                 da, db = self._deg(a), self._deg(b)
                 a_first = (da < db) | ((da == db) & (a < b))
-                return pa.table(
-                    {
-                        "a": pa.array(np.where(a_first, a, b)),
-                        "b": pa.array(np.where(a_first, b, a)),
-                        "bd": pa.array(np.where(a_first, db, da)),
-                    }
-                )
+                cols = {
+                    "a": pa.array(np.where(a_first, a, b)),
+                    "b": pa.array(np.where(a_first, b, a)),
+                    "bd": pa.array(np.where(a_first, db, da)),
+                }
+                for c in self.carry:
+                    cols[c] = batch.column(c)
+                return pa.table(cols)
 
         return canon.map_batches(
-            Orient, fn_constructor_args=(deg_ref,),
+            Orient, fn_constructor_args=(deg_ref, carry),
             batch_format="pyarrow", concurrency=(1, 8),
         )
 
@@ -117,13 +122,14 @@ def orient_by_degree_rank(
         da = np.asarray(batch.column("__da"), np.int64)
         db = np.asarray(batch.column("__db"), np.int64)
         a_first = (da < db) | ((da == db) & (a < b))
-        return pa.table(
-            {
-                "a": pa.array(np.where(a_first, a, b)),
-                "b": pa.array(np.where(a_first, b, a)),
-                "bd": pa.array(np.where(a_first, db, da)),
-            }
-        )
+        cols = {
+            "a": pa.array(np.where(a_first, a, b)),
+            "b": pa.array(np.where(a_first, b, a)),
+            "bd": pa.array(np.where(a_first, db, da)),
+        }
+        for c in carry:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return j2.map_batches(orient, batch_format="pyarrow")
 

@@ -169,3 +169,40 @@ def test_ktruss_weighted_matches_oracle():
         want, _ = wtruss_numpy(ew, thr)
         assert have == want, (thr, len(have), len(want))
         assert rounds >= 1
+
+
+@pytest.mark.parametrize("deg_limit", [None, 0])
+def test_ktruss_weighted_shuffle_matches_oracle(deg_limit):
+    """The all-Dataset weighted scale path (weight carried through
+    orientation/wedges, min-folded at the closing match, summed in the
+    support fold) must peel identically to both the sequential oracle
+    and the worker-resident broadcast form. deg_limit=0 forces the
+    degree hash-JOIN attachment (the 10^12-vertex route)."""
+    from alp_ray.pipelines.ktruss import ktruss_weighted
+
+    src, dst = _graph()
+    w = ((src + dst) % 10 + 1).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "weight": w})
+    )
+    ew = {}
+    for a, b, x in zip(src, dst, w):
+        e = (min(int(a), int(b)), max(int(a), int(b)))
+        ew[e] = min(ew.get(e, float("inf")), float(x))
+    kw = {} if deg_limit is None else {
+        "degree_broadcast_limit": deg_limit
+    }
+    got, rounds = ktruss_weighted(
+        ds, threshold=4.0, method="shuffle", **kw
+    )
+    have = {
+        (int(a), int(b)): float(x)
+        for a, b, x in zip(
+            got.column("src").to_pylist(),
+            got.column("dst").to_pylist(),
+            got.column("weight").to_pylist(),
+        )
+    }
+    want, _ = wtruss_numpy(ew, 4.0)
+    assert have == want, (len(have), len(want))
+    assert rounds >= 1
