@@ -3000,11 +3000,14 @@ _WTRUSS_THR = 5.0   # weighted-truss support threshold (integer-valued
 _WTRUSS_ROUNDS = 8  # unrolled peel rounds (extra rounds are no-ops)
 
 
-def _q_ktruss_weighted(sf_dir: str):
+def _q_ktruss_weighted(sf_dir: str, method: str = "auto"):
     """WEIGHTED k-truss (min-weight triangle support ≥ θ) over the
     sparse graph + planted K7/K5 cliques with w = (u+v)%10+1 — the
     weighted generalization of the support-and-peel loop; round count
-    asserted within the twin's unroll."""
+    asserted within the twin's unroll. ``method='shuffle'`` forces the
+    all-Dataset scale path (weight carried through orientation and
+    wedge emission, min-folded at the closing-pair match) — same
+    fixpoint, same twin."""
     import ray.data
 
     from alp_ray.pipelines.ktruss import ktruss_weighted
@@ -3033,7 +3036,9 @@ def _q_ktruss_weighted(sf_dir: str):
         )
 
     edges = base.union(cl).map_batches(add_w, batch_format="pyarrow")
-    out, rounds = ktruss_weighted(edges, threshold=_WTRUSS_THR)
+    out, rounds = ktruss_weighted(
+        edges, threshold=_WTRUSS_THR, method=method
+    )
     assert rounds <= _WTRUSS_ROUNDS, rounds
     return pa.table(
         {
@@ -3042,6 +3047,14 @@ def _q_ktruss_weighted(sf_dir: str):
             "weight": out.column("weight").cast(pa.float64()),
         }
     )
+
+
+def _q_ktruss_weighted_shuffle(sf_dir: str):
+    """The weighted k-truss on the all-Dataset SHUFFLE path — the
+    10^12-edge composition (pipelines/ktruss.py
+    `_round_shuffle_weighted`). Same fixpoint as the broadcast peel,
+    pinned to the same LEAST/SUM unrolled twin."""
+    return _q_ktruss_weighted(sf_dir, method="shuffle")
 
 
 def _wtruss_sql(R: int, thr: float) -> str:
@@ -5117,6 +5130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_sparse": _q_approx_distinct_sparse,
         "truss_decomposition": _q_truss_decomposition,
         "ktruss_weighted": _q_ktruss_weighted,
+        "ktruss_weighted_shuffle": _q_ktruss_weighted_shuffle,
     }
 
 
@@ -5771,6 +5785,9 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(_KTRUSS_ROUNDS, _KTRUSS_K),
         "truss_decomposition": _truss_sql(_TRUSS_MAX_K, _TRUSS_ROUNDS),
         "ktruss_weighted": _wtruss_sql(_WTRUSS_ROUNDS, _WTRUSS_THR),
+        "ktruss_weighted_shuffle": _wtruss_sql(
+            _WTRUSS_ROUNDS, _WTRUSS_THR
+        ),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
