@@ -113,15 +113,19 @@ class AudioFeatureStage:
         return rng.randn(self.frame * self.n_frames)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        energies = []
-        for p in batch.column("payload").to_pylist():
+        payloads = batch.column("payload").to_pylist()
+        # One contiguous buffer; zero-copy FixedSizeListArray view (the
+        # per-row loop is the codec's, not the column builder's).
+        energies = np.empty((len(payloads), self.n_frames), np.float64)
+        for i, p in enumerate(payloads):
             s = self._samples(p).reshape(self.n_frames, self.frame)
-            energies.append((s * s).mean(axis=1).tolist())
+            energies[i] = (s * s).mean(axis=1)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "frame_energy": pa.array(
-                    energies, pa.list_(pa.float64(), self.n_frames)
+                "frame_energy": pa.FixedSizeListArray.from_arrays(
+                    pa.array(energies.reshape(-1), pa.float64()),
+                    self.n_frames,
                 ),
             }
         )
@@ -152,12 +156,18 @@ class FrameSampleStage:
                                    self.thumb, self.thumb)
                 ids.append(mid)
                 fidx.append(f)
-                thumbs.append(img.reshape(-1).tolist())
+                thumbs.append(img.reshape(-1))
+        flat = (
+            np.concatenate(thumbs)
+            if thumbs else np.empty(0, np.uint8)
+        )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_index": pa.array(fidx, pa.int32()),
-                "thumb": pa.array(thumbs, pa.list_(pa.uint8(), n)),
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.uint8()), n
+                ),
             }
         )
 
