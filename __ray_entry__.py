@@ -64,6 +64,13 @@ _E_CPLX = (
 _COLOR_K = 45    # Jones-Plassmann rounds (29 needed at sf0.01; both
                  # sides run exactly K rounds, unconverged stay -1)
 _HITS_K = 12     # HITS full iterations (2K half-steps on both sides)
+_KATZ_K = 15     # Katz fixed steps; alpha = 2^-9 (EXACT double scale —
+                 # the multiply adds zero rounding — and keeps the
+                 # series convergent at every gated sf: dense-graph
+                 # spectral radius ~492 < 512 even at sf0.1)
+_KATZ_ALPHA = 0.001953125
+_EIGC_K = 15     # eigenvector-centrality power steps (HITS half-step
+                 # FP contract: scale by the INPUT's 1/sqrt(sum x^2))
 _KM_K = 8        # kmeans clusters
 _KM_L = 5        # kmeans Lloyd iterations (fixed; no early break)
 _KM_SAMPLE = 4096  # greedy-init sample: the SAMPLE smallest vec_ids
@@ -449,6 +456,64 @@ def _q_hits(sf_dir: str):
             "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
             "auth": pa.array(_round_half_away(a, 6)),
             "hub": pa.array(_round_half_away(h, 6)),
+        }
+    )
+
+
+def _margin_assert(x: np.ndarray, nd: int, what: str) -> None:
+    """Gate-robustness invariant (the CG fix generalized): no rounded
+    digit may sit near a .5 half-boundary, so last-ulp engine-vs-twin
+    summation-order drift can NEVER flip a ROUND(x, nd) value. Fails
+    loudly instead of flaking the driver's value hash."""
+    frac = np.abs(x) * (10.0 ** nd) % 1.0
+    margin = float(np.min(np.abs(frac - 0.5)))
+    assert margin > 1e-4, (
+        f"{what}: value within {margin:.2e} of a rounding "
+        f"half-boundary; adjust the fixture"
+    )
+
+
+def _q_katz(sf_dir: str):
+    """Katz centrality (x ← α·Aᵀx + 1, fixed K steps, α = 2⁻⁹ so the
+    scale multiply is EXACT in binary64) on the dense graph; the DuckDB
+    twin unrolls the identical K steps. α·spectral-radius < 1 at every
+    gated sf, keeping values O(1) and round-safe."""
+    from alp_ray.pipelines.katz import katz
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    katz(engine, alpha=_KATZ_ALPHA, iters=_KATZ_K)
+    x = engine.get_state_by_vertex("x")
+    engine.shutdown()
+    _margin_assert(x, 6, "katz")
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "katz": pa.array(_round_half_away(x, 6)),
+        }
+    )
+
+
+def _q_eigencentrality(sf_dir: str):
+    """In-edge eigenvector centrality (power iteration, per-step scale
+    by the INPUT's 1/‖x‖₂ — the HITS half-step FP contract — plus one
+    final self-normalization), K fixed steps mirrored by the twin."""
+    from alp_ray.pipelines.katz import eigencentrality
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    eigencentrality(engine, iters=_EIGC_K)
+    x = engine.get_state_by_vertex("x")
+    engine.shutdown()
+    _margin_assert(x, 6, "eigencentrality")
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "eigc": pa.array(_round_half_away(x, 6)),
         }
     )
 
@@ -3622,6 +3687,60 @@ def _hits_sql(K: int) -> str:
     return "".join(parts)
 
 
+def _katz_sql(K: int) -> str:
+    """Katz twin: K unrolled steps of α·(in-edge sum) + 1 from x₀ = 0,
+    mirroring _q_katz expression for expression (α is 2⁻⁹ — the decimal
+    literal converts to double exactly, and the multiply is exact)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "x0 AS MATERIALIZED (SELECT v, CAST(0.0 AS DOUBLE) AS val "
+        "FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f", x{k} AS MATERIALIZED (SELECT v.v AS v, "
+            f"{_KATZ_ALPHA!r} * COALESCE(y.s, 0.0) + 1.0 AS val "
+            "FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.val) AS s FROM x{k - 1} p "
+            "JOIN e ON e.src = p.v GROUP BY e.dst) y ON y.v = v.v)"
+        )
+    parts.append(
+        f" SELECT v AS vertex, ROUND(val, 6) AS katz FROM x{K}"
+    )
+    return "".join(parts)
+
+
+def _eigc_sql(K: int) -> str:
+    """Eigenvector-centrality twin: the _hits_sql authority chain
+    alone — scale AFTER the edge sum by the input's 1.0/sqrt(Σval²),
+    final self-normalization."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "x0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS val "
+        "FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f", x{k} AS MATERIALIZED (SELECT v.v AS v, "
+            f"COALESCE(y.s, 0.0) * (SELECT 1.0/sqrt(SUM(val*val)) "
+            f"FROM x{k - 1}) AS val "
+            "FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.val) AS s FROM x{k - 1} p "
+            "JOIN e ON e.src = p.v GROUP BY e.dst) y ON y.v = v.v)"
+        )
+    parts.append(
+        " SELECT v.v AS vertex, "
+        f"ROUND(x.val * (SELECT 1.0/sqrt(SUM(val*val)) FROM x{K}), 6) "
+        "AS eigc "
+        f"FROM verts v JOIN x{K} x ON x.v = v.v"
+    )
+    return "".join(parts)
+
+
 def _bfs_closure_ctes(L: int) -> str:
     """Shared unrolled multi-source BFS closure (anti-join discovery,
     integer levels): CTE chain ending in ``v{L}(s, v, lvl)``."""
@@ -5131,6 +5250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truss_decomposition": _q_truss_decomposition,
         "ktruss_weighted": _q_ktruss_weighted,
         "ktruss_weighted_shuffle": _q_ktruss_weighted_shuffle,
+        "katz_centrality": _q_katz,
+        "eigencentrality": _q_eigencentrality,
     }
 
 
@@ -5788,6 +5909,8 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_weighted_shuffle": _wtruss_sql(
             _WTRUSS_ROUNDS, _WTRUSS_THR
         ),
+        "katz_centrality": _katz_sql(_KATZ_K),
+        "eigencentrality": _eigc_sql(_EIGC_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
