@@ -518,6 +518,52 @@ def _q_eigencentrality(sf_dir: str):
     )
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style within-document repetition filters — one
+    map_batches pass, zero shuffle; every fraction a single IEEE
+    divide of exact integers, so the twin matches with NO rounding."""
+    import ray.data
+
+    from alp_ray.stages.text import repetition_scores_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        repetition_scores_batch, batch_format="pyarrow"
+    )
+
+
+_REPETITION_SQL = (
+    "WITH lines AS MATERIALIZED (SELECT doc_id, "
+    "unnest(string_split(text, chr(10))) AS line FROM documents), "
+    "ls AS (SELECT doc_id, COUNT(*) AS n_lines, SUM(length(line)) "
+    "AS tc FROM lines GROUP BY doc_id), "
+    "ld AS (SELECT doc_id, COUNT(*) AS nd, SUM(length(line)) AS dc "
+    "FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY doc_id), "
+    "toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') "
+    "AS arr FROM documents), "
+    "tok AS MATERIALIZED (SELECT doc_id, unnest(arr) AS tok, "
+    "generate_subscripts(arr, 1) AS i FROM toks), "
+    "bgc AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram, "
+    "COUNT(*) AS cnt FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+    "AND b.i = a.i + 1 GROUP BY a.doc_id, bigram), "
+    "bgm AS (SELECT doc_id, MAX(cnt) AS topc, SUM(cnt) AS nb "
+    "FROM bgc GROUP BY doc_id) "
+    "SELECT ls.doc_id, ls.n_lines, "
+    "CAST(ls.n_lines - ld.nd AS DOUBLE) / CAST(ls.n_lines AS DOUBLE) "
+    "AS dup_line_frac, "
+    "CASE WHEN ls.tc = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+    "CAST(ls.tc - ld.dc AS DOUBLE) / CAST(ls.tc AS DOUBLE) END "
+    "AS dup_line_char_frac, "
+    "CASE WHEN bgm.doc_id IS NULL THEN CAST(0.0 AS DOUBLE) ELSE "
+    "CAST(bgm.topc AS DOUBLE) / CAST(bgm.nb AS DOUBLE) END "
+    "AS top_bigram_frac "
+    "FROM ls JOIN ld ON ld.doc_id = ls.doc_id "
+    "LEFT JOIN bgm ON bgm.doc_id = ls.doc_id"
+)
+
+
 def _q_kcore(sf_dir: str):
     from alp_ray.pipelines.traversal import kcore_decomposition
     from alp_ray.sources.tables import derived_edges
@@ -5252,6 +5298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_weighted_shuffle": _q_ktruss_weighted_shuffle,
         "katz_centrality": _q_katz,
         "eigencentrality": _q_eigencentrality,
+        "repetition_scores": _q_repetition,
     }
 
 
@@ -5911,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "katz_centrality": _katz_sql(_KATZ_K),
         "eigencentrality": _eigc_sql(_EIGC_K),
+        "repetition_scores": _REPETITION_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -832,3 +832,95 @@ def length_bucket_batches(
     return ray.data.from_arrow_refs(
         [_tag.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+# ------------------------------------------- within-doc repetition --
+
+def repetition_scores_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021, "Scaling Language Models", Table A1 — the repetition-removal
+    family): per document,
+
+    - ``n_lines`` and ``dup_line_frac`` — fraction of line occurrences
+      beyond the first occurrence of that exact line;
+    - ``dup_line_char_frac`` — fraction of line CHARACTERS sitting in
+      those duplicate occurrences;
+    - ``top_bigram_frac`` — count of the most frequent word bigram over
+      the number of bigram slots (0.0 for docs with < 2 tokens).
+
+    Embarrassingly parallel (a doc never spans blocks): ONE map_batches
+    pass, zero shuffle, Arrow split kernels + numpy segment reductions.
+    FP contract for the DuckDB twin: every fraction is a single IEEE
+    double division of two exactly-representable integers — bitwise
+    reproducible on both sides with no rounding step at all.
+
+    Lines split on chr(10), tokens on a single space (the _doc_tokens /
+    string_split(text, ' ') convention — empties kept on both sides).
+    """
+    n_docs = batch.num_rows
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    # --- lines ---
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    n_lines = np.diff(np.asarray(lines.offsets)).astype(np.int64)
+    lidx = np.repeat(np.arange(n_lines.size), n_lines)
+    lvals = lines.values
+    llen = np.asarray(pc.utf8_length(lvals), dtype=np.int64)
+    codes, _ = _ranked_codes(lvals)
+    order = np.lexsort((codes, lidx))
+    d_s, c_s, l_s = lidx[order], codes[order], llen[order]
+    first = np.ones(d_s.size, bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    n_distinct = np.bincount(d_s[first], minlength=n_docs)
+    total_chars = np.bincount(lidx, weights=llen, minlength=n_docs)
+    distinct_chars = np.bincount(
+        d_s[first], weights=l_s[first], minlength=n_docs
+    )
+    # ints < 2^53 held exactly in float64: subtraction exact, one
+    # correctly-rounded divide — mirrors CAST(a-b AS DOUBLE)/CAST(...).
+    dup_line_frac = (n_lines - n_distinct) / n_lines
+    dup_line_char_frac = np.zeros(n_docs)
+    nz = total_chars > 0
+    np.divide(total_chars - distinct_chars, total_chars,
+              out=dup_line_char_frac, where=nz)
+
+    # --- word bigrams ---
+    top = np.zeros(n_docs, np.int64)
+    n_bigrams = np.zeros(n_docs, np.int64)
+    values, tidx = _doc_tokens(batch, text_col)
+    n = len(values)
+    if n >= 2:
+        left = values.slice(0, n - 1)
+        right = values.slice(1, n - 1)
+        joined = pc.binary_join_element_wise(left, right, " ")
+        same = tidx[1:] == tidx[:-1]
+        bdoc = tidx[1:][same]
+        if bdoc.size:
+            bcodes, _ = _ranked_codes(joined.filter(pa.array(same)))
+            order = np.lexsort((bcodes, bdoc))
+            bd, bc = bdoc[order], bcodes[order]
+            run_start = np.ones(bd.size, bool)
+            run_start[1:] = (bd[1:] != bd[:-1]) | (bc[1:] != bc[:-1])
+            starts = np.nonzero(run_start)[0]
+            run_len = np.diff(np.append(starts, bd.size))
+            np.maximum.at(top, bd[starts], run_len)
+            n_bigrams = np.bincount(bdoc, minlength=n_docs)
+    top_bigram_frac = np.zeros(n_docs)
+    nz = n_bigrams > 0
+    np.divide(top, n_bigrams, out=top_bigram_frac, where=nz)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines),
+            "dup_line_frac": pa.array(dup_line_frac),
+            "dup_line_char_frac": pa.array(dup_line_char_frac),
+            "top_bigram_frac": pa.array(top_bigram_frac),
+        }
+    )

@@ -253,3 +253,43 @@ def test_length_bucket_batches_matches_row_number_law():
         assert out[i]["bucket"] == want_bucket[i], i
         assert out[i]["batch_idx"] == ranks[i], i
         assert out[i]["n_tokens"] == len(texts[i].split())
+
+
+def test_repetition_scores_batch():
+    import duckdb
+    import pyarrow as pa
+
+    from alp_ray.stages.text import repetition_scores_batch
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b\na b\nxyz\na b",       # dup lines: "a b" x3
+            "one two one two one two",   # top bigram dominates
+            "",                          # degenerate: 1 empty line
+            "unique lines\nonly here",
+        ]),
+    })
+    out = repetition_scores_batch(docs).to_pandas()
+    assert out["n_lines"].tolist() == [4, 1, 1, 2]
+    # doc0: 4 lines, 2 distinct -> 2/4; chars 3+3+3+3=12, distinct 3+3=6
+    assert out["dup_line_frac"].tolist() == [0.5, 0.0, 0.0, 0.0]
+    assert out["dup_line_char_frac"][0] == 0.5
+    assert out["dup_line_char_frac"][2] == 0.0  # 0 chars -> 0.0
+    # doc1: 6 tokens, 5 bigram slots, "one two" x3 -> 3/5
+    assert out["top_bigram_frac"][1] == 3.0 / 5.0
+    # doc2: 1 token ("") -> 0 bigrams -> 0.0
+    assert out["top_bigram_frac"][2] == 0.0
+
+    # Cross-check every value against the SQL twin on the same rows.
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(em.oracle_sql()["repetition_scores"])
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
