@@ -587,6 +587,94 @@ def _q_kcore(sf_dir: str):
     )
 
 
+_DENSEST_ROUNDS = 10  # BKV peel: ≤5 rounds observed at every sf;
+                      # over-unrolled twin rounds are fixpoint no-ops
+
+
+def _q_densest(sf_dir: str):
+    """Densest subgraph (Bahmani-Kumar-Vassilvitskii parallel peel,
+    eps=1/2): all-integer deletion test 2·deg·n ≤ 3·m2, best round by
+    the identical double density expression on both sides."""
+    from alp_ray.pipelines.densest import densest_subgraph
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    engine.compute_out_degrees("outdeg")
+    res = densest_subgraph(engine, max_rounds=_DENSEST_ROUNDS)
+    rr = engine.get_state_by_vertex("removal_round").astype(np.int64)
+    outdeg = engine.get_state_by_vertex("outdeg")
+    engine.shutdown()
+    assert res.rounds <= _DENSEST_ROUNDS, res.rounds
+    ids = np.flatnonzero(outdeg > 0)
+    in_densest = (rr[ids] >= res.best_round).astype(np.int64)
+    return pa.table(
+        {
+            "vertex": pa.array(ids.astype(np.int64)),
+            "removal_round": pa.array(rr[ids]),
+            "in_densest": pa.array(in_densest),
+        }
+    )
+
+
+def _densest_sql(K: int) -> str:
+    """Twin of _q_densest: K unrolled peel rounds; n counts ALL
+    range(MOD_SPARSE) vertices round 1 (the engine's state width),
+    output restricted to present (deg>0) vertices like kcore."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"a0 AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_SPARSE}))",
+    ]
+    for r in range(1, K + 1):
+        p = f"a{r - 1}"
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT a.v, "
+            "COALESCE(y.c, 0) AS deg, "
+            f"(SELECT COUNT(*) FROM es e JOIN {p} s ON s.v = e.src "
+            f"JOIN {p} t ON t.v = e.dst) AS m2, "
+            f"(SELECT COUNT(*) FROM {p}) AS n "
+            f"FROM {p} a LEFT JOIN ("
+            "SELECT e.dst AS v, COUNT(*) AS c FROM es e "
+            f"JOIN {p} s ON s.v = e.src JOIN {p} t ON t.v = e.dst "
+            "GROUP BY e.dst) y ON y.v = a.v)"
+            f", a{r} AS MATERIALIZED (SELECT v FROM d{r} "
+            "WHERE NOT (2*deg*n <= 3*m2))"
+            f", rm{r} AS (SELECT v, CAST({r} AS BIGINT) AS rr "
+            f"FROM d{r} WHERE 2*deg*n <= 3*m2)"
+        )
+    rounds = " UNION ALL ".join(
+        f"(SELECT {r} AS r, m2, n FROM d{r} LIMIT 1)"
+        for r in range(1, K + 1)
+    )
+    removal = " UNION ALL ".join(
+        f"SELECT * FROM rm{r}" for r in range(1, K + 1)
+    )
+    parts.append(
+        f", rounds AS MATERIALIZED ({rounds})"
+        ", best AS MATERIALIZED (SELECT r FROM rounds WHERE n > 0 "
+        "ORDER BY CAST(m2 AS DOUBLE)/CAST(2*n AS DOUBLE) DESC, r ASC "
+        "LIMIT 1)"
+        f", removal AS MATERIALIZED ({removal}) "
+        "SELECT pv.v AS vertex, rm.rr AS removal_round, "
+        "CAST(CASE WHEN rm.rr >= (SELECT r FROM best) THEN 1 ELSE 0 "
+        "END AS BIGINT) AS in_densest "
+        "FROM (SELECT DISTINCT dst AS v FROM es) pv "
+        "JOIN removal rm ON rm.v = pv.v"
+    )
+    return "".join(parts)
+
+
 def _sym_weighted_sparse(sf_dir: str):
     """Symmetrized sparse edge set with the deterministic pair weight
     (src+dst)%10+1 — weight is a function of the unordered pair, so it
@@ -5299,6 +5387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_centrality": _q_katz,
         "eigencentrality": _q_eigencentrality,
         "repetition_scores": _q_repetition,
+        "densest_subgraph": _q_densest,
     }
 
 
@@ -5959,6 +6048,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_centrality": _katz_sql(_KATZ_K),
         "eigencentrality": _eigc_sql(_EIGC_K),
         "repetition_scores": _REPETITION_SQL,
+        "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
