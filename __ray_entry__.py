@@ -587,6 +587,61 @@ def _q_kcore(sf_dir: str):
     )
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the CC partition: labels from the engine's
+    max-label CC broadcast once, ONE partial-combine map_batches over
+    the distinct symmetric edges + one tiny label groupby; m_c/m and
+    (d_c/2m)² as the twin-mirrored double expressions."""
+    from alp_ray.pipelines.community import modularity_contributions
+    from alp_ray.pipelines.components import connected_components
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    ).materialize()
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    connected_components(engine)
+    engine.compute_out_degrees("outdeg")
+    labels = engine.get_state_by_vertex("label").astype(np.int64)
+    outdeg = engine.get_state_by_vertex("outdeg")
+    engine.shutdown()
+    present = np.flatnonzero(outdeg > 0)
+    return modularity_contributions(edges, labels, present)
+
+
+_MODULARITY_SQL = (
+    "WITH es AS MATERIALIZED ("
+    f"SELECT src, dst FROM ({_E_SPARSE}) "
+    f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    "), verts AS (SELECT DISTINCT src AS v FROM es), "
+    "reach AS (WITH RECURSIVE r(v, u) AS ("
+    "SELECT v, v FROM verts UNION "
+    "SELECT r.v, es.dst FROM r JOIN es ON es.src = r.u) "
+    "SELECT * FROM r), "
+    "lab AS MATERIALIZED (SELECT v, CAST(MAX(u) AS BIGINT) AS label "
+    "FROM reach GROUP BY v), "
+    "dsum AS (SELECT la.label, COUNT(*) AS dc FROM es e "
+    "JOIN lab la ON la.v = e.src GROUP BY la.label), "
+    "within AS (SELECT la.label, COUNT(*) AS mw2 FROM es e "
+    "JOIN lab la ON la.v = e.src "
+    "JOIN lab lb ON lb.v = e.dst AND lb.label = la.label "
+    "GROUP BY la.label), "
+    "sizes AS (SELECT label, COUNT(*) AS nv FROM lab GROUP BY label), "
+    "m2t AS (SELECT COUNT(*) AS c FROM es) "
+    "SELECT s.label AS community, s.nv AS n_vertices, "
+    "COALESCE(w.mw2, 0) AS m2_within, d.dc AS deg_sum, "
+    "CAST(COALESCE(w.mw2, 0) AS DOUBLE)/CAST(m2t.c AS DOUBLE) - "
+    "(CAST(d.dc AS DOUBLE)/CAST(m2t.c AS DOUBLE)) * "
+    "(CAST(d.dc AS DOUBLE)/CAST(m2t.c AS DOUBLE)) AS q_contrib "
+    "FROM sizes s JOIN dsum d ON d.label = s.label "
+    "LEFT JOIN within w ON w.label = s.label CROSS JOIN m2t"
+)
+
+
 _DENSEST_ROUNDS = 10  # BKV peel: ≤5 rounds observed at every sf;
                       # over-unrolled twin rounds are fixpoint no-ops
 
@@ -5388,6 +5443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality": _q_eigencentrality,
         "repetition_scores": _q_repetition,
         "densest_subgraph": _q_densest,
+        "modularity": _q_modularity,
     }
 
 
@@ -6049,6 +6105,7 @@ def oracle_sql() -> dict[str, str]:
         "eigencentrality": _eigc_sql(_EIGC_K),
         "repetition_scores": _REPETITION_SQL,
         "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
+        "modularity": _MODULARITY_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -210,3 +210,35 @@ def test_triangles_shuffle_degree_join_route():
     ds = _tri_ds(src, dst)
     got = triangle_count(ds, method="shuffle", degree_broadcast_limit=0)
     assert got == oracle.triangle_count(src, dst, n)
+
+
+def test_modularity_two_cliques():
+    """Two K4s joined by one bridge edge, labelled by clique:
+    m=13, within = 12, d_A = d_B = 13 → Q = 2*(6/13 - (13/26)^2)."""
+    import numpy as np
+    import ray.data
+
+    from alp_ray.pipelines.community import modularity_contributions
+
+    a = [(i, j) for i in range(4) for j in range(4) if i != j]
+    b = [(i + 4, j + 4) for i, j in a]
+    bridge = [(0, 4), (4, 0)]
+    src, dst = zip(*(a + b + bridge))
+    edges = ray.data.from_arrow(
+        __import__("pyarrow").table({
+            "src": list(map(int, src)), "dst": list(map(int, dst)),
+        })
+    )
+    labels = np.array([3] * 4 + [7] * 4, np.int64)
+    out = modularity_contributions(
+        edges, labels, np.arange(8)
+    ).to_pandas().sort_values("community").reset_index(drop=True)
+    assert out["community"].tolist() == [3, 7]
+    assert out["n_vertices"].tolist() == [4, 4]
+    assert out["m2_within"].tolist() == [12, 12]
+    assert out["deg_sum"].tolist() == [13, 13]
+    exp = 12 / 26.0 - (13 / 26.0) * (13 / 26.0)
+    assert np.allclose(out["q_contrib"].to_numpy(), [exp, exp],
+                       rtol=0, atol=0)
+    q = out["q_contrib"].sum()
+    assert abs(q - 2 * exp) < 1e-15
