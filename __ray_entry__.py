@@ -564,6 +564,57 @@ _REPETITION_SQL = (
 )
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style quality rules (word count / type-token ratio / mean
+    word length / stopword presence) — one map_batches pass, zero
+    shuffle; every output an integer (floor-division ratios), so the
+    twin matches with NO rounding."""
+    import ray.data
+
+    from alp_ray.stages.text import gopher_quality_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        gopher_quality_batch, batch_format="pyarrow"
+    )
+
+
+def _gopher_quality_sql() -> str:
+    from alp_ray.stages.text import (
+        _STOPWORDS,
+        GOPHER_MAX_MWL_X100,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL_X100,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TTR_PCT,
+        GOPHER_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS[:8])
+    return (
+        "WITH toks AS MATERIALIZED (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "agg AS (SELECT doc_id, COUNT(*) AS nw, "
+        "COUNT(DISTINCT tok) AS nd, "
+        "CAST(SUM(length(tok)) AS BIGINT) AS ch, "
+        f"CAST(SUM(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS sh FROM toks GROUP BY doc_id) "
+        "SELECT doc_id, nw AS n_words, nd AS n_distinct_words, "
+        "ch AS n_word_chars, sh AS stop_hits, "
+        "(100 * nd) // nw AS ttr_pct, "
+        "(100 * ch) // nw AS mean_wlen_x100, "
+        "CAST(CASE WHEN "
+        f"nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+        f"AND (100 * nd) // nw >= {GOPHER_MIN_TTR_PCT} "
+        f"AND (100 * ch) // nw BETWEEN {GOPHER_MIN_MWL_X100} "
+        f"AND {GOPHER_MAX_MWL_X100} "
+        f"AND sh >= {GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS keep FROM agg"
+    )
+
+
 def _q_kcore(sf_dir: str):
     from alp_ray.pipelines.traversal import kcore_decomposition
     from alp_ray.sources.tables import derived_edges
@@ -5444,6 +5495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition,
         "densest_subgraph": _q_densest,
         "modularity": _q_modularity,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -6106,6 +6158,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": _REPETITION_SQL,
         "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
         "modularity": _MODULARITY_SQL,
+        "gopher_quality": _gopher_quality_sql(),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -924,3 +924,89 @@ def repetition_scores_batch(
             "top_bigram_frac": pa.array(top_bigram_frac),
         }
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 Table A1 family,
+# re-scaled to the synthetic corpus so both keep classes are populated).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_TTR_PCT = 45           # 100·distinct/total words
+GOPHER_MIN_MWL_X100 = 400         # 100·word-chars/words (mean wlen ≥4)
+GOPHER_MAX_MWL_X100 = 520         # mean word length ≤ 5.2
+GOPHER_MIN_STOP_HITS = 1
+
+
+def gopher_quality_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style document QUALITY rules (Rae et al. 2021, Table A1 —
+    the companion of :func:`repetition_scores_batch`'s repetition
+    family): per document the word count, distinct-word count,
+    word-character sum and stopword-hit count, plus the two derived
+    integer ratios the rules threshold on —
+
+    - ``ttr_pct``       = (100·n_distinct) // n_words   (type-token ratio)
+    - ``mean_wlen_x100``= (100·n_word_chars) // n_words
+
+    and ``keep`` (int64 0/1): word count in
+    [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS], ttr ≥ GOPHER_MIN_TTR_PCT,
+    mean word length within [MIN,MAX]_MWL, and ≥ GOPHER_MIN_STOP_HITS
+    stopword occurrence (the "contains common English words" rule,
+    over the first 8 entries of the shared ``_STOPWORDS`` list).
+
+    Embarrassingly parallel, ONE map_batches pass, zero shuffle. Every
+    output is an INTEGER (ratios are floor divisions), so the DuckDB
+    twin is rounding-free by construction. Tokens split on a single
+    space (the ``_doc_tokens`` / ``string_split(text, ' ')``
+    convention).
+    """
+    n_docs = batch.num_rows
+    values, tidx = _doc_tokens(batch, text_col)
+    n_words = np.bincount(tidx, minlength=n_docs).astype(np.int64)
+    tok_len = np.asarray(pc.utf8_length(values), dtype=np.int64)
+    # bincount(weights=) sums in float64 — exact below 2^53 chars/doc.
+    n_chars = np.bincount(
+        tidx, weights=tok_len, minlength=n_docs
+    ).astype(np.int64)
+    stop_hit = np.asarray(
+        pc.is_in(
+            values, value_set=pa.array(_STOPWORDS[:8], pa.string())
+        ).cast(pa.int8()),
+        dtype=np.int64,
+    )
+    stop_hits = np.bincount(
+        tidx, weights=stop_hit, minlength=n_docs
+    ).astype(np.int64)
+    # Distinct tokens per doc: sort (doc, code) pairs once, count run
+    # starts — the repetition_scores_batch dup-line trick.
+    codes, _ = _ranked_codes(values)
+    order = np.lexsort((codes, tidx))
+    d_s, c_s = tidx[order], codes[order]
+    first = np.ones(d_s.size, bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    n_distinct = np.bincount(d_s[first], minlength=n_docs).astype(
+        np.int64
+    )
+    safe_w = np.maximum(n_words, 1)
+    ttr_pct = (100 * n_distinct) // safe_w
+    mwl_x100 = (100 * n_chars) // safe_w
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (ttr_pct >= GOPHER_MIN_TTR_PCT)
+        & (mwl_x100 >= GOPHER_MIN_MWL_X100)
+        & (mwl_x100 <= GOPHER_MAX_MWL_X100)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "n_word_chars": pa.array(n_chars),
+            "stop_hits": pa.array(stop_hits),
+            "ttr_pct": pa.array(ttr_pct),
+            "mean_wlen_x100": pa.array(mwl_x100),
+            "keep": pa.array(keep),
+        }
+    )

@@ -293,3 +293,42 @@ def test_repetition_scores_batch():
     got = out.sort_values("doc_id").reset_index(drop=True)
     for c in got.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_gopher_quality_batch():
+    import duckdb
+    import pyarrow as pa
+
+    from alp_ray.stages.text import gopher_quality_batch
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            # 31 distinct-ish words incl. stopwords, mean wlen ~4.2:
+            " ".join(
+                f"word{i}" if i % 3 else "the" for i in range(31)
+            ),
+            "tiny doc",                          # fails word-count rule
+            "aa " * 29 + "aa",                   # 30 words, 1 distinct
+        ]),
+    })
+    out = gopher_quality_batch(docs).to_pandas()
+    assert out["n_words"].tolist() == [31, 2, 30]
+    assert out["n_distinct_words"][2] == 1
+    assert out["stop_hits"][0] == 11           # "the" x11
+    assert out["keep"].tolist() == [1, 0, 0]
+    # ttr floor-division law: doc2 = 100*1//30 = 3
+    assert out["ttr_pct"][2] == 3
+
+    # Cross-check every value against the SQL twin on the same rows.
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(em.oracle_sql()["gopher_quality"])
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
