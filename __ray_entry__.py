@@ -1876,6 +1876,34 @@ def _q_sequence_pack(sf_dir: str):
     return sequence_pack(docs, seq_len=256)
 
 
+def _q_chunk_manifest(sf_dir: str):
+    """Per-(doc, sequence) loader manifest for the 256-token
+    concat-and-chunk layout: the within-document token span each
+    training sequence takes. All-integer expansion of sequence_pack."""
+    import ray.data
+
+    from alp_ray.stages.text import chunk_manifest
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_manifest(docs, seq_len=256)
+
+
+_CHUNK_MANIFEST_SQL = (
+    "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
+    "AS BIGINT) AS n FROM documents), "
+    "c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING), 0) AS BIGINT) AS bef FROM t), "
+    "x AS (SELECT doc_id, n, bef, unnest(range(bef // 256, "
+    "(bef + n - 1) // 256 + 1)) AS chunk_id FROM c) "
+    "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "GREATEST(0, chunk_id * 256 - bef) AS tok_start, "
+    "LEAST(n, (chunk_id + 1) * 256 - bef) AS tok_end FROM x"
+)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: item pairs bought together in ≥2
     orders, weighted by order count (bipartite projection of the
@@ -5496,6 +5524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_subgraph": _q_densest,
         "modularity": _q_modularity,
         "gopher_quality": _q_gopher_quality,
+        "chunk_manifest": _q_chunk_manifest,
     }
 
 
@@ -6159,6 +6188,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_sql(_DENSEST_ROUNDS),
         "modularity": _MODULARITY_SQL,
         "gopher_quality": _gopher_quality_sql(),
+        "chunk_manifest": _CHUNK_MANIFEST_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -744,6 +744,95 @@ def sequence_pack(
     return ray.data.from_arrow_refs(out)
 
 
+def chunk_manifest(
+    docs,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Concat-and-chunk LOADER MANIFEST: one row per (document,
+    training-sequence) pair with the within-document token span
+    ``[tok_start, tok_end)`` that sequence takes from the document —
+    the materialization plan a pretraining data loader executes after
+    :func:`sequence_pack` decides the layout. A document straddling a
+    boundary emits one row per covered sequence.
+
+    Same physical plan as sequence_pack (one range sort by id,
+    per-block token sums → O(#blocks) driver offset scalars →
+    per-block expansion); the expansion is pure integer arithmetic
+    (np.repeat + arange), so the DuckDB twin (window prefix sum +
+    ``unnest(range(...))``) is rounding-free.
+    """
+    import ray
+    import ray.data
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = np.diff(np.asarray(toks.offsets, np.int64))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(n),
+        })
+
+    sorted_ds = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(with_tokens, batch_format="pyarrow")
+        .sort(id_col)
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _tokens(tbl: pa.Table) -> int:
+        if "n_tokens" not in tbl.column_names:
+            return 0
+        return int(np.asarray(tbl.column("n_tokens"), np.int64).sum())
+
+    sums = ray.get([_tokens.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote
+    def _expand(tbl: pa.Table, offset: int) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "tok_end": pa.array([], pa.int64()),
+        })
+        if "n_tokens" not in tbl.column_names or tbl.num_rows == 0:
+            return empty
+        ids = np.asarray(tbl.column(id_col), np.int64)
+        n = np.asarray(tbl.column("n_tokens"), np.int64)
+        off = offset + np.concatenate([[0], np.cumsum(n)[:-1]])
+        # split(' ') yields ≥1 token per doc, so n ≥ 1 everywhere.
+        first = off // seq_len
+        last = (off + n - 1) // seq_len
+        per_doc = last - first + 1
+        ridx = np.repeat(np.arange(ids.size), per_doc)
+        starts = np.repeat(first, per_doc)
+        # chunk ids: consecutive run per doc starting at `first`.
+        run = np.arange(ridx.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(per_doc)[:-1]]), per_doc
+        )
+        chunk = starts + run
+        o, nn = off[ridx], n[ridx]
+        tok_start = np.maximum(0, chunk * seq_len - o)
+        tok_end = np.minimum(nn, (chunk + 1) * seq_len - o)
+        return pa.table({
+            id_col: pa.array(ids[ridx]),
+            "chunk_id": pa.array(chunk),
+            "tok_start": pa.array(tok_start),
+            "tok_end": pa.array(tok_end),
+        })
+
+    out = [
+        _expand.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
 def length_bucket_batches(
     docs: "ray.data.Dataset",
     boundaries: tuple = (32, 64, 128, 256, 512),

@@ -295,6 +295,42 @@ def test_repetition_scores_batch():
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
+def test_chunk_manifest_tiles_exactly(ray_session):
+    """Spans per doc tile [0, n_tokens) without gaps; per-chunk token
+    totals are exactly seq_len except the final partial chunk."""
+    import ray.data
+
+    from alp_ray.stages.text import chunk_manifest, sequence_pack
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    W = 64
+    man = chunk_manifest(docs, seq_len=W).to_pandas()
+    pack = sequence_pack(docs, seq_len=W).to_pandas()
+    # Per-doc: spans start at 0, end at n_tokens, no gaps or overlap.
+    g = man.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")
+    sizes = g.apply(
+        lambda d: int((d.tok_end - d.tok_start).sum()),
+        include_groups=False,
+    )
+    n_tok = pack.set_index("doc_id")["n_tokens"]
+    assert (sizes == n_tok.loc[sizes.index]).all()
+    first = g.first()
+    assert (first.tok_start == 0).all()
+    # Chunk ids agree with sequence_pack's first/last assignment.
+    rng = g.agg(lo=("chunk_id", "min"), hi=("chunk_id", "max"))
+    pk = pack.set_index("doc_id").loc[rng.index]
+    assert (rng.lo == pk.seq_start).all() and (rng.hi == pk.seq_end).all()
+    # Per-chunk totals: W everywhere except the last chunk.
+    per_chunk = man.groupby("chunk_id").apply(
+        lambda d: int((d.tok_end - d.tok_start).sum()),
+        include_groups=False,
+    )
+    assert (per_chunk.iloc[:-1] == W).all() and per_chunk.iloc[-1] <= W
+
+
 def test_gopher_quality_batch():
     import duckdb
     import pyarrow as pa
