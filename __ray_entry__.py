@@ -615,6 +615,98 @@ def _gopher_quality_sql() -> str:
     )
 
 
+# Boruvka MST: fixed round/doubling counts shared by the Ray query and
+# the unrolled twin (extra rounds past the fixpoint are no-ops on both
+# sides; boruvka_mst raises if the fixpoint is NOT reached in time).
+_MST_ROUNDS = 11   # ceil(log2(601)) + 1
+_MST_D = 11        # pointer doublings per round
+
+
+def _q_mst(sf_dir: str):
+    """Boruvka minimum spanning forest of the weighted dense graph —
+    packed (w, a, b) argmin keys make the forest unique under weight
+    ties and every step integer-exact; zero shuffles (per-block argmin
+    partials + broadcast labels + driver pointer doubling)."""
+    from alp_ray.pipelines.mst import boruvka_mst
+
+    forest, used = boruvka_mst(
+        _dense_edges(sf_dir, weighted=True),
+        n=MOD_DENSE,
+        rounds=_MST_ROUNDS,
+    )
+    assert used <= _MST_ROUNDS
+    return forest
+
+
+def _mst_sql(n: int, rounds: int, doublings: int) -> str:
+    """Unrolled Boruvka twin: per round an argmin-by-packed-key GROUP
+    BY, hook parents, the mutual-pair break, and exactly ``doublings``
+    pointer-doubling self-joins — the same integer ops the Ray side
+    runs in numpy."""
+    parts = [
+        "WITH ew AS MATERIALIZED (SELECT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b, CAST(weight AS BIGINT) AS w "
+        f"FROM ({_E_WEIGHTED}) WHERE src != dst), "
+        f"lab0 AS MATERIALIZED (SELECT range AS v, range AS lab "
+        f"FROM range({n}))"
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        pr = f"lab{r - 1}"
+        cand_half = (
+            "SELECT {side}.lab AS comp, "
+            f"(e.w * {n} + e.a) * {n} + e.b AS key "
+            f"FROM ew e JOIN {pr} la ON la.v = e.a "
+            f"JOIN {pr} lb ON lb.v = e.b WHERE la.lab != lb.lab"
+        )
+        parts.append(
+            f", cand{r} AS MATERIALIZED ("
+            + cand_half.format(side="la")
+            + " UNION ALL "
+            + cand_half.format(side="lb")
+            + ")"
+        )
+        parts.append(
+            f", m{r} AS MATERIALIZED (SELECT comp, MIN(key) AS k "
+            f"FROM cand{r} GROUP BY comp)"
+        )
+        parts.append(
+            f", par{r} AS MATERIALIZED (SELECT m.comp AS c, "
+            "CASE WHEN la.lab = m.comp THEN lb.lab ELSE la.lab END AS p "
+            f"FROM m{r} m JOIN {pr} la ON la.v = (m.k // {n}) % {n} "
+            f"JOIN {pr} lb ON lb.v = m.k % {n})"
+        )
+        parts.append(
+            f", p{r}_0 AS MATERIALIZED (SELECT l.lab AS c, "
+            "COALESCE(pr2.p, l.lab) AS p "
+            f"FROM (SELECT DISTINCT lab FROM {pr}) l "
+            f"LEFT JOIN par{r} pr2 ON pr2.c = l.lab)"
+        )
+        parts.append(
+            f", p{r}_1 AS MATERIALIZED (SELECT x.c, "
+            "CASE WHEN y.p = x.c AND x.c < x.p THEN x.c ELSE x.p END "
+            f"AS p FROM p{r}_0 x JOIN p{r}_0 y ON y.c = x.p)"
+        )
+        for i in range(1, doublings + 1):
+            parts.append(
+                f", p{r}_{i + 1} AS MATERIALIZED (SELECT x.c, y.p "
+                f"FROM p{r}_{i} x JOIN p{r}_{i} y ON y.c = x.p)"
+            )
+        parts.append(
+            f", lab{r} AS MATERIALIZED (SELECT l.v, pp.p AS lab "
+            f"FROM {pr} l JOIN p{r}_{doublings + 1} pp ON pp.c = l.lab)"
+        )
+        sels.append(
+            f"SELECT (k // {n}) % {n} AS src, k % {n} AS dst, "
+            f"k // {n * n} AS weight FROM m{r}"
+        )
+    union = " UNION ALL ".join(sels)
+    parts.append(
+        f" SELECT DISTINCT src, dst, weight FROM ({union})"
+    )
+    return "".join(parts)
+
+
 def _q_kcore(sf_dir: str):
     from alp_ray.pipelines.traversal import kcore_decomposition
     from alp_ray.sources.tables import derived_edges
@@ -5525,6 +5617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": _q_modularity,
         "gopher_quality": _q_gopher_quality,
         "chunk_manifest": _q_chunk_manifest,
+        "mst_forest": _q_mst,
     }
 
 
@@ -6189,6 +6282,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _MODULARITY_SQL,
         "gopher_quality": _gopher_quality_sql(),
         "chunk_manifest": _CHUNK_MANIFEST_SQL,
+        "mst_forest": _mst_sql(MOD_DENSE, _MST_ROUNDS, _MST_D),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
