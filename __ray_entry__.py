@@ -460,6 +460,73 @@ def _q_hits(sf_dir: str):
     )
 
 
+_SALSA_K = 12    # SALSA full iterations (2K half-steps on both sides)
+
+
+def _q_salsa(sf_dir: str):
+    """SALSA authorities/hubs (degree-normalized HITS random walk),
+    fixed K full iterations; the twin unrolls the identical 2K
+    half-steps with the per-vertex divide mirrored per joined row."""
+    from alp_ray.pipelines.salsa import salsa
+    from alp_ray.state.engine import GraphEngine
+
+    engine = GraphEngine.from_dataset(
+        _dense_edges(sf_dir), n=MOD_DENSE, P=4
+    )
+    salsa(engine, iters=_SALSA_K)
+    a = engine.get_state_by_vertex("a")
+    h = engine.get_state_by_vertex("h")
+    engine.shutdown()
+    _margin_assert(a, 6, "salsa auth")
+    _margin_assert(h, 6, "salsa hub")
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "auth": pa.array(_round_half_away(a, 6)),
+            "hub": pa.array(_round_half_away(h, 6)),
+        }
+    )
+
+
+def _salsa_sql(K: int) -> str:
+    """SALSA twin: 2K degree-normalized half-steps unrolled; the
+    divide happens on the joined row (identical doubles to the
+    engine's pre-divide), the final scale is 1.0/Σval per vector."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_E_DENSE}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e "
+        "GROUP BY src), ",
+        "indeg AS MATERIALIZED (SELECT dst, COUNT(*) AS c FROM e "
+        "GROUP BY dst), ",
+        f"h0 AS MATERIALIZED (SELECT v, CAST(1.0/{MOD_DENSE} AS DOUBLE) "
+        "AS val FROM verts)",
+    ]
+    for k in range(1, K + 1):
+        parts.append(
+            f", a{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "COALESCE(y.s, 0.0) AS val FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.val / d.c) AS s FROM h{k - 1} p "
+            "JOIN e ON e.src = p.v JOIN outdeg d ON d.src = p.v "
+            "GROUP BY e.dst) y ON y.v = v.v)"
+        )
+        parts.append(
+            f", h{k} AS MATERIALIZED (SELECT v.v AS v, "
+            "COALESCE(y.s, 0.0) AS val FROM verts v LEFT JOIN ("
+            f"SELECT e.src AS v, SUM(p.val / d.c) AS s FROM a{k} p "
+            "JOIN e ON e.dst = p.v JOIN indeg d ON d.dst = p.v "
+            "GROUP BY e.src) y ON y.v = v.v)"
+        )
+    parts.append(
+        " SELECT v.v AS vertex, "
+        f"ROUND(a.val * (SELECT 1.0/SUM(val) FROM a{K}), 6) AS auth, "
+        f"ROUND(h.val * (SELECT 1.0/SUM(val) FROM h{K}), 6) AS hub "
+        f"FROM verts v JOIN a{K} a ON a.v = v.v JOIN h{K} h ON h.v = v.v"
+    )
+    return "".join(parts)
+
+
 def _margin_assert(x: np.ndarray, nd: int, what: str) -> None:
     """Gate-robustness invariant (the CG fix generalized): no rounded
     digit may sit near a .5 half-boundary, so last-ulp engine-vs-twin
@@ -5618,6 +5685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "chunk_manifest": _q_chunk_manifest,
         "mst_forest": _q_mst,
+        "salsa": _q_salsa,
     }
 
 
@@ -6283,6 +6351,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_sql(),
         "chunk_manifest": _CHUNK_MANIFEST_SQL,
         "mst_forest": _mst_sql(MOD_DENSE, _MST_ROUNDS, _MST_D),
+        "salsa": _salsa_sql(_SALSA_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
