@@ -460,6 +460,67 @@ def _q_hits(sf_dir: str):
     )
 
 
+_MATCH_ROUNDS = 20  # maximal-matching proposal rounds (11 needed at
+                    # sf0.1; extra rounds are fixpoint no-ops, the
+                    # pipeline raises if the graph outruns the unroll)
+
+
+def _q_matching(sf_dir: str):
+    """Greedy maximal matching (local-min mutual proposals under a
+    multiplicative-mix edge priority), fixed-round unrolled twin."""
+    from alp_ray.pipelines.matching import maximal_matching
+
+    m, used = maximal_matching(
+        _dense_edges(sf_dir), n=MOD_DENSE, rounds=_MATCH_ROUNDS
+    )
+    assert used <= _MATCH_ROUNDS
+    return m
+
+
+def _matching_sql(n: int, rounds: int) -> str:
+    """Unrolled mutual-proposal twin: per round a per-vertex MIN over
+    alive-alive edges and the both-endpoints-agree join."""
+    parts = [
+        "WITH ec AS MATERIALIZED (SELECT a, b, "
+        f"((((a * {n} + b) * 2654435761) % 1000000007) * {n} + a) "
+        f"* {n} + b AS k "
+        "FROM (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b "
+        f"FROM ({_E_DENSE}) WHERE src != dst)), "
+        f"alive0 AS MATERIALIZED (SELECT range AS v FROM range({n}))"
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        pr = f"alive{r - 1}"
+        parts.append(
+            f", cand{r} AS MATERIALIZED (SELECT e.a, e.b, e.k "
+            f"FROM ec e JOIN {pr} x ON x.v = e.a "
+            f"JOIN {pr} y ON y.v = e.b)"
+        )
+        parts.append(
+            f", prop{r} AS MATERIALIZED (SELECT v, MIN(k) AS k FROM ("
+            f"SELECT a AS v, k FROM cand{r} UNION ALL "
+            f"SELECT b AS v, k FROM cand{r}) GROUP BY v)"
+        )
+        parts.append(
+            f", mm{r} AS MATERIALIZED (SELECT DISTINCT c.k "
+            f"FROM cand{r} c JOIN prop{r} p1 ON p1.v = c.a "
+            f"AND p1.k = c.k JOIN prop{r} p2 ON p2.v = c.b "
+            "AND p2.k = c.k)"
+        )
+        parts.append(
+            f", alive{r} AS MATERIALIZED (SELECT v FROM {pr} "
+            f"WHERE v NOT IN (SELECT (k // {n}) % {n} FROM mm{r}) "
+            f"AND v NOT IN (SELECT k % {n} FROM mm{r}))"
+        )
+        sels.append(
+            f"SELECT (k // {n}) % {n} AS src, k % {n} AS dst FROM mm{r}"
+        )
+    union = " UNION ALL ".join(sels)
+    parts.append(f" SELECT DISTINCT src, dst FROM ({union})")
+    return "".join(parts)
+
+
 _SALSA_K = 12    # SALSA full iterations (2K half-steps on both sides)
 
 
@@ -5686,6 +5747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_manifest": _q_chunk_manifest,
         "mst_forest": _q_mst,
         "salsa": _q_salsa,
+        "maximal_matching": _q_matching,
     }
 
 
@@ -6352,6 +6414,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_manifest": _CHUNK_MANIFEST_SQL,
         "mst_forest": _mst_sql(MOD_DENSE, _MST_ROUNDS, _MST_D),
         "salsa": _salsa_sql(_SALSA_K),
+        "maximal_matching": _matching_sql(MOD_DENSE, _MATCH_ROUNDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
