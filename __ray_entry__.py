@@ -835,6 +835,56 @@ def _mst_sql(n: int, rounds: int, doublings: int) -> str:
     return "".join(parts)
 
 
+def _q_rarity(sf_dir: str):
+    """Unigram-rarity (CCNet perplexity-filter analogue, integer
+    floor-division proxy): corpus term counts via the partial-combine +
+    vocabulary-sized groupby, broadcast once, then one scoring pass."""
+    import ray
+    import ray.data
+
+    from alp_ray.stages.text import RarityScoreStage, tfidf_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    stats = tfidf_terms(docs).to_pandas()
+    assert len(stats) < 5_000_000, "vocabulary exceeds broadcast bound"
+    vocab = stats["term"].to_numpy(dtype=object)
+    order = np.argsort(vocab)  # python-str order = _ranked_codes order
+    ref = ray.put((
+        vocab[order],
+        stats["tf"].to_numpy()[order].astype(np.int64),
+        int(stats["tf"].sum()),
+    ))
+    return docs.map_batches(
+        RarityScoreStage,
+        fn_constructor_kwargs={"stats_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
+def _rarity_sql() -> str:
+    from alp_ray.stages.text import RARITY_KEEP_MAX
+
+    return (
+        "WITH tok AS MATERIALIZED (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "c AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tok GROUP BY tok), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM tok), "
+        "agg AS (SELECT t.doc_id, "
+        "CAST(SUM((SELECT N FROM tot) // c.cnt) AS BIGINT) AS rarity, "
+        "COUNT(*) AS n_tokens FROM tok t JOIN c ON c.tok = t.tok "
+        "GROUP BY t.doc_id) "
+        "SELECT doc_id, rarity, n_tokens, "
+        "rarity // n_tokens AS mean_rarity, "
+        "CAST(CASE WHEN rarity // n_tokens <= "
+        f"{RARITY_KEEP_MAX} THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM agg"
+    )
+
+
 def _q_kcore(sf_dir: str):
     from alp_ray.pipelines.traversal import kcore_decomposition
     from alp_ray.sources.tables import derived_edges
@@ -5748,6 +5798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_forest": _q_mst,
         "salsa": _q_salsa,
         "maximal_matching": _q_matching,
+        "rarity_scores": _q_rarity,
     }
 
 
@@ -6415,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         "mst_forest": _mst_sql(MOD_DENSE, _MST_ROUNDS, _MST_D),
         "salsa": _salsa_sql(_SALSA_K),
         "maximal_matching": _matching_sql(MOD_DENSE, _MATCH_ROUNDS),
+        "rarity_scores": _rarity_sql(),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -744,6 +744,56 @@ def sequence_pack(
     return ray.data.from_arrow_refs(out)
 
 
+RARITY_KEEP_MAX = 30  # keep docs whose mean token rarity ≤ this
+
+
+class RarityScoreStage:
+    """CCNet-style rarity (inverse-document-frequency surprisal)
+    filter with an INTEGER proxy: each token occurrence contributes
+    ``N_corpus_tokens // cnt(token)`` (floor division — the integer
+    analogue of -log p(token)), a document's score is the occurrence
+    sum, and ``keep`` thresholds the per-token mean. CCNet filters on
+    KenLM perplexity; the floor-division proxy keeps the whole pipeline
+    integer-exact so the DuckDB twin is rounding-free.
+
+    Corpus statistics (sorted vocab, per-term counts, total tokens) are
+    BROADCAST once per actor via ``ray.put`` — the small-side-lookup
+    pattern of TfidfTopTermStage; per batch everything is vectorized
+    (searchsorted vocab remap + reduceat segment sums).
+    """
+
+    def __init__(self, stats_ref, text_col: str = "text",
+                 doc_col: str = "doc_id",
+                 keep_max: int = RARITY_KEEP_MAX) -> None:
+        import ray
+
+        vocab, cnt, n_total = ray.get(stats_ref)
+        self.vocab = np.asarray(vocab, dtype=object)   # sorted
+        self.term_rarity = np.int64(n_total) // np.asarray(cnt, np.int64)
+        self.text_col = text_col
+        self.doc_col = doc_col
+        self.keep_max = keep_max
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, doc_idx = _doc_tokens(batch, self.text_col)
+        codes, bvocab = _ranked_codes(values)
+        gidx = np.searchsorted(self.vocab, bvocab)
+        occ = self.term_rarity[gidx[codes]]
+        # split(' ') yields ≥1 token per doc and doc_idx is
+        # nondecreasing by construction, so run starts cover every row.
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        rarity = np.add.reduceat(occ, starts)
+        nt = np.diff(np.r_[starts, occ.size]).astype(np.int64)
+        mean = rarity // nt
+        return pa.table({
+            self.doc_col: batch.column(self.doc_col),
+            "rarity": pa.array(rarity),
+            "n_tokens": pa.array(nt),
+            "mean_rarity": pa.array(mean),
+            "keep": pa.array((mean <= self.keep_max).astype(np.int64)),
+        })
+
+
 def chunk_manifest(
     docs,
     seq_len: int = 256,

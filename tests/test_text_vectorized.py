@@ -331,6 +331,30 @@ def test_chunk_manifest_tiles_exactly(ray_session):
     assert (per_chunk.iloc[:-1] == W).all() and per_chunk.iloc[-1] <= W
 
 
+def test_rarity_score_stage(ray_session):
+    import ray
+
+    import pyarrow as pa
+
+    from alp_ray.stages.text import RarityScoreStage
+
+    # Corpus: "a" x4, "b" x2, "z" x1  (N=7) → rarities 1, 3, 7.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a b z", "a a b"]),
+    })
+    vocab = np.array(["a", "b", "z"], dtype=object)
+    cnt = np.array([4, 2, 1], np.int64)
+    ref = ray.put((vocab, cnt, 7))
+    out = RarityScoreStage(ref, keep_max=2)(docs).to_pandas()
+    # doc0: 1+1+3+7 = 12 over 4 tokens → mean 3 → dropped
+    # doc1: 1+1+3 = 5 over 3 tokens → mean 1 → kept
+    assert out["rarity"].tolist() == [12, 5]
+    assert out["n_tokens"].tolist() == [4, 3]
+    assert out["mean_rarity"].tolist() == [3, 1]
+    assert out["keep"].tolist() == [0, 1]
+
+
 def test_gopher_quality_batch():
     import duckdb
     import pyarrow as pa
