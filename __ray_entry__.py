@@ -835,6 +835,87 @@ def _mst_sql(n: int, rounds: int, doublings: int) -> str:
     return "".join(parts)
 
 
+_ONION_WAVES = 48  # onion peel waves (35 needed at sf0.1; extra waves
+                   # are no-ops, onion_layers raises past the unroll)
+
+
+def _q_onion(sf_dir: str):
+    """Onion decomposition (layer = peel wave, core = peel threshold —
+    the k-core refinement of Hébert-Dufresne et al. 2016) on the
+    symmetrized sparse graph; all-integer state, exact unrolled twin."""
+    from alp_ray.pipelines.traversal import onion_layers
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    layer, core, used = onion_layers(engine, max_layers=_ONION_WAVES)
+    engine.shutdown()
+    assert used <= _ONION_WAVES
+    ids = np.flatnonzero(layer > 0)  # every present vertex peels
+    return pa.table(
+        {
+            "vertex": pa.array(ids.astype(np.int64)),
+            "layer": pa.array(layer[ids]),
+            "core": pa.array(core[ids]),
+        }
+    )
+
+
+def _onion_sql(waves: int) -> str:
+    """Unrolled onion twin: per wave the alive-alive degree table, the
+    k = max(k, min degree) scalar, the ≤-k peel set with its layer
+    index, and the survivor set."""
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM es), ",
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    sels = []
+    for r in range(1, waves + 1):
+        pr = f"alive{r - 1}"
+        parts.append(
+            f", deg{r} AS MATERIALIZED (SELECT al.v, "
+            "COALESCE(d.c, 0) AS c "
+            f"FROM {pr} al LEFT JOIN ("
+            "SELECT e.src AS v, COUNT(*) AS c FROM es e "
+            f"JOIN {pr} x ON x.v = e.src "
+            f"JOIN {pr} y ON y.v = e.dst GROUP BY e.src) d "
+            "ON d.v = al.v)"
+        )
+        parts.append(
+            f", k{r} AS MATERIALIZED (SELECT GREATEST("
+            f"(SELECT k FROM k{r - 1}), "
+            f"COALESCE((SELECT MIN(c) FROM deg{r}), "
+            f"(SELECT k FROM k{r - 1}))) AS k)"
+        )
+        parts.append(
+            f", lay{r} AS MATERIALIZED (SELECT v, "
+            f"CAST({r} AS BIGINT) AS layer, "
+            f"(SELECT k FROM k{r}) AS core FROM deg{r} "
+            f"WHERE c <= (SELECT k FROM k{r}))"
+        )
+        parts.append(
+            f", alive{r} AS MATERIALIZED (SELECT v FROM {pr} "
+            f"WHERE v NOT IN (SELECT v FROM lay{r}))"
+        )
+        sels.append(f"SELECT v, layer, core FROM lay{r}")
+    union = " UNION ALL ".join(sels)
+    parts.append(
+        f" SELECT v AS vertex, layer, core FROM ({union})"
+    )
+    return "".join(parts)
+
+
 def _q_rarity(sf_dir: str):
     """Unigram-rarity (CCNet perplexity-filter analogue, integer
     floor-division proxy): corpus term counts via the partial-combine +
@@ -5799,6 +5880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa": _q_salsa,
         "maximal_matching": _q_matching,
         "rarity_scores": _q_rarity,
+        "onion_layers": _q_onion,
     }
 
 
@@ -6467,6 +6549,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _salsa_sql(_SALSA_K),
         "maximal_matching": _matching_sql(MOD_DENSE, _MATCH_ROUNDS),
         "rarity_scores": _rarity_sql(),
+        "onion_layers": _onion_sql(_ONION_WAVES),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

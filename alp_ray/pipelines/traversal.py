@@ -135,3 +135,76 @@ def kcore_decomposition(
         k += 1
     core = engine.get_state_by_vertex("core")
     return core.astype(np.int64)
+
+
+def _onion_stats(state, ctx):
+    alive = state["alive"] > 0.5
+    deg = state["deg"][alive]
+    return {
+        "na": float(alive.sum()),
+        "md": float(deg.min()) if deg.size else float("inf"),
+    }
+
+
+def onion_layers(
+    engine: GraphEngine, max_layers: int = 200
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016) of
+    a SYMMETRIZED simple graph: the k-core refinement that records the
+    peel WAVE each vertex leaves in. Per wave: k ← max(k, min alive
+    degree); every alive vertex with degree ≤ k leaves simultaneously
+    with the current layer index (and coreness k — the ≤-rule peel
+    threshold IS the standard coreness, cross-checked against
+    kcore_decomposition in tests); survivors decrement.
+
+    One superstep per wave plus one map_local scalar reduction (the
+    min-alive-degree allreduce); all-integer state, so an unrolled SQL
+    twin with a fixed wave count reproduces it exactly. Returns
+    (layer, core, waves_used) over all n vertices; vertices absent from
+    the graph (degree 0) keep layer 0 and must be filtered by the
+    caller like kcore does.
+    """
+    engine.compute_out_degrees("deg")
+    engine.map_local(_onion_init)
+    engine.set_state("layer", 0.0)
+    engine.set_state("core", 0.0)
+
+    def make_pre(k, layer):
+        def pre(state, ctx):
+            peel = (state["alive"] > 0.5) & (state["deg"] <= k)
+            state["alive"] = np.where(peel, 0.0, state["alive"])
+            state["layer"] = np.where(peel, float(layer), state["layer"])
+            state["core"] = np.where(peel, float(k), state["core"])
+            ones = np.ones(state["deg"].shape)
+            return ones, peel, {}
+        return pre
+
+    def post(state, y, ctx):
+        keep = state["alive"] > 0.5
+        dec = np.where(np.isfinite(y), y, 0.0)
+        state["deg"] = np.where(keep, state["deg"] - dec, state["deg"])
+        return {}
+
+    k = 0
+    layer = 0
+    while layer < max_layers:
+        parts = engine.map_local(_onion_stats)
+        if sum(p["na"] for p in parts) == 0:
+            break
+        k = max(k, int(min(p["md"] for p in parts)))
+        layer += 1
+        engine.superstep(make_pre(k, layer), "plus_first", post)
+    else:
+        raise RuntimeError(
+            f"onion_layers did not finish in {max_layers} waves"
+        )
+    return (
+        engine.get_state_by_vertex("layer").astype(np.int64),
+        engine.get_state_by_vertex("core").astype(np.int64),
+        layer,
+    )
+
+
+def _onion_init(state, ctx):
+    state["alive"] = (state["deg"] > 0).astype(np.float64)
+    return None

@@ -102,6 +102,33 @@ def test_kcore_vs_oracle():
     np.testing.assert_array_equal(got, _kcore_oracle(s, d, n))
 
 
+def test_onion_refines_kcore():
+    """Onion peel-threshold coreness must equal the standard peel
+    coreness, and layers must be monotone within cores (later layer ⇒
+    core ≥)."""
+    from alp_ray.pipelines.traversal import onion_layers
+
+    n = 60
+    rng = np.random.RandomState(31)
+    mask = np.triu(rng.rand(n, n) < 0.15, 1)
+    a, b = np.nonzero(mask)
+    s = np.concatenate([a, b]).astype(np.int64)
+    d = np.concatenate([b, a]).astype(np.int64)
+    engine = GraphEngine.from_arrays(s, d, n=n, P=3)
+    core_ref = kcore_decomposition(engine)
+    engine.shutdown()
+    engine = GraphEngine.from_arrays(s, d, n=n, P=3)
+    layer, core, waves = onion_layers(engine)
+    engine.shutdown()
+    present = np.bincount(s, minlength=n) > 0
+    np.testing.assert_array_equal(core[present], core_ref[present])
+    assert (layer[present] >= 1).all() and (~present | (layer <= waves)).all()
+    # Layers refine cores: a vertex's core never drops as layers grow.
+    order = np.argsort(layer[present], kind="stable")
+    cc = core[present][order]
+    assert (np.diff(cc) >= 0).all()
+
+
 def test_pregel_connected_components_parity():
     """CC written as a user Pregel program reproduces the dedicated
     pipeline's result (≙ pregel_connected_components.hpp:81-103)."""
