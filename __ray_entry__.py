@@ -2149,6 +2149,75 @@ def _q_user_sequences(sf_dir: str):
     return keyed_sequence(ev)
 
 
+_CMS_WIDTH = 1024
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch over lineitem part keys + point-query readback
+    per distinct key (est ≥ true by construction); pure-BIGINT hash
+    rows so the twin replays every counter exactly."""
+    import ray.data
+
+    from alp_ray.stages.sketch import cms_counts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+    return cms_counts(li, key_col="l_partkey", width=_CMS_WIDTH)
+
+
+def _cms_sql(width: int) -> str:
+    from alp_ray.stages.sketch import CMS_P, CMS_ROWS
+
+    rows = ", ".join(
+        f"c{j} AS MATERIALIZED (SELECT ((k * {a} + {b}) % {CMS_P}) "
+        f"% {width} AS b, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM keys GROUP BY b)"
+        for j, (a, b) in enumerate(CMS_ROWS)
+    )
+    joins = " ".join(
+        f"JOIN c{j} e{j} ON e{j}.b = "
+        f"((cnt.k * {a} + {b}) % {CMS_P}) % {width}"
+        for j, (a, b) in enumerate(CMS_ROWS)
+    )
+    least = "LEAST(" + ", ".join(
+        f"e{j}.c" for j in range(len(CMS_ROWS))
+    ) + ")"
+    return (
+        "WITH keys AS MATERIALIZED (SELECT l_partkey AS k "
+        "FROM lineitem), "
+        "cnt AS MATERIALIZED (SELECT k, CAST(COUNT(*) AS BIGINT) AS "
+        f"true_cnt FROM keys GROUP BY k), {rows} "
+        f"SELECT cnt.k AS l_partkey, {least} AS est, cnt.true_cnt "
+        f"FROM cnt {joins}"
+    )
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov next-event transition counts over per-user sequences —
+    coarse user-hash partitions, in-kernel pair counting, tiny driver
+    fold; LEAD() twin."""
+    import ray.data
+
+    from alp_ray.stages.window import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return transition_counts(ev)
+
+
+_EVENT_TRANSITIONS_SQL = (
+    "WITH o AS (SELECT user_id, event_type, "
+    "LEAD(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT event_type AS from_type, nxt AS to_type, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM o WHERE nxt IS NOT NULL "
+    "GROUP BY from_type, to_type"
+)
+
+
 def _q_zscore_outliers(sf_dir: str):
     """Per-user z-score outlier events (|z| > 2): exact integer-cents
     moments broadcast back to a scoring pass."""
@@ -5881,6 +5950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_matching": _q_matching,
         "rarity_scores": _q_rarity,
         "onion_layers": _q_onion,
+        "event_transitions": _q_event_transitions,
+        "cms_counts": _q_cms_counts,
     }
 
 
@@ -6550,6 +6621,8 @@ def oracle_sql() -> dict[str, str]:
         "maximal_matching": _matching_sql(MOD_DENSE, _MATCH_ROUNDS),
         "rarity_scores": _rarity_sql(),
         "onion_layers": _onion_sql(_ONION_WAVES),
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "cms_counts": _cms_sql(_CMS_WIDTH),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

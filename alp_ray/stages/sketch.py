@@ -374,3 +374,100 @@ def approx_distinct_poly(
         "checksum": int(checksum),
     }
     return state, float(e)
+
+
+# Count-min sketch row hashes: ((k·A_j + B_j) % P) % width, pure BIGINT
+# arithmetic so the DuckDB twin replays every counter exactly.
+CMS_P = (1 << 31) - 1
+CMS_ROWS = (
+    (1_000_003, 12_289),
+    (2_654_435_761 % CMS_P, 514_229),
+    (805_306_457, 39_916_801 % CMS_P),
+    (1_073_741_827 % CMS_P, 95_279),
+)
+
+
+def cms_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    width: int = 1024,
+) -> "ray.data.Dataset":
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an integer
+    key column, plus the point-query readback for every distinct key:
+    (key, est, true_cnt). The CMS guarantee est ≥ true_cnt is asserted
+    in tests; the sketch rows are d=4 pairwise-independent-ish integer
+    hash rows (constants above) of ``width`` counters each.
+
+    Distribution: per-block d×width int64 counter partials (np.add.at)
+    folded on the driver (d·width ints — sketch-sized, never
+    key-sized), true counts via the degrees partial-combine groupby,
+    estimates via a broadcast-sketch map_batches — no key-sized
+    driver state."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    d = len(CMS_ROWS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key_col), np.int64)
+        regs = np.zeros((d, width), np.int64)
+        for j, (a, b) in enumerate(CMS_ROWS):
+            np.add.at(regs[j], ((k * a + b) % CMS_P) % width, 1)
+        return pa.table(
+            {
+                "row": pa.array(np.repeat(np.arange(d), width)),
+                "bucket": pa.array(np.tile(np.arange(width), d)),
+                "c": pa.array(regs.reshape(-1)),
+            }
+        )
+
+    sk = np.zeros((d, width), np.int64)
+    for tbl in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "row" not in tbl.column_names or tbl.num_rows == 0:
+            continue
+        r = np.asarray(tbl.column("row"), np.int64)
+        b = np.asarray(tbl.column("bucket"), np.int64)
+        c = np.asarray(tbl.column("c"), np.int64)
+        np.add.at(sk, (r, b), c)
+    sk_ref = ray.put(sk)
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(key_col).aggregate([(key_col, "count")])
+        return t.rename_columns([key_col, "n"])
+
+    true_cnt = (
+        ds.map_batches(block_counts, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="true_cnt"))
+    )
+
+    def estimate(batch: pa.Table, _ref=sk_ref) -> pa.Table:
+        if key_col not in batch.column_names or batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "est": pa.array([], pa.int64()),
+                    "true_cnt": pa.array([], pa.int64()),
+                }
+            )
+        import ray as _ray
+
+        s = _ray.get(_ref)
+        k = np.asarray(batch.column(key_col), np.int64)
+        est = np.full(k.size, np.iinfo(np.int64).max)
+        for j, (a, b) in enumerate(CMS_ROWS):
+            est = np.minimum(est, s[j][((k * a + b) % CMS_P) % width])
+        return pa.table(
+            {
+                key_col: pa.array(k),
+                "est": pa.array(est),
+                "true_cnt": batch.column("true_cnt").cast(pa.int64()),
+            }
+        )
+
+    return true_cnt.map_batches(estimate, batch_format="pyarrow")

@@ -658,3 +658,119 @@ def cohort_retention(
         .groupby(["cohort_period", "k"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def transition_counts(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    token_col: str = "event_type",
+    n_parts: int | None = None,
+) -> "pa.Table":
+    """Markov transition matrix of per-key event sequences: counts of
+    adjacent (from_type → to_type) pairs in (ts, id) order — the
+    behavior-model / next-event-prediction statistic (SQL:
+    ``LEAD() OVER (PARTITION BY key ORDER BY ts, id)`` + GROUP BY).
+
+    Physical plan: whole keys co-locate by the keyed_sequence coarse
+    hash partition, each partition counts its pairs in-kernel (one
+    lexsort + np.unique — no per-key loop), and the tiny
+    (|types|² bounded) partials fold on the driver. All-integer."""
+    import ray
+
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "__ts": batch.column(ts_col).cast(pa.int64()),
+                "__tok": batch.column(token_col).cast(pa.string()),
+            }
+        )
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column(key_col), np.int64)
+        ts = np.asarray(group.column("__ts"), np.int64)
+        ev = np.asarray(group.column(id_col), np.int64)
+        tok = group.column("__tok")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        enc = tok.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        codes = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((ev, ts, k))
+        k, codes = k[order], codes[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        frm = codes[:-1][same]
+        to = codes[1:][same]
+        pair = frm * len(vocab) + to
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(
+                    list(vocab[uniq // len(vocab)]), pa.string()
+                ),
+                "to_type": pa.array(
+                    list(vocab[uniq % len(vocab)]), pa.string()
+                ),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        tagged.groupby("__part")
+        .map_groups(emit, batch_format="pyarrow")
+        .materialize()
+    )
+    blocks = [
+        t
+        for t in ray.get(parts.to_arrow_refs())
+        if "from_type" in t.column_names and t.num_rows
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    allp = pa.concat_tables(blocks).to_pandas()
+    out = (
+        allp.groupby(["from_type", "to_type"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["from_type", "to_type"])
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(out["from_type"], pa.string()),
+            "to_type": pa.array(out["to_type"], pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy().astype(np.int64)),
+        }
+    )
