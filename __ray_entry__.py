@@ -521,6 +521,33 @@ def _matching_sql(n: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_vertex_cover(sf_dir: str):
+    """Gavril's 2-approximate vertex cover: the endpoint set of the
+    greedy maximal matching (every edge touches a matched endpoint by
+    maximality; at most 2·OPT since OPT covers each matched edge)."""
+    from alp_ray.pipelines.matching import maximal_matching
+
+    m, _ = maximal_matching(
+        _dense_edges(sf_dir), n=MOD_DENSE, rounds=_MATCH_ROUNDS
+    )
+    v = np.unique(
+        np.concatenate([
+            np.asarray(m.column("src"), np.int64),
+            np.asarray(m.column("dst"), np.int64),
+        ])
+    )
+    return pa.table({"vertex": pa.array(v)})
+
+
+def _vertex_cover_sql(n: int, rounds: int) -> str:
+    inner = _matching_sql(n, rounds)
+    return (
+        "SELECT DISTINCT vertex FROM ("
+        f"SELECT src AS vertex FROM ({inner}) "
+        f"UNION ALL SELECT dst AS vertex FROM ({inner}))"
+    )
+
+
 _SALSA_K = 12    # SALSA full iterations (2K half-steps on both sides)
 
 
@@ -2191,6 +2218,84 @@ def _cms_sql(width: int) -> str:
         f"SELECT cnt.k AS l_partkey, {least} AS est, cnt.true_cnt "
         f"FROM cnt {joins}"
     )
+
+
+def _q_lang_vocab_overlap(sf_dir: str):
+    """Cross-language vocabulary Jaccard (corpus contamination / shared
+    token diagnostic): distinct (lang, term) partials per block, one
+    bounded driver dedup (vocab × langs rows — loud fail above 5M),
+    integer floor-division Jaccard percentage. Pairs with an empty
+    intersection are omitted on both sides."""
+    import ray
+    import ray.data
+
+    from alp_ray.stages.text import _doc_tokens
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, doc_idx = _doc_tokens(batch, "text")
+        langs = np.asarray(batch.column("lang"), dtype=object)[doc_idx]
+        terms = np.asarray(values, dtype=object)
+        key = np.char.add(
+            np.char.add(langs.astype(str), "\x00"), terms.astype(str)
+        )
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({
+            "lang": pa.array(list(langs[idx]), pa.string()),
+            "term": pa.array(list(terms[idx]), pa.string()),
+        })
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if "lang" in t.column_names and t.num_rows
+    ]
+    lt = pa.concat_tables(parts).to_pandas().drop_duplicates()
+    assert len(lt) < 5_000_000, "lang×vocab exceeds driver bound"
+    vocab = {
+        lang: set(g["term"]) for lang, g in lt.groupby("lang")
+    }
+    langs = sorted(vocab)
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            inter = len(vocab[la] & vocab[lb])
+            if inter == 0:
+                continue
+            uni = len(vocab[la] | vocab[lb])
+            rows.append((la, lb, inter, uni, (100 * inter) // uni))
+    return pa.table({
+        "lang_a": pa.array([r[0] for r in rows], pa.string()),
+        "lang_b": pa.array([r[1] for r in rows], pa.string()),
+        "inter": pa.array([r[2] for r in rows], pa.int64()),
+        "uni": pa.array([r[3] for r in rows], pa.int64()),
+        "jacc_pct": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+_LANG_VOCAB_SQL = (
+    "WITH lt AS MATERIALIZED (SELECT DISTINCT lang, tok FROM ("
+    "SELECT lang, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents)), "
+    "pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b, "
+    "CAST(COUNT(*) AS BIGINT) AS inter FROM lt a "
+    "JOIN lt b ON b.tok = a.tok AND a.lang < b.lang "
+    "GROUP BY lang_a, lang_b), "
+    "sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM lt "
+    "GROUP BY lang) "
+    "SELECT p.lang_a, p.lang_b, p.inter, "
+    "sa.c + sb.c - p.inter AS uni, "
+    "(100 * p.inter) // (sa.c + sb.c - p.inter) AS jacc_pct "
+    "FROM pairs p JOIN sz sa ON sa.lang = p.lang_a "
+    "JOIN sz sb ON sb.lang = p.lang_b"
+)
 
 
 def _q_event_transitions(sf_dir: str):
@@ -5952,6 +6057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onion_layers": _q_onion,
         "event_transitions": _q_event_transitions,
         "cms_counts": _q_cms_counts,
+        "vertex_cover": _q_vertex_cover,
+        "lang_vocab_overlap": _q_lang_vocab_overlap,
     }
 
 
@@ -6623,6 +6730,8 @@ def oracle_sql() -> dict[str, str]:
         "onion_layers": _onion_sql(_ONION_WAVES),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cms_counts": _cms_sql(_CMS_WIDTH),
+        "vertex_cover": _vertex_cover_sql(MOD_DENSE, _MATCH_ROUNDS),
+        "lang_vocab_overlap": _LANG_VOCAB_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -39,6 +39,27 @@ def test_matching_and_maximality(ray_session, seed, n, m):
     assert used >= 1
 
 
+def test_vertex_cover_covers_every_edge(ray_session):
+    """Gavril cover = matched endpoints: must touch every edge and be
+    at most 2× a lower bound (the matching size is a lower bound on
+    any vertex cover)."""
+    import ray.data
+
+    from alp_ray.pipelines.matching import maximal_matching
+
+    s, d = _graph(12, 70, 300)
+    edges = ray.data.from_arrow(pa.table({"src": s, "dst": d}))
+    m, _ = maximal_matching(edges, n=70)
+    a = np.asarray(m.column("src"), np.int64)
+    b = np.asarray(m.column("dst"), np.int64)
+    cover = np.zeros(70, bool)
+    cover[a] = True
+    cover[b] = True
+    keep = s != d
+    assert (cover[s[keep]] | cover[d[keep]]).all()
+    assert cover.sum() == 2 * len(a)  # exactly the matched endpoints
+
+
 def test_matching_layout_independent(ray_session):
     import ray.data
 
