@@ -862,6 +862,118 @@ def _mst_sql(n: int, rounds: int, doublings: int) -> str:
     return "".join(parts)
 
 
+_RICH_CLUB_K = 64  # degree thresholds k = 0..63
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) = 2·E_k / (n_k·(n_k−1)) over the
+    symmetrized sparse graph (Zhou & Mondragón 2004), k = 0..63,
+    rows where n_k ≥ 2. One degree table + ONE map_batches histogram
+    pass (e_k is the suffix-cumsum of the per-edge min-degree
+    histogram) — no iteration, no second shuffle; φ as an integer
+    ×10⁴ floor division so the twin is rounding-free."""
+    import ray
+    import ray.data
+
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import canonicalize, symmetrize
+
+    es = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    ).materialize()
+
+    # Degrees of the symmetric simple graph.
+    deg = np.zeros(MOD_SPARSE, np.int64)
+    for t in ray.get(
+        es.map_batches(
+            lambda b: pa.table(
+                {"v": b.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "v" in t.column_names and t.num_rows:
+            deg += np.bincount(
+                np.asarray(t.column("v"), np.int64), minlength=MOD_SPARSE
+            )
+    deg_ref = ray.put(deg)
+
+    def hist(batch: pa.Table, _ref=deg_ref) -> pa.Table:
+        if "src" not in batch.column_names or batch.num_rows == 0:
+            return pa.table(
+                {"mind": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        import ray as _ray
+
+        d = _ray.get(_ref)
+        s = np.asarray(batch.column("src"), np.int64)
+        t = np.asarray(batch.column("dst"), np.int64)
+        keep = s < t  # canonical orientation of the symmetric set
+        mind = np.minimum(d[s[keep]], d[t[keep]])
+        u, c = np.unique(mind, return_counts=True)
+        return pa.table(
+            {"mind": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    mind_hist = np.zeros(int(deg.max()) + 2, np.int64)
+    for t in ray.get(
+        es.map_batches(hist, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "mind" in t.column_names and t.num_rows:
+            np.add.at(
+                mind_hist,
+                np.asarray(t.column("mind"), np.int64),
+                np.asarray(t.column("c"), np.int64),
+            )
+    ks = np.arange(_RICH_CLUB_K, dtype=np.int64)
+    # e_k = #edges with min(deg) > k; n_k = #vertices with deg > k.
+    suffix = np.cumsum(mind_hist[::-1])[::-1]
+    e_k = np.array(
+        [suffix[k + 1] if k + 1 < suffix.size else 0 for k in ks],
+        np.int64,
+    )
+    n_k = np.array([(deg > k).sum() for k in ks], np.int64)
+    keep = n_k >= 2
+    ks, e_k, n_k = ks[keep], e_k[keep], n_k[keep]
+    phi = (2 * e_k * 10_000) // (n_k * (n_k - 1))
+    return pa.table(
+        {
+            "k": pa.array(ks),
+            "n_k": pa.array(n_k),
+            "e_k": pa.array(e_k),
+            "phi_x10000": pa.array(phi),
+        }
+    )
+
+
+def _rich_club_sql(kmax: int) -> str:
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    return (
+        f"WITH es AS MATERIALIZED ({es}), "
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c FROM es "
+        "GROUP BY src), "
+        f"ks AS (SELECT range AS k FROM range({kmax})), "
+        "nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n FROM ks "
+        "JOIN deg ON deg.c > ks.k GROUP BY ks.k), "
+        "ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e FROM ks "
+        "JOIN es ON es.src < es.dst "
+        "JOIN deg da ON da.v = es.src JOIN deg db ON db.v = es.dst "
+        "WHERE da.c > ks.k AND db.c > ks.k GROUP BY ks.k) "
+        "SELECT nk.k, nk.n AS n_k, COALESCE(ek.e, 0) AS e_k, "
+        "(2 * COALESCE(ek.e, 0) * 10000) // (nk.n * (nk.n - 1)) "
+        "AS phi_x10000 FROM nk LEFT JOIN ek ON ek.k = nk.k "
+        "WHERE nk.n >= 2"
+    )
+
+
 _ONION_WAVES = 48  # onion peel waves (35 needed at sf0.1; extra waves
                    # are no-ops, onion_layers raises past the unroll)
 
@@ -6059,6 +6171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "vertex_cover": _q_vertex_cover,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -6732,6 +6845,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _cms_sql(_CMS_WIDTH),
         "vertex_cover": _vertex_cover_sql(MOD_DENSE, _MATCH_ROUNDS),
         "lang_vocab_overlap": _LANG_VOCAB_SQL,
+        "rich_club": _rich_club_sql(_RICH_CLUB_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
