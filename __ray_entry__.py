@@ -2332,6 +2332,42 @@ def _cms_sql(width: int) -> str:
     )
 
 
+def _q_rare_term_pairs(sf_dir: str):
+    """Entity-resolution blocking pairs: docs sharing a rare term
+    (df ≤ max(16, N//8)), integer min-tf · (N//df) overlap score."""
+    import ray.data
+
+    from alp_ray.stages.text import rare_term_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _cast(
+        rare_term_pairs(docs),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sim": pa.int64()},
+    )
+
+
+_RARE_TERM_PAIRS_SQL = (
+    "WITH nd AS (SELECT GREATEST(16, COUNT(DISTINCT doc_id) // 8) "
+    "AS cap, COUNT(DISTINCT doc_id) AS n FROM documents), "
+    "tok AS MATERIALIZED (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "tf AS MATERIALIZED (SELECT doc_id, tok, "
+    "CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok), "
+    "df AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df "
+    "FROM tf GROUP BY tok), "
+    "rare AS (SELECT tok, df FROM df "
+    "WHERE df <= (SELECT cap FROM nd)) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(SUM(LEAST(a.tf, b.tf) * ((SELECT n FROM nd) // r.df)) "
+    "AS BIGINT) AS sim "
+    "FROM tf a JOIN tf b ON b.tok = a.tok AND b.doc_id > a.doc_id "
+    "JOIN rare r ON r.tok = a.tok "
+    "GROUP BY doc_a, doc_b"
+)
+
+
 def _q_lang_vocab_overlap(sf_dir: str):
     """Cross-language vocabulary Jaccard (corpus contamination / shared
     token diagnostic): distinct (lang, term) partials per block, one
@@ -6172,6 +6208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": _q_vertex_cover,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "rich_club": _q_rich_club,
+        "rare_term_pairs": _q_rare_term_pairs,
     }
 
 
@@ -6846,6 +6883,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_cover": _vertex_cover_sql(MOD_DENSE, _MATCH_ROUNDS),
         "lang_vocab_overlap": _LANG_VOCAB_SQL,
         "rich_club": _rich_club_sql(_RICH_CLUB_K),
+        "rare_term_pairs": _RARE_TERM_PAIRS_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -1149,3 +1149,161 @@ def gopher_quality_batch(
             "keep": pa.array(keep),
         }
     )
+
+
+def rare_term_df_cap(n_docs: int) -> int:
+    """Blocking-key rarity cap: terms in ≤ max(16, n_docs // 8) docs.
+    Corpus-relative so the operator stays meaningful at every sf (a
+    fixed cap empties out as the corpus grows)."""
+    return max(16, n_docs // 8)
+
+
+def rare_term_pairs(
+    docs,
+    df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Entity-resolution BLOCKING: candidate document pairs that share
+    a RARE term (df ≤ ``df_cap``, default ``rare_term_df_cap(N)``),
+    scored by the integer rare-term
+    overlap Σ min(tf_a, tf_b) · (N_docs // df) — the df cap is both the
+    semantic filter (common terms carry no signal) and the scale guard
+    (a term's pair fan-out is ≤ df², so one partition emits at most
+    df_cap²/2 pairs per term; no all-pairs path exists).
+
+    Physical plan: per-block (doc, term, tf) partials for rare-term
+    candidates, terms co-located by the coarse hash partition, pairs
+    emitted in-kernel per term, then one (doc_a, doc_b) groupby sums
+    the weighted overlaps. All-integer."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from alp_ray.util import coarse_parts
+
+    n_docs = docs.count()
+    if df_cap is None:
+        df_cap = rare_term_df_cap(n_docs)
+    # Corpus df per term (vocabulary-sized exchange).
+    stats = tfidf_terms(docs, text_col).to_pandas()
+    rare = stats[stats["df"] <= df_cap]
+    import ray as _ray
+
+    rare_ref = _ray.put((
+        np.sort(rare["term"].to_numpy(dtype=object)),
+        rare.sort_values("term")["df"].to_numpy().astype(np.int64),
+    ))
+
+    import hashlib
+
+    n_parts = coarse_parts()
+
+    def _term_part(vocab_arr: np.ndarray) -> np.ndarray:
+        # blake2b per VOCAB entry (block-vocabulary-sized, not
+        # token-sized); builtin hash() is per-process-salted.
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        t.encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                % n_parts
+                for t in vocab_arr
+            ],
+            np.int64,
+        )
+
+    def doc_term_tf(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "doc": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int64()),
+        })
+        values, doc_idx = _doc_tokens(batch, text_col)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        rare_vocab, _ = _ray.get(rare_ref)
+        if rare_vocab.size == 0 or len(values) == 0:
+            return empty
+        codes, bvocab = _ranked_codes(values)
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        b = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(b)
+        tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
+        g_doc, g_code = d[starts], c[starts]
+        pos = np.searchsorted(rare_vocab, bvocab[g_code])
+        ok = (pos < rare_vocab.size) & (
+            rare_vocab[np.minimum(pos, rare_vocab.size - 1)]
+            == bvocab[g_code]
+        )
+        terms = bvocab[g_code[ok]]
+        vparts = _term_part(bvocab)
+        return pa.table({
+            "term": pa.array(list(terms), pa.string()),
+            "doc": pa.array(ids[g_doc[ok]]),
+            "tf": pa.array(tf[ok]),
+            "__part": pa.array(vparts[g_code[ok]]),
+        })
+
+    tagged = docs.map_batches(doc_term_tf, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        })
+        if "term" not in group.column_names or group.num_rows == 0:
+            return empty
+        rare_vocab, df = _ray.get(rare_ref)
+        term = group.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tvoc = np.asarray(enc.dictionary, dtype=object)
+        tcode = np.asarray(enc.indices, np.int64)
+        wmap = (np.int64(n_docs) // df)[
+            np.searchsorted(rare_vocab, tvoc)
+        ]
+        doc = np.asarray(group.column("doc"), np.int64)
+        tf = np.asarray(group.column("tf"), np.int64)
+        order = np.lexsort((doc, tcode))
+        tcode, doc, tf = tcode[order], doc[order], tf[order]
+        # co_occurrence's segment repeat/arange pair expansion — one
+        # vectorized pass, no per-term dispatch.
+        starts = np.flatnonzero(np.r_[True, tcode[1:] != tcode[:-1]])
+        d = np.diff(np.r_[starts, tcode.size])
+        pos = np.arange(tcode.size, dtype=np.int64) - np.repeat(starts, d)
+        n_right = np.repeat(d, d) - 1 - pos
+        total = int(n_right.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(tcode.size, dtype=np.int64), n_right)
+        cum_e = np.concatenate([[0], np.cumsum(n_right)[:-1]])
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum_e, n_right)
+        right = left + 1 + off
+        a, b = doc[left], doc[right]
+        s = np.minimum(tf[left], tf[right]) * wmap[tcode[left]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # Partition-local pre-aggregation of (pair, weight) sums.
+        key = lo * np.int64(1 << 31) + hi
+        order2 = np.argsort(key, kind="stable")
+        key, lo, hi, s = key[order2], lo[order2], hi[order2], s[order2]
+        st2 = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        return pa.table({
+            "doc_a": pa.array(lo[st2]),
+            "doc_b": pa.array(hi[st2]),
+            "s": pa.array(np.add.reduceat(s, st2)),
+        })
+
+    return (
+        tagged.groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("s", alias_name="sim"))
+    )

@@ -331,6 +331,32 @@ def test_chunk_manifest_tiles_exactly(ray_session):
     assert (per_chunk.iloc[:-1] == W).all() and per_chunk.iloc[-1] <= W
 
 
+def test_rare_term_pairs(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from alp_ray.stages.text import rare_term_pairs
+
+    # 4 docs; "zebra" rare (docs 0,1,2 — tf 2,1,1), "a" common.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a zebra zebra", "a zebra", "zebra a", "a a a",
+        ]),
+    })
+    out = (
+        rare_term_pairs(ray.data.from_arrow(docs), df_cap=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # weight = N//df = 4//3 = 1; sims = min(tf) pairs among {0,1,2}.
+    assert list(map(tuple, out.to_numpy())) == [
+        (0, 1, 1), (0, 2, 1), (1, 2, 1),
+    ]
+
+
 def test_rarity_score_stage(ray_session):
     import ray
 
