@@ -1423,6 +1423,110 @@ def _q_conjugate_gradient(sf_dir: str):
     )
 
 
+_EFFRES_K = 30   # CG steps (residual ≤1e-9 at both gated sfs; the
+                 # margin assert fails loudly if a new sf drifts)
+_EFFRES_S, _EFFRES_T = 0, 300
+
+
+def _q_effective_resistance(sf_dir: str):
+    """Tikhonov-regularized effective resistance: solve
+    (L + I) x = e_s − e_t on the weighted symmetric dense graph with
+    K fixed CG steps (spectral sparsification / commute-distance
+    primitive; Spielman & Srivastava 2008). Emits the full solution
+    vector — r_eff(s,t) = x[s] − x[t]. Every matrix entry is
+    integer-valued (off-diag −w, diag 1 + Σw), so the system matches
+    the twin exactly; the CG recurrence reuses the gated
+    conjugate_gradient engine path unchanged."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from alp_ray.pipelines.linalg import conjugate_gradient
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    sym = symmetrize(_dense_edges(sf_dir))
+
+    def add_neg_w(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        return batch.append_column(
+            "weight",
+            pa.array((-((s + d) % 10 + 1)).astype(np.float64)),
+        )
+
+    wneg = sym.map_batches(add_neg_w, batch_format="pyarrow").materialize()
+    ar = np.arange(MOD_DENSE, dtype=np.int64)
+    base_diag = ray.data.from_arrow(
+        pa.table({"src": ar, "dst": ar, "weight": np.ones(MOD_DENSE)})
+    )
+
+    def deg_diag(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        w = np.asarray(batch.column("weight"), np.float64)
+        return pa.table(
+            {"src": s, "dst": s, "weight": pa.array(-w)}
+        )
+
+    diag_contrib = wneg.map_batches(deg_diag, batch_format="pyarrow")
+    A = (
+        wneg.union(base_diag)
+        .union(diag_contrib)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    engine = GraphEngine.from_dataset(A, n=MOD_DENSE, P=4, weighted=True)
+    b = np.zeros(MOD_DENSE)
+    b[_EFFRES_S], b[_EFFRES_T] = 1.0, -1.0
+    x, _iters, _res = conjugate_gradient(
+        engine, b, tol=0.0, max_iters=_EFFRES_K
+    )
+    engine.shutdown()
+    _margin_assert(x, 6, "effective_resistance")
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_DENSE, dtype=np.int64)),
+            "x": pa.array(_round_half_away(x, 6)),
+        }
+    )
+
+
+def _effres_sql(K: int) -> str:
+    """Twin: the shared K unrolled CG steps over A = L + I (off-diag
+    −w, diag 1 + Σw via the ord-ed list_sum assembly — all entries
+    integer-valued so assembly order is exact) with b = e_s − e_t."""
+    sym = (
+        "SELECT src, dst, "
+        "CAST(-((src + dst) % 10 + 1) AS DOUBLE) AS weight "
+        f"FROM (SELECT src, dst FROM ({_E_DENSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_DENSE}))"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({MOD_DENSE})), ",
+        f"sym AS MATERIALIZED ({sym}), ",
+        "A AS MATERIALIZED (SELECT src, dst, "
+        "CAST(list_sum(list(weight ORDER BY ord)) AS DOUBLE) AS weight "
+        "FROM ("
+        "SELECT src, dst, weight, CAST(0 AS BIGINT) AS ord FROM sym "
+        "UNION ALL SELECT v AS src, v AS dst, 1.0 AS weight, "
+        "CAST(-1 AS BIGINT) AS ord FROM verts "
+        "UNION ALL SELECT src, src AS dst, -weight AS weight, "
+        "dst AS ord FROM sym"
+        ") GROUP BY 1, 2), ",
+        "s0 AS MATERIALIZED (SELECT v, 0.0 AS x, "
+        f"CASE WHEN v = {_EFFRES_S} THEN 1.0 "
+        f"WHEN v = {_EFFRES_T} THEN -1.0 ELSE 0.0 END AS r, "
+        f"CASE WHEN v = {_EFFRES_S} THEN 1.0 "
+        f"WHEN v = {_EFFRES_T} THEN -1.0 ELSE 0.0 END AS p "
+        "FROM verts), ",
+        "rr0 AS MATERIALIZED (SELECT list_sum(list(r * r ORDER BY v)) "
+        "AS val FROM s0)",
+    ]
+    parts.extend(_cg_unrolled_steps(K))
+    parts.append(f" SELECT v AS vertex, ROUND(x, 6) AS x FROM s{K}")
+    return "".join(parts)
+
+
 def _q_conjugate_gradient_complex(sf_dir: str):
     """CG over a COMPLEX Hermitian-positive-definite system — ≙ the
     reference's complex-domain CG (smoke `conjugate_gradient_complex`,
@@ -6209,6 +6313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "rich_club": _q_rich_club,
         "rare_term_pairs": _q_rare_term_pairs,
+        "effective_resistance": _q_effective_resistance,
     }
 
 
@@ -6884,6 +6989,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_overlap": _LANG_VOCAB_SQL,
         "rich_club": _rich_club_sql(_RICH_CLUB_K),
         "rare_term_pairs": _RARE_TERM_PAIRS_SQL,
+        "effective_resistance": _effres_sql(_EFFRES_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -33,6 +33,42 @@ def test_conjugate_gradient_solves_spd():
     assert res <= 1e-10
 
 
+def test_effective_resistance_vs_direct_solve():
+    """CG on L + I reproduces the direct regularized-resistance solve,
+    and the resistance is positive and symmetric in (s, t)."""
+    rng = np.random.RandomState(7)
+    n = 30
+    mask = np.triu(rng.rand(n, n) < 0.25, 1)
+    a, b_ = np.nonzero(mask)
+    w = rng.randint(1, 10, a.size).astype(np.float64)
+    s = np.concatenate([a, b_]).astype(np.int64)
+    d = np.concatenate([b_, a]).astype(np.int64)
+    ww = np.concatenate([w, w])
+    L = np.eye(n)
+    L[s, d] -= ww
+    np.add.at(np.ravel(L), s * (n + 1), ww)
+    rhs = np.zeros(n)
+    rhs[0], rhs[5] = 1.0, -1.0
+    # Engine holds the explicit matrix: off-diag −w plus diag 1 + Σw.
+    ms = np.concatenate([s, np.arange(n)])
+    md = np.concatenate([d, np.arange(n)])
+    mw = np.concatenate([
+        -ww, 1.0 + np.bincount(s, weights=ww, minlength=n)
+    ])
+    engine = GraphEngine.from_arrays(ms, md, mw, n=n, P=3)
+    x, _, res = conjugate_gradient(engine, rhs, tol=1e-12, max_iters=200)
+    engine.shutdown()
+    x_ref = np.linalg.solve(L, rhs)
+    np.testing.assert_allclose(x, x_ref, atol=1e-9)
+    reff = x[0] - x[5]
+    assert reff > 0
+    # Symmetry: swapping s and t negates x, same resistance.
+    engine = GraphEngine.from_arrays(ms, md, mw, n=n, P=3)
+    x2, _, _ = conjugate_gradient(engine, -rhs, tol=1e-12, max_iters=200)
+    engine.shutdown()
+    np.testing.assert_allclose(x2[5] - x2[0], reff, atol=1e-9)
+
+
 def test_kmeans_separable_clusters():
     rng = np.random.RandomState(32)
     c0 = rng.randn(40, 4) * 0.05 + np.array([0, 0, 0, 0])
