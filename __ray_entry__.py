@@ -974,6 +974,47 @@ def _rich_club_sql(kmax: int) -> str:
     )
 
 
+def _q_square_count(sf_dir: str):
+    """4-cycle (square) count of the symmetric sparse graph: each
+    square has two opposite-corner pairs, so
+    n_C4 = Σ_{u<v} C(codegree(u,v), 2) / 2 — codegrees come from
+    co_occurrence over (middle → neighbor) wedges (the bipartite
+    projection machinery reused verbatim; max_group = n so no
+    heavy-basket drop can bias the exact count; wedge cost Σdeg² is
+    the same class as the triangle shuffle path)."""
+    import ray
+
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.stages.relational import co_occurrence
+
+    es = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    )
+    cn = co_occurrence(
+        es, group_col="src", item_col="dst",
+        min_count=2, max_group=MOD_SPARSE,
+    )
+    total = 0
+    for t in ray.get(cn.materialize().to_arrow_refs()):
+        if "n_groups" in t.column_names and t.num_rows:
+            c = np.asarray(t.column("n_groups"), np.int64)
+            total += int((c * (c - 1) // 2).sum())
+    return pa.table({"n_squares": pa.array([total // 2], pa.int64())})
+
+
+_SQUARE_COUNT_SQL = (
+    "WITH es AS MATERIALIZED ("
+    f"SELECT src, dst FROM ({_E_SPARSE}) "
+    f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})), "
+    "cn AS (SELECT a.dst AS u, b.dst AS v, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM es a "
+    "JOIN es b ON b.src = a.src AND a.dst < b.dst GROUP BY u, v) "
+    "SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) // 2 "
+    "AS n_squares FROM cn WHERE c >= 2"
+)
+
+
 _ONION_WAVES = 48  # onion peel waves (35 needed at sf0.1; extra waves
                    # are no-ops, onion_layers raises past the unroll)
 
@@ -6314,6 +6355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "rare_term_pairs": _q_rare_term_pairs,
         "effective_resistance": _q_effective_resistance,
+        "square_count": _q_square_count,
     }
 
 
@@ -6990,6 +7032,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(_RICH_CLUB_K),
         "rare_term_pairs": _RARE_TERM_PAIRS_SQL,
         "effective_resistance": _effres_sql(_EFFRES_K),
+        "square_count": _SQUARE_COUNT_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
