@@ -974,6 +974,59 @@ def _rich_club_sql(kmax: int) -> str:
     )
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Data-versioning diff: documents v1 vs a deterministic v2
+    (doc_id % 97 == 0 dropped, doc_id % 101 == 0 edited, doc_id % 103
+    == 0 duplicated as doc_id + 10^6 additions) → per-key
+    added/removed/changed rows via the side-tagged coarse-partition
+    compare (no hash join)."""
+    import ray.data
+
+    from alp_ray.stages.relational import dataset_diff
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def v2(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        text = np.asarray(batch.column("text"), dtype=object)
+        keep = ids % 97 != 0
+        ids_k, text_k = ids[keep], text[keep]
+        edited = ids_k % 101 == 0
+        text_k = np.where(
+            edited, np.char.add(text_k.astype(str), " v2"), text_k
+        ).astype(object)
+        dup = ids[ids % 103 == 0] + 1_000_000
+        dup_text = text[ids % 103 == 0]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids_k, dup]).astype(np.int64)
+            ),
+            "text": pa.array(
+                list(np.concatenate([text_k, dup_text])),
+                pa.string(),
+            ),
+        })
+
+    ds_b = docs.map_batches(v2, batch_format="pyarrow")
+    return dataset_diff(docs, ds_b, key_col="doc_id", value_col="text")
+
+
+_SNAPSHOT_DIFF_SQL = (
+    "WITH v2 AS MATERIALIZED ("
+    "SELECT doc_id, CASE WHEN doc_id % 101 = 0 THEN text || ' v2' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 97 != 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+    "FROM documents WHERE doc_id % 103 = 0) "
+    "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+    "CASE WHEN b.doc_id IS NULL THEN 'removed' "
+    "WHEN a.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status "
+    "FROM documents a FULL OUTER JOIN v2 b ON b.doc_id = a.doc_id "
+    "WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text != b.text"
+)
+
+
 def _q_square_count(sf_dir: str):
     """4-cycle (square) count of the symmetric sparse graph: each
     square has two opposite-corner pairs, so
@@ -6356,6 +6409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_term_pairs": _q_rare_term_pairs,
         "effective_resistance": _q_effective_resistance,
         "square_count": _q_square_count,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -7033,6 +7087,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_term_pairs": _RARE_TERM_PAIRS_SQL,
         "effective_resistance": _effres_sql(_EFFRES_K),
         "square_count": _SQUARE_COUNT_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -1127,3 +1127,97 @@ def grouped_distinct_count(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def dataset_diff(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Snapshot diff between two dataset versions keyed by ``key_col``:
+    one row per key whose state differs — status ``removed`` (key only
+    in A), ``added`` (key only in B), ``changed`` (present in both,
+    ``value_col`` differs). Unchanged keys are not emitted. Keys must
+    be unique per side (a data-versioning contract; duplicate keys
+    raise loudly rather than emit nonsense).
+
+    Physical plan: side-tag both inputs, union, co-locate keys by the
+    coarse hash partition, ONE vectorized compare per partition (no
+    join — Ray 2.49's hash join is avoided entirely). SQL twin:
+    FULL OUTER JOIN + CASE."""
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column(key_col), np.int64)
+            return pa.table({
+                "k": pa.array(k),
+                "val": batch.column(value_col).cast(pa.string()),
+                "side": pa.array(
+                    np.full(k.size, side, np.int64)
+                ),
+                "__part": pa.array((k * 2654435761) % n_parts),
+            })
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def compare(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "status": pa.array([], pa.string()),
+        })
+        if "k" not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column("k"), np.int64)
+        side = np.asarray(group.column("side"), np.int64)
+        val = group.column("val")
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        enc = val.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((side, k))
+        k, side, code = k[order], side[order], code[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        cnt = np.diff(np.r_[starts, k.size])
+        two = cnt == 2
+        dup2 = np.zeros(starts.size, bool)
+        dup2[two] = side[starts[two]] == side[starts[two] + 1]
+        if (cnt > 2).any() or dup2.any():
+            raise ValueError(
+                "dataset_diff: duplicate keys within one side"
+            )
+        out_k, out_s = [], []
+        one = cnt == 1
+        if one.any():
+            s1 = starts[one]
+            out_k.append(k[s1])
+            out_s.append(
+                np.where(side[s1] == 0, "removed", "added")
+            )
+        if two.any():
+            s2 = starts[two]
+            ch = code[s2] != code[s2 + 1]
+            out_k.append(k[s2][ch])
+            out_s.append(np.full(int(ch.sum()), "changed", object))
+        if not out_k:
+            return empty
+        return pa.table({
+            key_col: pa.array(np.concatenate(out_k)),
+            "status": pa.array(
+                list(np.concatenate(out_s)), pa.string()
+            ),
+        })
+
+    return both.groupby("__part").map_groups(
+        compare, batch_format="pyarrow"
+    )
