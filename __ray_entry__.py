@@ -974,6 +974,93 @@ def _rich_club_sql(kmax: int) -> str:
     )
 
 
+def _q_pareto_frontier(sf_dir: str):
+    """Skyline query: the Pareto frontier of (minimize price-cents,
+    maximize quantity) over lineitem — distinct non-dominated pairs.
+    Frontiers MERGE (frontier of a union = frontier of the union of
+    frontiers), so each block reduces to ≤ |distinct qty| rows and the
+    driver folds an antichain-sized set; no shuffle at all. Exact
+    integers (price in cents)."""
+    import ray
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+    )
+
+    def frontier(p: np.ndarray, q: np.ndarray):
+        # distinct pairs → per price keep max qty → strict scan.
+        key = p * 1_000 + q  # qty < 1000
+        u = np.unique(key)
+        p, q = u // 1_000, u % 1_000
+        # ascending p; per p the max q is the last? sort by (p, q):
+        # keep the LAST q of each p run, then strictly-decreasing q
+        # scan keeps only rows beating every cheaper row.
+        last = np.r_[p[1:] != p[:-1], True]
+        p, q = p[last], q[last]
+        run = np.maximum.accumulate(q)
+        keep = np.r_[True, q[1:] > run[:-1]]
+        return p[keep], q[keep]
+
+    def block_frontier(batch: pa.Table) -> pa.Table:
+        if (
+            "l_extendedprice" not in batch.column_names
+            or batch.num_rows == 0
+        ):
+            return pa.table({
+                "price_cents": pa.array([], pa.int64()),
+                "quantity": pa.array([], pa.int64()),
+            })
+        from alp_ray.util import round_half_away
+
+        p = round_half_away(
+            np.asarray(batch.column("l_extendedprice"), np.float64)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        q = np.asarray(
+            batch.column("l_quantity"), np.float64
+        ).astype(np.int64)
+        fp, fq = frontier(p, q)
+        return pa.table({
+            "price_cents": pa.array(fp),
+            "quantity": pa.array(fq),
+        })
+
+    parts = [
+        t
+        for t in ray.get(
+            li.map_batches(block_frontier, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if "price_cents" in t.column_names and t.num_rows
+    ]
+    allp = pa.concat_tables(parts)
+    fp, fq = frontier(
+        np.asarray(allp.column("price_cents"), np.int64),
+        np.asarray(allp.column("quantity"), np.int64),
+    )
+    return pa.table(
+        {"price_cents": pa.array(fp), "quantity": pa.array(fq)}
+    )
+
+
+_PARETO_SQL = (
+    "WITH pts AS MATERIALIZED (SELECT DISTINCT "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents, "
+    "CAST(l_quantity AS BIGINT) AS quantity FROM lineitem), "
+    "pm AS (SELECT price_cents, MAX(quantity) AS quantity FROM pts "
+    "GROUP BY price_cents), "
+    "sc AS (SELECT price_cents, quantity, MAX(quantity) OVER ("
+    "ORDER BY price_cents ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING) AS prev FROM pm) "
+    "SELECT price_cents, quantity FROM sc "
+    "WHERE prev IS NULL OR quantity > prev"
+)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Data-versioning diff: documents v1 vs a deterministic v2
     (doc_id % 97 == 0 dropped, doc_id % 101 == 0 edited, doc_id % 103
@@ -6410,6 +6497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_resistance": _q_effective_resistance,
         "square_count": _q_square_count,
         "snapshot_diff": _q_snapshot_diff,
+        "pareto_frontier": _q_pareto_frontier,
     }
 
 
@@ -7088,6 +7176,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_resistance": _effres_sql(_EFFRES_K),
         "square_count": _SQUARE_COUNT_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "pareto_frontier": _PARETO_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
