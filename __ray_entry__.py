@@ -974,6 +974,35 @@ def _rich_club_sql(kmax: int) -> str:
     )
 
 
+def _q_canonical_docs(sf_dir: str):
+    """Best-of-cluster canonical selection: per exact-text cluster keep
+    the highest-word-count doc (ties → min id) — packed-key argmax
+    through the one hash-keyed groupby."""
+    import ray.data
+
+    from alp_ray.pipelines.dedup import canonical_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _cast(
+        canonical_docs(docs),
+        {"h": pa.string(), "canonical_id": pa.int64(),
+         "n_words": pa.int64()},
+    )
+
+
+_CANONICAL_DOCS_SQL = (
+    "WITH h AS (SELECT doc_id, md5(text) AS h, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS nw "
+    "FROM documents), "
+    "r AS (SELECT doc_id, h, nw, ROW_NUMBER() OVER ("
+    "PARTITION BY h ORDER BY nw DESC, doc_id) AS rk FROM h) "
+    "SELECT h, doc_id AS canonical_id, nw AS n_words FROM r "
+    "WHERE rk = 1"
+)
+
+
 def _q_pareto_frontier(sf_dir: str):
     """Skyline query: the Pareto frontier of (minimize price-cents,
     maximize quantity) over lineitem — distinct non-dominated pairs.
@@ -6498,6 +6527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "square_count": _q_square_count,
         "snapshot_diff": _q_snapshot_diff,
         "pareto_frontier": _q_pareto_frontier,
+        "canonical_docs": _q_canonical_docs,
     }
 
 
@@ -7177,6 +7207,7 @@ def oracle_sql() -> dict[str, str]:
         "square_count": _SQUARE_COUNT_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "pareto_frontier": _PARETO_SQL,
+        "canonical_docs": _CANONICAL_DOCS_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

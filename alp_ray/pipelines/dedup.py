@@ -24,6 +24,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -55,6 +56,64 @@ def exact_dedup(
         .aggregate(Min(id_col, alias_name="keep_id"))
         .select_columns(["h", "keep_id"])
     )
+
+
+def canonical_docs(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Canonical-representative selection: within every exact-text
+    cluster keep the HIGHEST-QUALITY document (quality = word count
+    here; ties → smallest id) instead of exact_dedup's blind min-id.
+    The standard "best-of-cluster" hygiene step after dedup.
+
+    Argmax rides ONE packed int64 key (nw·2³² + (2³²−1−id)) through a
+    per-block partial max + the same single hash-keyed groupby
+    exact_dedup uses — integer-exact, ROW_NUMBER twin."""
+    from ray.data.aggregate import Max
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in text.to_pylist()
+        ]
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nw = np.diff(np.asarray(toks.offsets, np.int64))
+        ids = np.asarray(batch.column(id_col), np.int64)
+        key = nw * (1 << 32) + ((1 << 32) - 1 - ids)
+        t = pa.table({
+            "h": pa.array(hs, pa.string()),
+            "key": pa.array(key),
+        })
+        # Per-block per-hash partial max before the shuffle.
+        return t.group_by("h").aggregate([("key", "max")]) \
+            .rename_columns(["h", "key"])
+
+    agg = (
+        docs.map_batches(add_key, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Max("key", alias_name="key"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        if "key" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], pa.string()),
+                "canonical_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+            })
+        k = np.asarray(batch.column("key"), np.int64)
+        return pa.table({
+            "h": batch.column("h"),
+            "canonical_id": pa.array((1 << 32) - 1 - (k % (1 << 32))),
+            "n_words": pa.array(k >> 32),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- minhash --
