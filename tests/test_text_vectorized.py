@@ -357,6 +357,37 @@ def test_rare_term_pairs(ray_session):
     ]
 
 
+def test_rare_term_pairs_layout_independent(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from alp_ray.stages.text import rare_term_pairs
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(words, 12)) + (" rareword" if i % 9 == 0
+                                           else "")
+        for i in range(60)
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    one = rare_term_pairs(ray.data.from_arrow(docs), df_cap=8)
+    many = rare_term_pairs(
+        ray.data.from_arrow(docs).repartition(13), df_cap=8
+    )
+    a = one.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(
+        drop=True
+    )
+    b = many.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(
+        drop=True
+    )
+    assert a.equals(b) and len(a) > 0
+
+
 def test_rarity_score_stage(ray_session):
     import ray
 
