@@ -974,6 +974,61 @@ def _rich_club_sql(kmax: int) -> str:
     )
 
 
+_Z_BITS = 21
+
+
+def _q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering keys over (user_id, value-cents):
+    the lakehouse data-layout primitive — sorting by the interleaved
+    key co-locates rows close in BOTH dimensions, so min/max column
+    stats prune 2-D range scans. Emits (event_id, zkey); integer bit
+    interleave, exact twin. The layout use is ds.sort('zkey') →
+    partitioned sink (the sort itself needs no oracle — the KEY does)."""
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        from alp_ray.util import round_half_away
+
+        u = np.asarray(batch.column("user_id"), np.int64) % (
+            1 << _Z_BITS
+        )
+        v = round_half_away(
+            np.asarray(batch.column("value"), np.float64) * 100.0, 0
+        ).astype(np.int64) % (1 << _Z_BITS)
+        z = np.zeros(u.size, np.int64)
+        for i in range(_Z_BITS):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((v >> i) & 1) << (2 * i + 1)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "zkey": pa.array(z),
+        })
+
+    return li.map_batches(zkey, batch_format="pyarrow")
+
+
+def _zorder_sql(bits: int) -> str:
+    u_terms = " + ".join(
+        f"(((user_id % {1 << bits}) >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(bits)
+    )
+    v_terms = " + ".join(
+        f"(((vc >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(bits)
+    )
+    return (
+        "WITH e AS (SELECT event_id, user_id, "
+        f"CAST(ROUND(value * 100) AS BIGINT) % {1 << bits} AS vc "
+        "FROM events) "
+        f"SELECT event_id, CAST({u_terms} + {v_terms} AS BIGINT) "
+        "AS zkey FROM e"
+    )
+
+
 def _q_canonical_docs(sf_dir: str):
     """Best-of-cluster canonical selection: per exact-text cluster keep
     the highest-word-count doc (ties → min id) — packed-key argmax
@@ -6528,6 +6583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "pareto_frontier": _q_pareto_frontier,
         "canonical_docs": _q_canonical_docs,
+        "zorder_events": _q_zorder_events,
     }
 
 
@@ -7208,6 +7264,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "pareto_frontier": _PARETO_SQL,
         "canonical_docs": _CANONICAL_DOCS_SQL,
+        "zorder_events": _zorder_sql(_Z_BITS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
