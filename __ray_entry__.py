@@ -1239,6 +1239,100 @@ _SQUARE_COUNT_SQL = (
 )
 
 
+_HB_P = 3       # HyperBall register bits (m = 8 registers/vertex)
+_HB_ROUNDS = 5  # ball-merge rounds (balls at t = 1..5)
+
+
+def _q_hyperball(sf_dir: str):
+    """HyperBall / approximate neighborhood function (Boldi & Vigna):
+    per-vertex HLL balls merged register-max per round on the engine's
+    (max, first) semiring — the web-scale effective-diameter
+    algorithm. Emits the INTEGER register summaries (sum_reg,
+    zero_reg) per vertex per round; the cardinality estimate is a pure
+    function of them (approx_distinct_poly's state contract)."""
+    from alp_ray.pipelines.anf import hyperball
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+    from alp_ray.state.engine import GraphEngine
+
+    edges = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=False
+    )
+    engine = GraphEngine.from_dataset(
+        edges, n=MOD_SPARSE, P=4, dedupe=True
+    )
+    stats = hyperball(engine, p=_HB_P, rounds=_HB_ROUNDS)
+    engine.shutdown()
+    vs, ts, sums, zeros = [], [], [], []
+    ar = np.arange(MOD_SPARSE, dtype=np.int64)
+    for t, (s, z) in enumerate(stats, start=1):
+        vs.append(ar)
+        ts.append(np.full(MOD_SPARSE, t, np.int64))
+        sums.append(s)
+        zeros.append(z)
+    return pa.table(
+        {
+            "vertex": pa.array(np.concatenate(vs)),
+            "t": pa.array(np.concatenate(ts)),
+            "sum_reg": pa.array(np.concatenate(sums)),
+            "zero_reg": pa.array(np.concatenate(zeros)),
+        }
+    )
+
+
+def _hyperball_sql(p: int, rounds: int) -> str:
+    """Unrolled HyperBall twin: init registers from the multiplicative
+    vertex fingerprint (rank = w+1 − bit_length ladder), then per
+    round ONE register-max CTE over (self ∪ in-neighbors)."""
+    m = 1 << p
+    w = 31 - p
+    n = MOD_SPARSE
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    ladder = "CASE " + " ".join(
+        f"WHEN hv >= {1 << (w - 1 - k)} THEN {w - k}"
+        for k in range(w)
+    ) + " ELSE 0 END"
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({n})), ",
+        "h0 AS MATERIALIZED (SELECT v, (h1 * h1 + h1) % 2147483647 "
+        "AS h FROM (SELECT v, (v * 2654435761) % 2147483647 AS h1 "
+        "FROM verts)), ",
+        f"r0 AS MATERIALIZED (SELECT h0.v, t.range AS idx, "
+        f"CASE WHEN (h0.h & {m - 1}) = t.range THEN "
+        f"{w + 1} - (SELECT {ladder} FROM (SELECT h0.h >> {p} AS hv)) "
+        "ELSE CAST(0 AS BIGINT) END AS val "
+        f"FROM h0 CROSS JOIN range({m}) t)",
+    ]
+    sels = []
+    for t in range(1, rounds + 1):
+        pr = f"r{t - 1}"
+        parts.append(
+            f", r{t} AS MATERIALIZED (SELECT r.v, r.idx, "
+            "GREATEST(r.val, COALESCE(mx.mval, 0)) AS val "
+            f"FROM {pr} r LEFT JOIN ("
+            "SELECT e.dst AS v, r2.idx, MAX(r2.val) AS mval "
+            f"FROM es e JOIN {pr} r2 ON r2.v = e.src "
+            "GROUP BY e.dst, r2.idx) mx "
+            "ON mx.v = r.v AND mx.idx = r.idx)"
+        )
+        sels.append(
+            f"SELECT v, CAST({t} AS BIGINT) AS t, "
+            "CAST(SUM(val) AS BIGINT) AS sum_reg, "
+            "CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS zero_reg FROM r{t} GROUP BY v"
+        )
+    union = " UNION ALL ".join(sels)
+    parts.append(
+        f" SELECT v AS vertex, t, sum_reg, zero_reg FROM ({union})"
+    )
+    return "".join(parts)
+
+
 _ONION_WAVES = 48  # onion peel waves (35 needed at sf0.1; extra waves
                    # are no-ops, onion_layers raises past the unroll)
 
@@ -6584,6 +6678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": _q_pareto_frontier,
         "canonical_docs": _q_canonical_docs,
         "zorder_events": _q_zorder_events,
+        "hyperball": _q_hyperball,
     }
 
 
@@ -7265,6 +7360,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": _PARETO_SQL,
         "canonical_docs": _CANONICAL_DOCS_SQL,
         "zorder_events": _zorder_sql(_Z_BITS),
+        "hyperball": _hyperball_sql(_HB_P, _HB_ROUNDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
