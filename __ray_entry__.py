@@ -1239,6 +1239,62 @@ _SQUARE_COUNT_SQL = (
 )
 
 
+_WL_K = 4  # Weisfeiler-Leman refinement rounds
+
+
+def _q_wl_colors(sf_dir: str):
+    """1-WL color refinement (graph-kernel / GNN-expressiveness
+    fingerprints) on the symmetric sparse graph: colors are polynomial
+    fold hashes of (own color, sorted neighbor colors) mod 2³¹−1,
+    K fixed rounds — all-integer, exact twin."""
+    from alp_ray.pipelines.wl import wl_refinement
+    from alp_ray.sources.tables import derived_edges
+    from alp_ray.stages.graph import symmetrize
+
+    es = symmetrize(
+        derived_edges(sf_dir, mod=MOD_SPARSE, sparse=True), dedup=True
+    )
+    colors = wl_refinement(es, n=MOD_SPARSE, rounds=_WL_K)
+    return pa.table(
+        {
+            "vertex": pa.array(np.arange(MOD_SPARSE, dtype=np.int64)),
+            "color": pa.array(colors),
+        }
+    )
+
+
+def _wl_sql(K: int) -> str:
+    n = MOD_SPARSE
+    es = (
+        f"SELECT src, dst FROM ({_E_SPARSE}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({_E_SPARSE})"
+    )
+    parts = [
+        f"WITH es AS MATERIALIZED ({es}), ",
+        f"verts AS MATERIALIZED (SELECT range::BIGINT AS v "
+        f"FROM range({n})), ",
+        "c0 AS MATERIALIZED (SELECT v.v, "
+        "CAST(COALESCE(d.c, 0) AS BIGINT) AS color FROM verts v "
+        "LEFT JOIN (SELECT src, COUNT(*) AS c FROM es GROUP BY src) d "
+        "ON d.src = v.v)",
+    ]
+    for r in range(1, K + 1):
+        pr = f"c{r - 1}"
+        parts.append(
+            f", c{r} AS MATERIALIZED (SELECT c.v, "
+            "COALESCE(agg.h, c.color) AS color "
+            f"FROM {pr} c LEFT JOIN ("
+            "SELECT e.dst AS v, list_reduce(list_prepend(cd.color, "
+            "list(c2.color ORDER BY c2.color)), "
+            "(h, x) -> (h * 1000003 + x) % 2147483647) AS h "
+            f"FROM es e JOIN {pr} c2 ON c2.v = e.src "
+            f"JOIN {pr} cd ON cd.v = e.dst "
+            "GROUP BY e.dst, cd.color) agg ON agg.v = c.v)"
+        )
+    parts.append(f" SELECT v AS vertex, color FROM c{K}")
+    return "".join(parts)
+
+
 _HB_P = 3       # HyperBall register bits (m = 8 registers/vertex)
 _HB_ROUNDS = 5  # ball-merge rounds (balls at t = 1..5)
 
@@ -6679,6 +6735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": _q_canonical_docs,
         "zorder_events": _q_zorder_events,
         "hyperball": _q_hyperball,
+        "wl_colors": _q_wl_colors,
     }
 
 
@@ -7361,6 +7418,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": _CANONICAL_DOCS_SQL,
         "zorder_events": _zorder_sql(_Z_BITS),
         "hyperball": _hyperball_sql(_HB_P, _HB_ROUNDS),
+        "wl_colors": _wl_sql(_WL_K),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
