@@ -1389,6 +1389,76 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_kn_continuation(sf_dir: str):
+    """Kneser-Ney continuation counts N1+(·w) + per-word bigram totals
+    — the n-gram LM smoothing statistic; block-preaggregated pair
+    counts, blake2b word-partitioned fold, all-integer twin."""
+    import ray.data
+
+    from alp_ray.stages.text import kn_continuation
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _cast(
+        kn_continuation(docs),
+        {"w": pa.string(), "continuation": pa.int64(),
+         "bigram_total": pa.int64()},
+    )
+
+
+_KN_SQL = (
+    "WITH toks AS MATERIALIZED (SELECT doc_id, "
+    "string_split(text, ' ') AS t FROM documents), "
+    "tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS tok, "
+    "generate_subscripts(t, 1) AS i FROM toks), "
+    "bg AS (SELECT a.tok AS l, b.tok AS w FROM tok a "
+    "JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1) "
+    "SELECT w, CAST(COUNT(DISTINCT l) AS BIGINT) AS continuation, "
+    "CAST(COUNT(*) AS BIGINT) AS bigram_total FROM bg GROUP BY w"
+)
+
+
+def _q_butterfly_count(sf_dir: str):
+    """Butterfly count (bipartite 4-cycles, Sanei-Mehri et al. 2018)
+    of the order×part graph: butterflies = Σ over part pairs
+    C(#common orders, 2) — co-occurrence codegrees reused verbatim
+    (max_group = ∞ is unnecessary here: TPC-H orders hold ≤ 7 parts,
+    far under the heavy-basket guard, asserted by the twin match)."""
+    import ray
+
+    import ray.data
+
+    from alp_ray.stages.relational import co_occurrence
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    cn = co_occurrence(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        min_count=2, max_group=100_000,
+    )
+    total = 0
+    for t in ray.get(cn.materialize().to_arrow_refs()):
+        if "n_groups" in t.column_names and t.num_rows:
+            c = np.asarray(t.column("n_groups"), np.int64)
+            total += int((c * (c - 1) // 2).sum())
+    return pa.table(
+        {"n_butterflies": pa.array([total], pa.int64())}
+    )
+
+
+_BUTTERFLY_SQL = (
+    "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+    "l_partkey AS p FROM lineitem), "
+    "cn AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM op a JOIN op b ON b.o = a.o AND a.p < b.p GROUP BY u, v) "
+    "SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) "
+    "AS n_butterflies FROM cn WHERE c >= 2"
+)
+
+
 _ONION_WAVES = 48  # onion peel waves (35 needed at sf0.1; extra waves
                    # are no-ops, onion_layers raises past the unroll)
 
@@ -6736,6 +6806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": _q_zorder_events,
         "hyperball": _q_hyperball,
         "wl_colors": _q_wl_colors,
+        "butterfly_count": _q_butterfly_count,
+        "kn_continuation": _q_kn_continuation,
     }
 
 
@@ -7419,6 +7491,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _zorder_sql(_Z_BITS),
         "hyperball": _hyperball_sql(_HB_P, _HB_ROUNDS),
         "wl_colors": _wl_sql(_WL_K),
+        "butterfly_count": _BUTTERFLY_SQL,
+        "kn_continuation": _KN_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -1307,3 +1307,108 @@ def rare_term_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("s", alias_name="sim"))
     )
+
+
+def kn_continuation(
+    docs,
+    text_col: str = "text",
+    n_parts: int | None = None,
+):
+    """Kneser-Ney continuation statistics per word w: the continuation
+    count N1+(·w) = |{l : c(l, w) > 0}| (how many DISTINCT left
+    contexts precede w — the numerator of the KN lower-order
+    distribution) plus w's total bigram count. The classic n-gram LM
+    smoothing statistic (Kneser & Ney 1995).
+
+    Physical plan: per-block pre-aggregated (left, w) pair counts,
+    words co-located by a blake2b coarse hash partition (partitioning
+    only — never a gated value), ONE vectorized kernel per partition
+    computing distinct-left and total counts. All-integer."""
+    import hashlib
+
+    import ray
+
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l": pa.array([], pa.string()),
+            "w": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int64()),
+        })
+        values, tidx = _doc_tokens(batch, text_col)
+        n = len(values)
+        if n < 2:
+            return empty
+        same = pa.array(tidx[1:] == tidx[:-1])
+        left = values.slice(0, n - 1).filter(same)
+        right = values.slice(1, n - 1).filter(same)
+        if len(left) == 0:
+            return empty
+        joined = pc.binary_join_element_wise(left, right, "\x00")
+        codes, vocab = _ranked_codes(joined)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        pairs = vocab[uniq]
+        ls, ws = zip(*(p.split("\x00", 1) for p in pairs))
+        part = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        w.encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                % n_parts
+                for w in ws
+            ],
+            np.int64,
+        )
+        return pa.table({
+            "l": pa.array(list(ls), pa.string()),
+            "w": pa.array(list(ws), pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__part": pa.array(part),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "w": pa.array([], pa.string()),
+            "continuation": pa.array([], pa.int64()),
+            "bigram_total": pa.array([], pa.int64()),
+        })
+        if "w" not in group.column_names or group.num_rows == 0:
+            return empty
+        wcodes, wvocab = _ranked_codes(
+            group.column("w").combine_chunks()
+            if isinstance(group.column("w"), pa.ChunkedArray)
+            else group.column("w")
+        )
+        lcodes, _ = _ranked_codes(
+            group.column("l").combine_chunks()
+            if isinstance(group.column("l"), pa.ChunkedArray)
+            else group.column("l")
+        )
+        cnt = np.asarray(group.column("cnt"), np.int64)
+        order = np.lexsort((lcodes, wcodes))
+        wc, lc, ct = wcodes[order], lcodes[order], cnt[order]
+        # distinct (l, w) per w + total count per w.
+        pair_first = np.r_[True, (wc[1:] != wc[:-1]) | (lc[1:] != lc[:-1])]
+        w_first = np.r_[True, wc[1:] != wc[:-1]]
+        starts = np.flatnonzero(w_first)
+        contin = np.add.reduceat(pair_first.astype(np.int64), starts)
+        total = np.add.reduceat(ct, starts)
+        return pa.table({
+            "w": pa.array(list(wvocab[wc[starts]]), pa.string()),
+            "continuation": pa.array(contin),
+            "bigram_total": pa.array(total),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
