@@ -1389,6 +1389,38 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurizer: sparse (doc, bucket, count) rows,
+    bucket = polyhash(token) % 64 — zero shuffle, exact twin via the
+    nested list_reduce character fold."""
+    import ray.data
+
+    from alp_ray.stages.text import feature_hashing_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        feature_hashing_batch, batch_format="pyarrow"
+    )
+
+
+def _feature_hashing_sql() -> str:
+    from alp_ray.stages.text import FEATURE_HASH_DIM
+
+    return (
+        "WITH tok AS MATERIALIZED (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS t FROM documents), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend("
+        "CAST(0 AS BIGINT), list_transform(regexp_extract_all(t, '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(h, c) -> (h * 1000003 + c) % 2147483647) "
+        f"% {FEATURE_HASH_DIM} AS bucket FROM tok) "
+        "SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS value "
+        "FROM h GROUP BY doc_id, bucket"
+    )
+
+
 def _q_kn_continuation(sf_dir: str):
     """Kneser-Ney continuation counts N1+(·w) + per-word bigram totals
     — the n-gram LM smoothing statistic; block-preaggregated pair
@@ -6808,6 +6840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_colors": _q_wl_colors,
         "butterfly_count": _q_butterfly_count,
         "kn_continuation": _q_kn_continuation,
+        "feature_hashing": _q_feature_hashing,
     }
 
 
@@ -7493,6 +7526,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_colors": _wl_sql(_WL_K),
         "butterfly_count": _BUTTERFLY_SQL,
         "kn_continuation": _KN_SQL,
+        "feature_hashing": _feature_hashing_sql(),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

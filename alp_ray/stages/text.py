@@ -1412,3 +1412,56 @@ def kn_continuation(
         .groupby("__part")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+FEATURE_HASH_DIM = 64
+_FH_P = 2_147_483_647
+_FH_MULT = 1_000_003
+
+
+def feature_hashing_batch(
+    batch: pa.Table,
+    dim: int = FEATURE_HASH_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009):
+    sparse (doc, bucket, count) rows with
+    bucket = polyhash(token) % dim — the fixed-dimension featurizer
+    feeding linear models / MinHash-free dedup at corpus scale without
+    a vocabulary build. The token hash is the SQL-reproducible
+    character fold ``h = (h·1000003 + ord(c)) % (2³¹−1)``, computed
+    once per BLOCK-VOCABULARY entry (not per occurrence).
+
+    Embarrassingly parallel: docs never span blocks, so the sparse
+    rows need no shuffle at all."""
+    values, doc_idx = _doc_tokens(batch, text_col)
+    ids = np.asarray(batch.column(id_col), np.int64)
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "bucket": pa.array([], pa.int64()),
+        "value": pa.array([], pa.int64()),
+    })
+    if len(values) == 0:
+        return empty
+    codes, vocab = _ranked_codes(values)
+
+    def ph(t: str) -> int:
+        h = 0
+        for ch in t:
+            h = (h * _FH_MULT + ord(ch)) % _FH_P
+        return h
+
+    vbucket = np.array([ph(t) % dim for t in vocab], np.int64)
+    b = vbucket[codes]
+    key = doc_idx * np.int64(dim) + b
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    cnt = np.diff(np.r_[starts, key.size]).astype(np.int64)
+    ks = key[starts]
+    return pa.table({
+        id_col: pa.array(ids[ks // dim]),
+        "bucket": pa.array(ks % dim),
+        "value": pa.array(cnt),
+    })
