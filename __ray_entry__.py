@@ -1389,6 +1389,121 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+_JC_P = 6  # join-cardinality HLL register bits (m = 64)
+
+
+def _q_join_cardinality(sf_dir: str):
+    """Join-cardinality estimation sketch (the query-planner
+    primitive): HLL register states over orders.o_custkey (a) and
+    customer.c_custkey (b) plus their max-merge union — |A∩B| follows
+    by inclusion-exclusion on the three estimates, each a pure
+    function of the emitted INTEGER state. One sketch-sized driver
+    fold per side; never a key-sized exchange."""
+    import ray.data
+
+    from alp_ray.stages.sketch import hll_int_registers, hll_state_row
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    ra = hll_int_registers(orders, "o_custkey", p=_JC_P)
+    rb = hll_int_registers(cust, "c_custkey", p=_JC_P)
+    ru = np.maximum(ra, rb)
+    rows = [
+        ("a",) + hll_state_row(ra),
+        ("b",) + hll_state_row(rb),
+        ("union",) + hll_state_row(ru),
+    ]
+    return pa.table({
+        "side": pa.array([r[0] for r in rows], pa.string()),
+        "sum_reg": pa.array([r[1] for r in rows], pa.int64()),
+        "zero_reg": pa.array([r[2] for r in rows], pa.int64()),
+        "checksum": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _join_cardinality_sql(p: int) -> str:
+    m = 1 << p
+    w = 31 - p
+    ladder = "CASE " + " ".join(
+        f"WHEN hv >= {1 << (w - 1 - j)} THEN {w - j}"
+        for j in range(w)
+    ) + " ELSE 0 END"
+
+    def regs(name: str, col: str, table: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT t.range AS idx, "
+            "COALESCE(MAX(rk.rank), 0) AS reg "
+            f"FROM range({m}) t LEFT JOIN ("
+            f"SELECT h & {m - 1} AS idx, "
+            f"{w + 1} - (SELECT {ladder} FROM "
+            f"(SELECT h >> {p} AS hv)) AS rank FROM ("
+            "SELECT (h1 * h1 + h1) % 2147483647 AS h FROM ("
+            f"SELECT (k * 2654435761) % 2147483647 AS h1 FROM ("
+            f"SELECT DISTINCT {col} AS k FROM {table})))"
+            ") rk ON rk.idx = t.range GROUP BY t.range)"
+        )
+
+    def state(label: str, src: str) -> str:
+        return (
+            f"SELECT '{label}' AS side, "
+            f"CAST(SUM(reg) AS BIGINT) AS sum_reg, "
+            "CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS zero_reg, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list(reg ORDER BY idx)), "
+            "(h, c) -> (h * 1000003 + c) % 2147483647) AS checksum "
+            f"FROM {src}"
+        )
+
+    return (
+        "WITH "
+        + regs("ra", "o_custkey", "orders")
+        + ", "
+        + regs("rb", "c_custkey", "customer")
+        + ", ru AS MATERIALIZED (SELECT a.idx, "
+        "GREATEST(a.reg, b.reg) AS reg FROM ra a "
+        "JOIN rb b ON b.idx = a.idx) "
+        + state("a", "ra")
+        + " UNION ALL "
+        + state("b", "rb")
+        + " UNION ALL "
+        + state("union", "ru")
+    )
+
+
+def _q_user_trend(sf_dir: str):
+    """Per-user value-over-time trend as exact integer regression
+    moments (slope = sxy_num/sxx_num; x in hours, y in cents)."""
+    import ray.data
+
+    from alp_ray.stages.window import user_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"],
+    )
+    return user_trend(ev)
+
+
+_USER_TREND_SQL = (
+    "WITH e AS MATERIALIZED (SELECT user_id, "
+    "CAST(epoch_us(ts) AS BIGINT) AS tus, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events), "
+    "m AS (SELECT user_id, MIN(tus) AS t0 FROM e GROUP BY user_id), "
+    "x AS (SELECT e.user_id, (e.tus - m.t0) // 3600000000 AS x, e.y "
+    "FROM e JOIN m ON m.user_id = e.user_id) "
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) "
+    "AS sxx_num, "
+    "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) "
+    "AS sxy_num FROM x GROUP BY user_id"
+)
+
+
 def _q_feature_hashing(sf_dir: str):
     """Hashing-trick featurizer: sparse (doc, bucket, count) rows,
     bucket = polyhash(token) % 64 — zero shuffle, exact twin via the
@@ -6841,6 +6956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count": _q_butterfly_count,
         "kn_continuation": _q_kn_continuation,
         "feature_hashing": _q_feature_hashing,
+        "user_trend": _q_user_trend,
+        "join_cardinality": _q_join_cardinality,
     }
 
 
@@ -7527,6 +7644,8 @@ def oracle_sql() -> dict[str, str]:
         "butterfly_count": _BUTTERFLY_SQL,
         "kn_continuation": _KN_SQL,
         "feature_hashing": _feature_hashing_sql(),
+        "user_trend": _USER_TREND_SQL,
+        "join_cardinality": _join_cardinality_sql(_JC_P),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -471,3 +471,64 @@ def cms_counts(
         )
 
     return true_cnt.map_batches(estimate, batch_format="pyarrow")
+
+
+def hll_int_registers(
+    ds: "ray.data.Dataset", key_col: str, p: int = 6
+) -> np.ndarray:
+    """HLL registers over an INTEGER key column, driver-folded (2^p
+    ints — sketch-sized). Fingerprints use the quadratic mixer
+    ``h = k·2654435761 % M31; h ← (h²+h) % M31`` (the hyperball
+    lesson: purely linear maps keep sequential keys an arithmetic
+    progression with biased leading-zero ranks), rank law identical to
+    approx_distinct_poly."""
+    import ray
+
+    m = 1 << p
+    w = 31 - p
+    M31 = (1 << 31) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if key_col not in batch.column_names or batch.num_rows == 0:
+            return pa.table(
+                {"idx": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.int64())}
+            )
+        k = np.unique(np.asarray(batch.column(key_col), np.int64))
+        h = (k * 2_654_435_761) % M31
+        h = (h * h + h) % M31
+        idx = h & (m - 1)
+        v = h >> p
+        bl = np.zeros(v.size, np.int64)
+        for j in range(w):
+            bl[v >= (1 << j)] = j + 1
+        rank = (w + 1) - bl
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pa.table(
+            {"idx": pa.array(np.arange(m)), "val": pa.array(regs)}
+        )
+
+    regs = np.zeros(m, np.int64)
+    for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "idx" in t.column_names and t.num_rows:
+            np.maximum.at(
+                regs,
+                np.asarray(t.column("idx"), np.int64),
+                np.asarray(t.column("val"), np.int64),
+            )
+    return regs
+
+
+def hll_state_row(regs: np.ndarray) -> tuple[int, int, int]:
+    """(sum_reg, zero_reg, order-checksum) — the integer gate state of
+    a register array (approx_distinct_poly's summary law)."""
+    M31 = (1 << 31) - 1
+    checksum = 0
+    for r in regs:
+        checksum = (checksum * 1_000_003 + int(r)) % M31
+    return int(regs.sum()), int((regs == 0).sum()), checksum
