@@ -1389,6 +1389,155 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_hourly_active(sf_dir: str):
+    """Hourly active users (the DAU/HAU family): distinct users per
+    tumbling hour — block-distinct (hour, user) partials, whole hours
+    co-located by the coarse hash partition, one distinct-count kernel
+    per partition. All-integer."""
+    import ray.data
+
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()), np.int64)
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        u = np.asarray(batch.column("user_id"), np.int64)
+        key = hour // 3_600_000_000 * np.int64(1 << 21) + u
+        uniq = np.unique(key)
+        return pa.table({
+            "window_start_us": pa.array(
+                (uniq >> 21) * 3_600_000_000
+            ),
+            "user_id": pa.array(uniq & ((1 << 21) - 1)),
+        })
+
+    tagged = _part_tag(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "window_start_us",
+        n_parts,
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "window_start_us": pa.array([], pa.int64()),
+            "active_users": pa.array([], pa.int64()),
+        })
+        if (
+            "window_start_us" not in group.column_names
+            or group.num_rows == 0
+        ):
+            return empty
+        w = np.asarray(group.column("window_start_us"), np.int64)
+        u = np.asarray(group.column("user_id"), np.int64)
+        key = w // 3_600_000_000 * np.int64(1 << 21) + u
+        uniq = np.unique(key)
+        hw = uniq >> 21
+        starts = np.flatnonzero(np.r_[True, hw[1:] != hw[:-1]])
+        cnt = np.diff(np.r_[starts, hw.size]).astype(np.int64)
+        return pa.table({
+            "window_start_us": pa.array(hw[starts] * 3_600_000_000),
+            "active_users": pa.array(cnt),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+
+_HOURLY_ACTIVE_SQL = (
+    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) "
+    "AS window_start_us, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users "
+    "FROM events GROUP BY 1"
+)
+
+
+def _q_decayed_activity(sf_dir: str):
+    """Exponentially time-decayed engagement per user with an EXACT
+    integer accumulator: score = Σ cents · 2^(30 − age_days) relative
+    to the corpus max timestamp — powers of two keep the decay
+    rounding-free (a float 2^-age sum would be summation-order
+    sensitive at the ulp). Loud overflow guard at 2^62."""
+    import ray
+    import ray.data
+
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts, round_half_away
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"],
+    ).materialize()
+    tmax = 0
+    for t in ray.get(ev.to_arrow_refs()):
+        if "ts" in t.column_names and t.num_rows:
+            tmax = max(
+                tmax,
+                int(np.asarray(
+                    t.column("ts").cast(pa.int64()), np.int64
+                ).max()),
+            )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()), np.int64)
+        v = np.asarray(batch.column("value"), np.float64)
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        age = (tmax - ts) // 86_400_000_000
+        assert int(age.max(initial=0)) <= 30, "decay window exceeded"
+        term = cents << (30 - age)
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "term": pa.array(term),
+        })
+
+    tagged = _part_tag(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        coarse_parts(),
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "decayed_score": pa.array([], pa.int64()),
+        })
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), np.int64)
+        t = np.asarray(group.column("term"), np.int64)
+        order = np.argsort(u, kind="stable")
+        u, t = u[order], t[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        s = np.add.reduceat(t, starts)
+        assert (s < (1 << 62)).all(), "decayed score overflow"
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "decayed_score": pa.array(s),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+
+_DECAYED_SQL = (
+    "WITH mx AS (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) AS t FROM "
+    "events), "
+    "e AS (SELECT user_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+    "((SELECT t FROM mx) - CAST(epoch_us(ts) AS BIGINT)) "
+    "// 86400000000 AS age FROM events) "
+    "SELECT user_id, CAST(SUM(cents * (1::BIGINT << (30 - age))) "
+    "AS BIGINT) AS decayed_score FROM e GROUP BY user_id"
+)
+
+
 _JC_P = 6  # join-cardinality HLL register bits (m = 64)
 
 
@@ -6958,6 +7107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing": _q_feature_hashing,
         "user_trend": _q_user_trend,
         "join_cardinality": _q_join_cardinality,
+        "hourly_active": _q_hourly_active,
+        "decayed_activity": _q_decayed_activity,
     }
 
 
@@ -7646,6 +7797,8 @@ def oracle_sql() -> dict[str, str]:
         "feature_hashing": _feature_hashing_sql(),
         "user_trend": _USER_TREND_SQL,
         "join_cardinality": _join_cardinality_sql(_JC_P),
+        "hourly_active": _HOURLY_ACTIVE_SQL,
+        "decayed_activity": _DECAYED_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
