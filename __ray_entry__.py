@@ -2526,6 +2526,86 @@ def _q_corpus_extract(sf_dir: str):
     )
 
 
+def _q_corpus_lang_mixing(sf_dir: str):
+    """Language mixing matrix of the corpus import graph: edge counts
+    by (source-file language, target-file language) — the assortative
+    structure of cross-language imports. Per-block partials, ≤|langs|²
+    driver fold, zero shuffle."""
+    import ray
+
+    from alp_ray.pipelines.code_graph import corpus_to_edges
+    from alp_ray.sources.corpus import synth_corpus
+
+    nr, fpr, seed = _CORPUS_SHAPE
+    corpus = synth_corpus(n_repos=nr, files_per_repo=fpr, seed=seed)
+    edges = corpus_to_edges(corpus).select_columns(
+        ["src_path", "dst_path"]
+    )
+
+    def _lang(arr) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        out = np.full(len(arr), "other", dtype=object)
+        for ext, name in ((".py", "py"), (".c", "c"), (".js", "js")):
+            m = np.asarray(pc.ends_with(arr, pattern=ext))
+            out[m] = name
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "src_path" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({
+                "lang_src": pa.array([], pa.string()),
+                "lang_dst": pa.array([], pa.string()),
+                "n_edges": pa.array([], pa.int64()),
+            })
+        ls = _lang(batch.column("src_path"))
+        ld = _lang(batch.column("dst_path"))
+        key = np.char.add(np.char.add(ls.astype(str), "|"),
+                          ld.astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        pairs = [k.split("|", 1) for k in uniq]
+        return pa.table({
+            "lang_src": pa.array([p[0] for p in pairs], pa.string()),
+            "lang_dst": pa.array([p[1] for p in pairs], pa.string()),
+            "n_edges": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg: dict[tuple[str, str], int] = {}
+    for t in ray.get(
+        edges.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "lang_src" not in t.column_names or t.num_rows == 0:
+            continue
+        for a, b, c in zip(
+            t.column("lang_src").to_pylist(),
+            t.column("lang_dst").to_pylist(),
+            t.column("n_edges").to_pylist(),
+        ):
+            agg[(a, b)] = agg.get((a, b), 0) + int(c)
+    rows = sorted(agg.items())
+    return pa.table({
+        "lang_src": pa.array([r[0][0] for r in rows], pa.string()),
+        "lang_dst": pa.array([r[0][1] for r in rows], pa.string()),
+        "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _corpus_lang_mixing_sql() -> str:
+    lang = (
+        "CASE WHEN {c} LIKE '%.py' THEN 'py' "
+        "WHEN {c} LIKE '%.c' THEN 'c' "
+        "WHEN {c} LIKE '%.js' THEN 'js' ELSE 'other' END"
+    )
+    return (
+        f"WITH {_corpus_edges_cte()} "
+        f"SELECT {lang.format(c='src_path')} AS lang_src, "
+        f"{lang.format(c='dst_path')} AS lang_dst, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges FROM e GROUP BY 1, 2"
+    )
+
+
 def _q_corpus_pagerank(sf_dir: str):
     from alp_ray.pipelines.code_graph import corpus_pagerank
     from alp_ray.sources.corpus import synth_corpus
@@ -7109,6 +7189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality": _q_join_cardinality,
         "hourly_active": _q_hourly_active,
         "decayed_activity": _q_decayed_activity,
+        "corpus_lang_mixing": _q_corpus_lang_mixing,
     }
 
 
@@ -7799,6 +7880,7 @@ def oracle_sql() -> dict[str, str]:
         "join_cardinality": _join_cardinality_sql(_JC_P),
         "hourly_active": _HOURLY_ACTIVE_SQL,
         "decayed_activity": _DECAYED_SQL,
+        "corpus_lang_mixing": _corpus_lang_mixing_sql(),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
