@@ -1389,6 +1389,37 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap stats (count, min, LOWER-median, max
+    in µs) — exact integer order statistics, LEAD + ROW_NUMBER twin."""
+    import ray.data
+
+    from alp_ray.stages.window import interarrival_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    return interarrival_stats(ev)
+
+
+_INTERARRIVAL_SQL = (
+    "WITH o AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, "
+    "LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+    "g AS (SELECT user_id, nxt - tus AS gap FROM o "
+    "WHERE nxt IS NOT NULL), "
+    "r AS (SELECT user_id, gap, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id ORDER BY gap) AS rk, "
+    "COUNT(*) OVER (PARTITION BY user_id) AS n FROM g) "
+    "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps, "
+    "MIN(gap) AS min_gap_us, "
+    "CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT) "
+    "AS median_gap_us, MAX(gap) AS max_gap_us "
+    "FROM r GROUP BY user_id"
+)
+
+
 def _q_hourly_active(sf_dir: str):
     """Hourly active users (the DAU/HAU family): distinct users per
     tumbling hour — block-distinct (hour, user) partials, whole hours
@@ -7190,6 +7221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active": _q_hourly_active,
         "decayed_activity": _q_decayed_activity,
         "corpus_lang_mixing": _q_corpus_lang_mixing,
+        "interarrival_stats": _q_interarrival,
     }
 
 
@@ -7881,6 +7913,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_active": _HOURLY_ACTIVE_SQL,
         "decayed_activity": _DECAYED_SQL,
         "corpus_lang_mixing": _corpus_lang_mixing_sql(),
+        "interarrival_stats": _INTERARRIVAL_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "

@@ -852,3 +852,75 @@ def user_trend(
     return tagged.groupby("__part").map_groups(
         emit, batch_format="pyarrow"
     )
+
+
+def interarrival_stats(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key inter-arrival-time statistics over the (ts, id)-ordered
+    event stream: gap count, min/max gap and the LOWER MEDIAN gap (the
+    ⌈n/2⌉-th smallest — an exact integer order statistic, not the
+    float mid-average), all in µs. The burstiness / engagement-cadence
+    features of behavioral models; keys with < 2 events emit nothing.
+
+    Whole keys co-locate by the coarse hash partition; one lexsort per
+    partition computes every key's gaps and order statistics."""
+    from alp_ray.stages.relational import _part_tag
+    from alp_ray.util import coarse_parts
+
+    if n_parts is None:
+        n_parts = coarse_parts()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            "__id": batch.column(id_col).cast(pa.int64()),
+        })
+
+    tagged = _part_tag(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        n_parts,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "min_gap_us": pa.array([], pa.int64()),
+            "median_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        })
+        if key_col not in group.column_names or group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column(key_col), np.int64)
+        ts = np.asarray(group.column("__ts"), np.int64)
+        ev = np.asarray(group.column("__id"), np.int64)
+        order = np.lexsort((ev, ts, k))
+        k, ts = k[order], ts[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        gk = k[1:][same]
+        gap = (ts[1:] - ts[:-1])[same]
+        order2 = np.lexsort((gap, gk))
+        gk, gap = gk[order2], gap[order2]
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        n = np.diff(np.r_[starts, gk.size]).astype(np.int64)
+        med_idx = starts + (n - 1) // 2
+        return pa.table({
+            key_col: pa.array(gk[starts]),
+            "n_gaps": pa.array(n),
+            "min_gap_us": pa.array(gap[starts]),
+            "median_gap_us": pa.array(gap[med_idx]),
+            "max_gap_us": pa.array(gap[starts + n - 1]),
+        })
+
+    return tagged.groupby("__part").map_groups(
+        emit, batch_format="pyarrow"
+    )
