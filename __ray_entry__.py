@@ -1389,6 +1389,94 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+_AR_MIN_SUP = 3  # association rules: minimum pair support (orders)
+
+
+def _q_assoc_rules(sf_dir: str):
+    """Association rules A→B over market baskets (the Apriori
+    confidence step): for every ordered pair with pair-support ≥ 3,
+    confidence_pct = (100 · n_AB) // n_A — pair supports from the
+    co_occurrence bipartite projection, antecedent supports from one
+    distinct-count aggregate, both integer."""
+    import ray
+    import ray.data
+
+    from alp_ray.stages.relational import co_occurrence
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    pairs = co_occurrence(li, min_count=_AR_MIN_SUP).materialize()
+    # Antecedent support = #distinct orders containing the item:
+    # global (order, part) dedup via the coarse-fold, then one degree
+    # aggregate — a block-local dedup would double-count pairs that
+    # straddle blocks.
+    from alp_ray.stages.graph import dedup_edges, degrees
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("l_orderkey").cast(pa.int64()),
+            "dst": b.column("l_partkey").cast(pa.int64()),
+        })
+
+    dd = dedup_edges(li.map_batches(as_edges, batch_format="pyarrow"))
+    item_sup: dict[int, int] = {}
+    for t in ray.get(
+        degrees(dd, key="dst", name="s").materialize().to_arrow_refs()
+    ):
+        if "dst" in t.column_names and t.num_rows:
+            for i, c in zip(
+                t.column("dst").to_pylist(), t.column("s").to_pylist()
+            ):
+                item_sup[int(i)] = int(c)
+    assert len(item_sup) < 5_000_000, "item table exceeds driver bound"
+
+    def rules(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "antecedent": pa.array([], pa.int64()),
+            "consequent": pa.array([], pa.int64()),
+            "pair_support": pa.array([], pa.int64()),
+            "confidence_pct": pa.array([], pa.int64()),
+        })
+        if "item_a" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        a = np.asarray(batch.column("item_a"), np.int64)
+        b = np.asarray(batch.column("item_b"), np.int64)
+        n = np.asarray(batch.column("n_groups"), np.int64)
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        ns = np.concatenate([n, n])
+        sup_a = np.array(
+            [item_sup[int(x)] for x in ante], np.int64
+        )
+        return pa.table({
+            "antecedent": pa.array(ante),
+            "consequent": pa.array(cons),
+            "pair_support": pa.array(ns),
+            "confidence_pct": pa.array((100 * ns) // sup_a),
+        })
+
+    return pairs.map_batches(rules, batch_format="pyarrow")
+
+
+_ASSOC_RULES_SQL = (
+    "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+    "l_partkey AS p FROM lineitem), "
+    "sup AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS s "
+    "FROM op GROUP BY p), "
+    "pc2 AS (SELECT a.p AS pa, b.p AS pb, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM op a "
+    "JOIN op b ON b.o = a.o AND a.p < b.p GROUP BY pa, pb), "
+    f"f AS (SELECT * FROM pc2 WHERE n >= {_AR_MIN_SUP}), "
+    "r AS (SELECT pa AS antecedent, pb AS consequent, n FROM f "
+    "UNION ALL SELECT pb, pa, n FROM f) "
+    "SELECT r.antecedent, r.consequent, r.n AS pair_support, "
+    "(100 * r.n) // s.s AS confidence_pct "
+    "FROM r JOIN sup s ON s.p = r.antecedent"
+)
+
+
 def _q_interarrival(sf_dir: str):
     """Per-user inter-arrival gap stats (count, min, LOWER-median, max
     in µs) — exact integer order statistics, LEAD + ROW_NUMBER twin."""
@@ -7222,6 +7310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_activity": _q_decayed_activity,
         "corpus_lang_mixing": _q_corpus_lang_mixing,
         "interarrival_stats": _q_interarrival,
+        "assoc_rules": _q_assoc_rules,
     }
 
 
@@ -7914,6 +8003,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_activity": _DECAYED_SQL,
         "corpus_lang_mixing": _corpus_lang_mixing_sql(),
         "interarrival_stats": _INTERARRIVAL_SQL,
+        "assoc_rules": _ASSOC_RULES_SQL,
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
