@@ -1389,6 +1389,81 @@ def _hyperball_sql(p: int, rounds: int) -> str:
     return "".join(parts)
 
 
+_RDV_SHARDS = 8  # rendezvous-hash shard count
+
+
+def _q_rendezvous(sf_dir: str):
+    """Rendezvous (highest-random-weight) hashing of documents to
+    shards — the consistent data-placement primitive (Thaler & Ravishankar
+    1998): doc → argmax over shards of the mixed (doc, shard) hash, so
+    removing a shard only remaps its own keys. Emits per-shard member
+    counts; one map_batches histogram pass, no shuffle. The mixer is
+    quadratic (the hyperball lesson — linear maps bias small-id
+    argmaxes toward one shard)."""
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    S = _RDV_SHARDS
+    M31 = (1 << 31) - 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            })
+        d = np.asarray(batch.column("doc_id"), np.int64)
+        best = np.full(d.size, -1, np.int64)
+        bestw = np.full(d.size, -1, np.int64)
+        for s in range(S):
+            h = ((d * S + s) * 2_654_435_761) % M31
+            h = (h * h + h) % M31
+            take = h > bestw
+            bestw = np.where(take, h, bestw)
+            best = np.where(take, s, best)
+        sh, cnt = np.unique(best, return_counts=True)
+        return pa.table({
+            "shard": pa.array(sh),
+            "n_docs": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = np.zeros(S, np.int64)
+    for t in ray.get(
+        docs.map_batches(assign, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if "shard" in t.column_names and t.num_rows:
+            np.add.at(
+                agg,
+                np.asarray(t.column("shard"), np.int64),
+                np.asarray(t.column("n_docs"), np.int64),
+            )
+    return pa.table({
+        "shard": pa.array(np.arange(S, dtype=np.int64)),
+        "n_docs": pa.array(agg),
+    })
+
+
+def _rendezvous_sql(S: int) -> str:
+    return (
+        "WITH w AS (SELECT doc_id, shard, "
+        "(h1 * h1 + h1) % 2147483647 AS h FROM ("
+        "SELECT d.doc_id, s.range AS shard, "
+        f"((d.doc_id * {S} + s.range) * 2654435761) % 2147483647 "
+        f"AS h1 FROM documents d CROSS JOIN range({S}) s)), "
+        "pick AS (SELECT doc_id, shard, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY h DESC, shard) AS rk FROM w) "
+        f"SELECT s.range AS shard, CAST(COUNT(p.doc_id) AS BIGINT) "
+        f"AS n_docs FROM range({S}) s "
+        "LEFT JOIN pick p ON p.shard = s.range AND p.rk = 1 "
+        "GROUP BY s.range"
+    )
+
+
 _AR_MIN_SUP = 3  # association rules: minimum pair support (orders)
 
 
@@ -7311,6 +7386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_lang_mixing": _q_corpus_lang_mixing,
         "interarrival_stats": _q_interarrival,
         "assoc_rules": _q_assoc_rules,
+        "rendezvous_shards": _q_rendezvous,
     }
 
 
@@ -8004,6 +8080,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_lang_mixing": _corpus_lang_mixing_sql(),
         "interarrival_stats": _INTERARRIVAL_SQL,
         "assoc_rules": _ASSOC_RULES_SQL,
+        "rendezvous_shards": _rendezvous_sql(_RDV_SHARDS),
         "heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all("
             "text, '\\S+')) AS tok FROM documents), "
